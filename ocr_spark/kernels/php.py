@@ -1,0 +1,149 @@
+"""PHP-semantics primitives.
+
+The reference engine is PHP 8; a handful of PHP runtime behaviors leak into
+its extracted output (rounding mode, trim charset, byte-length checks,
+float→string casts, ``strip_tags``). Exact-match parity requires replicating
+them deliberately rather than using the nearest Python builtin.
+
+Reference citations (paths under /root/reference):
+- round():        half-away-from-zero w/ repr pre-rounding (AbstractParser.php:98,127-130)
+- trim():         default charlist " \\t\\n\\r\\0\\x0B"
+- strlen():       byte length of the UTF-8 encoding (TextBlockParsing.php:57)
+- mb_strlen():    character length (TextBlockParsing.php:274,326)
+- is_numeric():   PHP 8 numeric-string rules (AbstractParser.php:187)
+- (float)$s:      leading-numeric-prefix cast (TableExtraction.php:433)
+- strip_tags():   tag removal without inserting spaces (DocParserJsonParser.php:241)
+- preg \\s,\\d:   ASCII-only without /u, Unicode with /u
+"""
+
+from __future__ import annotations
+
+import re
+from decimal import ROUND_HALF_UP, Decimal
+
+PHP_TRIM_CHARS = " \t\n\r\0\x0b"
+
+# PHP preg without /u: \s == [ \t\n\r\f\v] over bytes. We apply it char-level;
+# equivalent for all ASCII-compatible inputs.
+_WS_ASCII = re.compile(r"[ \t\n\r\f\v]+")
+# PHP preg with /u: \s matches Unicode whitespace.
+_WS_UNICODE = re.compile(r"\s+", re.UNICODE)
+
+
+def php_trim(s: str) -> str:
+    return s.strip(PHP_TRIM_CHARS)
+
+
+def collapse_ws(s: str, unicode: bool = False) -> str:
+    """preg_replace('/\\s+/[u]', ' ', s) — ASCII \\s unless the PHP pattern had /u."""
+    rx = _WS_UNICODE if unicode else _WS_ASCII
+    return rx.sub(" ", s)
+
+
+def clean_string(s: str | None) -> str:
+    """AbstractParser::cleanString (AbstractParser.php:138-142)."""
+    if s is None:
+        return ""
+    return php_trim(collapse_ws(s, unicode=False))
+
+
+def php_strlen(s: str) -> int:
+    """PHP strlen = byte length of UTF-8 encoding."""
+    return len(s.encode("utf-8", errors="surrogatepass"))
+
+
+_NUMERIC_RE = re.compile(
+    r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$"
+)
+
+
+def php_is_numeric(s) -> bool:
+    """PHP 8 is_numeric: ints/floats True; strings per numeric-string grammar
+    (leading whitespace allowed, trailing whitespace allowed since PHP 8)."""
+    if isinstance(s, (int, float)):
+        return True
+    if not isinstance(s, str):
+        return False
+    return bool(_NUMERIC_RE.match(s.strip(" \t\n\r\v\f")))
+
+
+_FLOAT_PREFIX_RE = re.compile(r"^[ \t\n\r\v\f]*[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?")
+
+
+def php_float(s) -> float:
+    """(float)$s — parses the longest leading numeric prefix, else 0.0.
+
+    e.g. '1.2.3' → 1.2, '12abc' → 12.0, '.' → 0.0, '' → 0.0.
+    """
+    if isinstance(s, (int, float)):
+        return float(s)
+    if not isinstance(s, str):
+        return 0.0
+    m = _FLOAT_PREFIX_RE.match(s)
+    if not m:
+        return 0.0
+    txt = m.group(0).strip()
+    # a bare '+'/'-' cannot occur (regex requires digits); '1.' parses fine
+    try:
+        return float(txt)
+    except ValueError:  # pragma: no cover — regex guarantees parsability
+        return 0.0
+
+
+def php_round(x: float, precision: int = 0) -> float:
+    """PHP round(): half away from zero with decimal pre-rounding.
+
+    PHP rounds the shortest decimal representation (so round(2.675, 2) == 2.68
+    even though 2.675 is stored as 2.67499…). Decimal(repr(x)) gives exactly
+    that shortest representation.
+    """
+    if x != x or x in (float("inf"), float("-inf")):  # NaN/Inf pass through
+        return x
+    q = Decimal(1).scaleb(-precision)
+    return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def php_number_str(x: float) -> str:
+    """PHP float→string cast (precision=14): integral floats print without
+    '.0' ('2' not '2.0'). Used for order-insensitive dedup keys
+    (TextBlockParsing.php:437)."""
+    if x == int(x) and abs(x) < 1e15:
+        return str(int(x))
+    return repr(float(f"{x:.14g}"))
+
+
+_TAG_RE = re.compile(r"<[^>]*>", re.DOTALL)
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
+
+
+def php_strip_tags(s: str) -> str:
+    """strip_tags(): removes HTML tags/comments without inserting whitespace.
+
+    PHP's implementation is a byte state machine; for the well-formed-ish OCR
+    payloads here a tag regex matches its behavior. An unterminated '<' at the
+    end of input swallows the rest of the string, as PHP does.
+    """
+    s = _COMMENT_RE.sub("", s)
+    s = _TAG_RE.sub("", s)
+    # PHP drops everything after an unclosed '<'
+    lt = s.find("<")
+    if lt != -1 and ">" not in s[lt:]:
+        s = s[:lt]
+    return s
+
+
+def compile_php(pattern: str, flags: str = "") -> re.Pattern:
+    """Compile a PCRE-style pattern with PHP flag semantics.
+
+    flags: subset of 'iusm'. Without 'u', \\d/\\s/\\w are ASCII-only
+    (PCRE byte mode); with 'u' they are Unicode.
+    """
+    f = 0
+    if "i" in flags:
+        f |= re.IGNORECASE
+    if "s" in flags:
+        f |= re.DOTALL
+    if "m" in flags:
+        f |= re.MULTILINE
+    f |= re.UNICODE if "u" in flags else re.ASCII
+    return re.compile(pattern, f)

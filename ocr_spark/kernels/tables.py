@@ -1,0 +1,277 @@
+"""HTML / Markdown table parsing kernels.
+
+Replicates (semantics, not code) of:
+- DocParserJsonParser::parseHtmlTable — first <table> only, no span handling,
+  cells cleaned with Unicode \\s collapse
+  (/root/reference/src/Parsers/DocParserJsonParser.php:195-228)
+- TableExtraction::extractHtmlTables/parseHtmlTableElement/processRowspans —
+  all tables, colspan fill + rowspan copy-down, rows padded to maxCols
+  (/root/reference/src/Parsers/Traits/TableExtraction.php:20-134)
+- TableExtraction::extractMarkdownTables/parseMarkdownTable
+  (/root/reference/src/Parsers/Traits/TableExtraction.php:142-206)
+- TableExtraction::cleanCellText (…:211-222)
+
+The HTML parser mirrors PHP DOMDocument behavior we rely on:
+``getElementsByTagName('tr')`` (descendant trs), direct-child td/th per tr,
+``textContent`` (all descendant text, entities decoded).
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+from .php import collapse_ws, php_trim
+
+_VOID_TAGS = {
+    "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
+    "meta", "param", "source", "track", "wbr",
+}
+
+# tags that auto-close an open <td>/<th> (HTML tree construction, as
+# DOMDocument's libxml parser does for table markup)
+_CELL_TAGS = {"td", "th"}
+
+
+class _TableHTMLParser(HTMLParser):
+    """Minimal DOM builder for table extraction.
+
+    Produces a list of tables; each table is a list of rows; each row a list
+    of cells ``(text, colspan, rowspan, is_th)`` for *direct* td/th children
+    of each tr. Nested tables are treated as separate tables whose text also
+    flows into the outer cell's textContent (DOMDocument semantics).
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.tables: list[list[list[tuple[str, int, int, bool]]]] = []
+        self._table_stack: list[list] = []
+        self._row_stack: list[list] = []
+        self._cell_stack: list[dict] = []
+
+    def handle_starttag(self, tag, attrs):
+        tag = tag.lower()
+        if tag in _VOID_TAGS:
+            return
+        if tag == "table":
+            t: list = []
+            self.tables.append(t)
+            self._table_stack.append(t)
+        elif tag == "tr":
+            if self._row_stack and not self._cell_stack:
+                # implicit close of previous row at same level
+                self._row_stack.pop()
+            row: list = []
+            if self._table_stack:
+                self._table_stack[-1].append(row)
+            self._row_stack.append(row)
+        elif tag in _CELL_TAGS:
+            if self._cell_stack and self._cell_stack[-1]["open"]:
+                # <td>a<td>b — implicit close
+                self._close_cell()
+            d = dict(attrs)
+
+            def _span(key: str) -> int:
+                raw = (d.get(key) or "").strip()
+                m = re.match(r"[+-]?\d+", raw)
+                v = int(m.group(0)) if m else 0
+                return v if v else 1
+
+            self._cell_stack.append({
+                "text": [],
+                "colspan": _span("colspan"),
+                "rowspan": _span("rowspan"),
+                "is_th": tag == "th",
+                "open": True,
+            })
+
+    def handle_endtag(self, tag):
+        tag = tag.lower()
+        if tag in _CELL_TAGS:
+            if self._cell_stack:
+                self._close_cell()
+        elif tag == "tr":
+            if self._cell_stack:
+                self._close_cell()
+            if self._row_stack:
+                self._row_stack.pop()
+        elif tag == "table":
+            while self._cell_stack:
+                self._close_cell()
+            if self._row_stack:
+                self._row_stack.pop()
+            if self._table_stack:
+                self._table_stack.pop()
+
+    def handle_data(self, data):
+        if self._cell_stack:
+            self._cell_stack[-1]["text"].append(data)
+
+    def _close_cell(self):
+        c = self._cell_stack.pop()
+        text = "".join(c["text"])
+        if self._row_stack:
+            self._row_stack[-1].append(
+                (text, c["colspan"], c["rowspan"], c["is_th"])
+            )
+        # any text buffered in an outer cell keeps flowing (textContent of
+        # nested elements): append nested text to the parent cell too
+        if self._cell_stack:
+            self._cell_stack[-1]["text"].append(text)
+
+    def close(self):
+        while self._cell_stack:
+            self._close_cell()
+        super().close()
+
+
+def _parse_html(html: str) -> list[list[list[tuple[str, int, int, bool]]]]:
+    p = _TableHTMLParser()
+    p.feed(html)
+    p.close()
+    return p.tables
+
+
+def clean_cell_text(text: str | None) -> str:
+    """TableExtraction::cleanCellText (TableExtraction.php:211-222)."""
+    if text is None:
+        return ""
+    text = php_trim(collapse_ws(text, unicode=False))
+    text = re.sub(r"^[\|\-\+]+$", "", text)
+    return text
+
+
+def parse_html_table_first(html: str) -> dict | None:
+    """DocParserJsonParser::parseHtmlTable (DocParserJsonParser.php:195-228).
+
+    First <table> only; no colspan/rowspan handling; each cell is
+    trim(preg_replace('/\\s+/u', ' ', textContent)); rows are ragged (not
+    padded to maxCols).
+    """
+    if php_trim(html) == "":
+        return None
+    tables = _parse_html(html)
+    if not tables:
+        return None
+    rows = []
+    for raw_row in tables[0]:
+        cells = [php_trim(collapse_ws(t, unicode=True)) for (t, _c, _r, _h) in raw_row]
+        if cells:
+            rows.append(cells)
+    return {
+        "rows": rows,
+        "maxCols": max((len(r) for r in rows), default=0),
+        "rowCount": len(rows),
+    }
+
+
+def extract_html_tables(html: str) -> list[dict]:
+    """TableExtraction::extractHtmlTables (TableExtraction.php:20-42)."""
+    if php_trim(html) == "":
+        return []
+    out = []
+    for idx, raw in enumerate(_parse_html(html)):
+        t = _parse_html_table_element(raw)
+        if t["rows"]:
+            t["index"] = idx
+            out.append(t)
+    return out
+
+
+def _parse_html_table_element(raw_rows) -> dict:
+    """TableExtraction::parseHtmlTableElement + processRowspans
+    (TableExtraction.php:47-134)."""
+    rows: list[list[dict]] = []
+    max_cols = 0
+    for raw_row in raw_rows:
+        cells: list[dict] = []
+        for (text, colspan, rowspan, is_th) in raw_row:
+            txt = clean_cell_text(text)
+            for i in range(colspan):
+                cells.append({
+                    "text": txt if i == 0 else "",
+                    "rowspan": rowspan,
+                    "colspan": colspan,
+                    "isHeader": is_th,
+                })
+        if cells:
+            rows.append(cells)
+            max_cols = max(max_cols, len(cells))
+
+    # processRowspans: copy spanning cells down into following rows.
+    # span_tracker preserves insertion order (like the PHP array), and the
+    # splice-insert happens in that order — a deliberate parity quirk.
+    span_tracker: dict[int, dict] = {}
+    for row in rows:
+        for col in list(span_tracker.keys()):
+            span = span_tracker[col]
+            if span["remaining"] > 0:
+                insert_at = min(col, len(row))
+                row.insert(insert_at, {
+                    "text": span["text"], "rowspan": 1, "colspan": 1,
+                    "isHeader": False,
+                })
+                span_tracker[col]["remaining"] -= 1
+        for col_idx, cell in enumerate(row):
+            if cell.get("rowspan", 1) > 1:
+                span_tracker[col_idx] = {
+                    "text": cell["text"],
+                    "remaining": cell["rowspan"] - 1,
+                }
+
+    # simplify: pad/truncate to maxCols (computed before rowspan processing)
+    simple_rows = []
+    for row in rows:
+        simple_rows.append([
+            row[i]["text"] if i < len(row) else "" for i in range(max_cols)
+        ])
+    return {
+        "rows": simple_rows,
+        "maxCols": max_cols,
+        "rowCount": len(simple_rows),
+    }
+
+
+_MD_TABLE_RE = re.compile(
+    r"(\|[^\n]+\|[\r\n]+\|[\-:\|\s]+\|[\r\n]+(?:\|[^\n]+\|[\r\n]*)+)",
+    re.DOTALL | re.ASCII,
+)
+_MD_SEP_RE = re.compile(r"^\|[\-:\|\s]+\|$", re.ASCII)
+
+
+def extract_markdown_tables(markdown: str) -> list[dict]:
+    """TableExtraction::extractMarkdownTables (TableExtraction.php:142-162)."""
+    tables = []
+    for idx, m in enumerate(_MD_TABLE_RE.findall(markdown)):
+        t = parse_markdown_table(m)
+        if t["rows"]:
+            t["index"] = idx
+            tables.append(t)
+    return tables
+
+
+def parse_markdown_table(table_text: str) -> dict:
+    """TableExtraction::parseMarkdownTable (TableExtraction.php:167-206)."""
+    rows = []
+    for line in php_trim(table_text).split("\n"):
+        line = php_trim(line)
+        if line == "":
+            continue
+        if _MD_SEP_RE.match(line):
+            continue
+        cells: list[str] = []
+        for part in line.split("|"):
+            part = php_trim(part)
+            if part != "" or len(cells) > 0:
+                cells.append(clean_cell_text(part))
+        if cells and cells[0] == "":
+            cells.pop(0)
+        if cells and cells[-1] == "":
+            cells.pop()
+        if cells:
+            rows.append(cells)
+    return {
+        "rows": rows,
+        "maxCols": max((len(r) for r in rows), default=0),
+        "rowCount": len(rows),
+    }

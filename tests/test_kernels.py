@@ -1,0 +1,250 @@
+"""Unit tests for the pure-Python extraction kernels (no Spark).
+
+Covers PHP-primitive parity (rounding, casts, strip_tags), table parsing
+(HTML colspan/rowspan, markdown), field mapping, and free-text extraction —
+each against hand-computed expectations derived from the reference sources
+(file:line citations in the kernel docstrings).
+"""
+
+import pytest
+
+from ocr_spark.kernels import dates as D
+from ocr_spark.kernels import fields as F
+from ocr_spark.kernels import items as I
+from ocr_spark.kernels import php as P
+from ocr_spark.kernels import tables as T
+from ocr_spark.kernels import textitems as X
+
+
+class TestPhpPrimitives:
+    def test_round_half_away_from_zero(self):
+        assert P.php_round(2.5) == 3
+        assert P.php_round(-2.5) == -3
+        assert P.php_round(2.675, 2) == 2.68  # repr pre-rounding, not banker's
+        assert P.php_round(1.005, 2) == 1.01
+        assert P.php_round(0.125, 2) == 0.13
+        assert P.php_round(1234.5678, 2) == 1234.57
+        assert P.php_round(1.00005, 4) == 1.0001
+
+    def test_float_cast_prefix(self):
+        assert P.php_float("1.2.3") == 1.2
+        assert P.php_float("12abc") == 12.0
+        assert P.php_float(".") == 0.0
+        assert P.php_float("") == 0.0
+        assert P.php_float("-3.5x") == -3.5
+        assert P.php_float("  7") == 7.0
+
+    def test_is_numeric(self):
+        assert P.php_is_numeric("12.5")
+        assert P.php_is_numeric(" 12.5 ")
+        assert P.php_is_numeric("1e3")
+        assert not P.php_is_numeric("12abc")
+        assert not P.php_is_numeric("")
+        assert not P.php_is_numeric("1,000")
+
+    def test_strip_tags(self):
+        assert P.php_strip_tags("<b>a</b>b") == "ab"
+        assert P.php_strip_tags("a<br>b") == "ab"  # no space inserted
+        assert P.php_strip_tags("x<!-- c -->y") == "xy"
+        assert P.php_strip_tags("keep <unclosed") == "keep "
+
+    def test_clean_string(self):
+        assert P.clean_string("  a \t\n b ") == "a b"
+        assert P.clean_string(None) == ""
+
+    def test_number_str(self):
+        assert P.php_number_str(2.0) == "2"
+        assert P.php_number_str(2.5) == "2.5"
+
+    def test_strlen_bytes(self):
+        assert P.php_strlen("abc") == 3
+        assert P.php_strlen("中文") == 6
+
+
+class TestDates:
+    def test_normalize_date(self):
+        assert D.normalize_date("2025-01-10") == "2025-01-10"
+        assert D.normalize_date("2025/1/10") == "2025-01-10"
+        assert D.normalize_date("10-01-2025") == "2025-01-10"  # d-m-Y first
+        assert D.normalize_date("14 Jan 2025") == "2025-01-14"  # strtotime tail
+        assert D.normalize_date("garbage") is None
+        assert D.normalize_date(None) is None
+        assert D.normalize_date("") is None
+        assert D.normalize_date("0") is None  # PHP empty('0')
+
+    def test_php_wrap(self):
+        # createFromFormat wraps out-of-range like mktime
+        assert D.normalize_date("2025/13/45") == "2026-02-14"
+
+    def test_normalize_date_string_disambiguation(self):
+        assert D.normalize_date_string("2025-01-10") == "2025-01-10"
+        assert D.normalize_date_string("25/12/2025") == "2025-12-25"  # >12 ⇒ DD-MM
+        assert D.normalize_date_string("01/02/2025") == "2025-01-02"  # ⇒ MM-DD (US)
+        assert D.normalize_date_string("1-2") is None
+
+
+class TestTables:
+    HTML = ("<table><tr><td>序号</td><td>名称</td><td>数量</td><td>金额</td></tr>"
+            "<tr><td>1</td><td>女包</td><td>4</td><td>580</td></tr>"
+            "<tr><td>合计</td><td></td><td>4</td><td>580</td></tr></table>")
+
+    def test_first_table_variant(self):
+        t = T.parse_html_table_first(self.HTML + "<table><tr><td>x</td></tr></table>")
+        assert t["rowCount"] == 3
+        assert t["rows"][0] == ["序号", "名称", "数量", "金额"]
+        assert t["rows"][1] == ["1", "女包", "4", "580"]
+
+    def test_all_tables_variant(self):
+        ts = T.extract_html_tables(self.HTML + "<table><tr><td>x</td></tr></table>")
+        assert len(ts) == 2
+        assert ts[0]["maxCols"] == 4
+
+    def test_colspan_fill(self):
+        html = ("<table><tr><td colspan=2>A</td><td>B</td></tr>"
+                "<tr><td>1</td><td>2</td><td>3</td></tr></table>")
+        t = T.extract_html_tables(html)[0]
+        # first colspan cell gets the text, fillers empty
+        assert t["rows"][0] == ["A", "", "B"]
+        assert t["rows"][1] == ["1", "2", "3"]
+
+    def test_rowspan_copy_down(self):
+        html = ("<table><tr><td rowspan=2>A</td><td>B</td></tr>"
+                "<tr><td>C</td></tr></table>")
+        t = T.extract_html_tables(html)[0]
+        assert t["rows"][0] == ["A", "B"]
+        assert t["rows"][1] == ["A", "C"]
+
+    def test_entity_decode_and_ws(self):
+        html = "<table><tr><td> a &amp;  b </td></tr></table>"
+        t = T.extract_html_tables(html)[0]
+        assert t["rows"][0] == ["a & b"]
+
+    def test_markdown_table(self):
+        md = "| a | b |\n|---|---|\n| 1 | 2 |\n| 3 | 4 |\n"
+        ts = T.extract_markdown_tables(md)
+        assert len(ts) == 1
+        assert ts[0]["rows"] == [["a", "b"], ["1", "2"], ["3", "4"]]
+
+    def test_markdown_table_spaced_separator(self):
+        md = "| a | b |\n| --- | --- |\n| 1 | 2 |\n"
+        ts = T.extract_markdown_tables(md)
+        assert ts and ts[0]["rows"][0] == ["a", "b"]
+
+    def test_clean_cell_text_ocr_noise(self):
+        assert T.clean_cell_text("---") == ""
+        assert T.clean_cell_text("|+|") == ""
+        assert T.clean_cell_text(" a  b ") == "a b"
+
+
+class TestFieldMapping:
+    def test_exact_patterns(self):
+        assert F.smart_map_column("Qty") == "qty"
+        assert F.smart_map_column("数量") == "qty"
+        assert F.smart_map_column("單價") == "unit_price"
+        assert F.smart_map_column("金額") == "total"
+        assert F.smart_map_column("款号") == "code"
+        assert F.smart_map_column("序号") == "seq"
+
+    def test_amount_maps_to_qty_first(self):
+        # 'amount' appears in the qty pattern list, which is iterated before
+        # total — a load-bearing reference quirk (SmartFieldMapping.php:44)
+        assert F.smart_map_column("Amount") == "qty"
+
+    def test_fuzzy(self):
+        # fuzzy iterates code→name→… but '商品代码xyz' hits name's '品' key
+        # only ('编' absent, '码'/'代' unkeyed) — reference order preserved
+        assert F.smart_map_column("商品代码xyz") == "name"
+        assert F.smart_map_column("编号xyz") == "code"
+        assert F.smart_map_column("Code No.") == "code"
+
+    def test_header_row_en_invoice(self):
+        # the 供應商發票1 golden header: Amount must fall to total positionally
+        headers = ["Code No.", "Description", "Quantity", "Unit Price", "Amount"]
+        m = F.map_header_row(headers)
+        assert m["code"] == 0 and m["name"] == 1 and m["qty"] == 2
+        assert m["unit_price"] == 3 and m["total"] == 4
+
+    def test_header_row_cjk(self):
+        headers = ["序号", "款号", "名称", "颜色", "尺码", "数量", "单价", "金额", "备注"]
+        m = F.map_header_row(headers)
+        assert m == {"seq": 0, "code": 1, "name": 2, "color": 3, "size": 4,
+                     "qty": 5, "unit_price": 6, "total": 7, "remark": 8}
+
+    def test_positional_fallback(self):
+        m = F.map_header_row(["货品", "", "", ""])
+        assert m["name"] == 0
+        assert m["qty"] == 1 and m["unit_price"] == 2 and m["total"] == 3
+
+
+class TestItems:
+    def test_parse_number(self):
+        assert I.parse_number("¥1,234.50") == 1234.5
+        assert I.parse_number("$ 99") == 99.0
+        assert I.parse_number("") == 0.0
+        assert I.parse_number("HK$1,000") == 1000.0
+
+    def test_skip_summary_row(self):
+        cm = {"code": 0, "name": 1, "qty": 2, "total": 3}
+        assert I.extract_item_from_row(["合计", "", "4", "580"], cm) is None
+        assert I.extract_item_from_row(["", "Total", "4", "580"], cm) is None
+
+    def test_imputation_qty_from_total(self):
+        cm = {"name": 0, "unit_price": 1, "total": 2}
+        item = I.extract_item_from_row(["thing", "145", "580"], cm)
+        assert item["qty"] == 4  # 580/145 = 4.0 → rounded to int
+        assert item["unit_price"] == 145
+
+    def test_composite_name(self):
+        cm = {"code": 0, "name": 1, "color": 2, "size": 3, "qty": 4,
+              "unit_price": 5, "total": 6}
+        item = I.extract_item_from_row(
+            ["os838", "头层牛皮女包", "黑色", "个", "4", "145", "580"], cm)
+        assert item["name"] == "头层牛皮女包 - 黑色 [个]"
+        assert item["metadata"] == {"color": "黑色", "size": "个", "remark": ""}
+
+    def test_scoring_threshold(self):
+        good = {"rows": [["名称", "数量", "单价", "金额"], ["包", "4", "145", "580"]]}
+        bad = {"rows": [["a", "b"], ["c", "d"]]}
+        assert I.score_table_as_invoice_items(good) >= 0.3
+        assert I.select_best_invoice_table([bad]) is None
+        assert I.pick_best_table([bad]) is bad  # DocParser variant: no threshold
+
+
+class TestTextItems:
+    def test_multiplication(self):
+        items = X.parse_multiplication_format("Paint x2 @45")
+        assert items[0]["name"] == "Paint" and items[0]["total"] == 90.0
+
+    def test_line_format_sanity_gate(self):
+        # one-number lines never pass the 10% sanity check (qty*0 != total)
+        assert X.parse_line_format("Delivery 25") == []
+        items = X.parse_line_format("Widget 2 10.50 21.00")
+        assert items and items[0]["qty"] == 2
+
+    def test_list_format(self):
+        items = X.parse_list_format("- Delivery fee - $25")
+        assert items[0]["name"] == "Delivery fee" and items[0]["total"] == 25.0
+
+    def test_dedup_first_wins(self):
+        a = {"name": "X", "qty": 2.0, "total": 90.0, "metadata": {"m": "1"}}
+        b = {"name": "x", "qty": 2, "total": 90, "metadata": {"m": "2"}}
+        out = X.deduplicate_items([a, b])
+        assert out == [a]  # case-insensitive, 2.0 == '2' via PHP float→str
+
+    def test_declared_total_last_wins(self):
+        text = "subtotal: 100\ntotal: 120\ngrand total: 151"
+        assert X.extract_declared_total(text) == 151.0
+
+    def test_currency_usd_not_hk(self):
+        assert X.detect_currency("price $100") == "USD"
+        assert X.detect_currency("price hk$100") == "HKD"
+        assert X.detect_currency("¥100") == "CNY"
+
+    def test_date_cjk(self):
+        assert X.extract_invoice_date("2025年1月9日") == "2025-01-09"
+
+    def test_supplier_cleanup(self):
+        assert X.extract_supplier_name("供應商：ACME Ltd") == "ACME Ltd"
+        # fallback requires a company suffix
+        assert X.extract_supplier_name("short line here ok") == ""
+        assert X.extract_supplier_name("City Hardware Co. Ltd") == "City Hardware Co. Ltd"
