@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship extraction over payloads synthesized from the
+                sf0.001 documents table (full pipeline: detect → parse →
+                normalize in an Arrow-batched mapInPandas stage).
+queries()     — operator inventory per SURVEY.md §2 + the corpus-scale
+                training-data ops (dedup / similarity / text analysis /
+                multimodal plumbing) + the extraction engine itself.
+oracle_sql()  — DuckDB equivalents for every SQL-expressible query
+                (column names aliased identically on both sides).
 """
 
 from __future__ import annotations
@@ -16,23 +19,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from ocr_spark.operators.extraction import extract_documents
+    return extract_documents(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from ocr_spark.operators import ALL_QUERIES
+    return {name: fn for name, (fn, _sql) in ALL_QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ocr_spark.operators import ALL_QUERIES
+    return {name: sql for name, (_fn, sql) in ALL_QUERIES.items()
+            if sql is not None}

@@ -1,0 +1,18 @@
+"""Spark DataFrame operator layer.
+
+Each module exposes QUERIES: dict[name -> (spark_fn, oracle_sql | None)].
+spark_fn(spark, sf_dir) -> DataFrame; oracle_sql is ANSI SQL DuckDB runs on
+the same parquet tables (views pre-registered by the driver). None marks a
+non-SQL-expressible operator (driver records a rows-only check).
+
+Column names are aliased identically on both sides: the driver's compare
+sorts columns by name before hashing values.
+"""
+
+from .corpus import QUERIES as CORPUS_QUERIES
+from .extraction import QUERIES as EXTRACTION_QUERIES
+from .relational import QUERIES as REL_QUERIES
+
+ALL_QUERIES = {}
+for _q in (REL_QUERIES, CORPUS_QUERIES, EXTRACTION_QUERIES):
+    ALL_QUERIES.update(_q)

@@ -1,0 +1,541 @@
+"""Training-data pipeline operators over the documents/embeddings tables.
+
+Beyond the reference's own operator inventory, these are the corpus-scale
+operations a 100 TB training-data pipeline needs (task brief): exact and
+near deduplication, similarity search over embeddings, text analysis, and
+multimodal-column plumbing. Spark-first: everything that can be a built-in
+expression is (md5, higher-order array functions, window joins); Python
+appears only in Arrow-batched pandas stages (simhash, winnowing, fake
+multimodal decode).
+
+Scale notes:
+- dedup joins are self-joins on a *bucketable* key (hash, band, bucket) so
+  the shuffle is keyed and skew-safe; candidate generation never does an
+  unkeyed cross join;
+- MinHash/LSH: per-doc signatures from deterministic md5-derived hashes →
+  banding → bucket join → verify. At 100 TB the band join is the only
+  shuffle and its key cardinality scales with corpus size;
+- brute-force cosine is the correctness baseline (query set × corpus via
+  broadcast of the small query side); the LSH variant is the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+def dd_exact_dup(spark, sf_dir):
+    """Exact dedup: md5 over normalized text (lower + collapsed whitespace),
+    groupBy hash, keep min(doc_id) as canonical. Map-side combine makes the
+    shuffle carry one row per distinct hash per partition."""
+    docs = _docs(spark, sf_dir)
+    norm = F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return (
+        docs.withColumn("text_hash", norm)
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_id"),
+             F.count("*").alias("n_copies"))
+        .where(F.col("n_copies") >= 1)
+        .select("text_hash", "keep_id", "n_copies")
+        .orderBy("text_hash")
+    )
+
+
+DD_EXACT_SQL = """
+SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS text_hash,
+       MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1 ORDER BY text_hash
+"""
+
+
+def dd_ngram_jaccard(spark, sf_dir):
+    """N-gram Jaccard near-dup: word 3-gram shingles → explode → self-join
+    on shingle (keyed shuffle; candidate pairs only where ≥1 shared
+    shingle) → |∩| via count, |∪| via per-doc distinct counts → Jaccard.
+    Returns candidate pairs with jaccard ≥ 0.5."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    words = F.split(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "), " ")
+    shingled = (
+        docs.withColumn("words", words)
+        .withColumn("n_words", F.size("words"))
+        .where(F.col("n_words") >= 3)
+        .withColumn(
+            "shingle",
+            F.explode(F.transform(
+                F.sequence(F.lit(0), F.col("n_words") - 3),
+                lambda i: F.concat_ws(" ", F.col("words")[i],
+                                      F.col("words")[i + 1],
+                                      F.col("words")[i + 2]))))
+        .select("doc_id", "shingle")
+        .distinct()
+    )
+    sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_shingles").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard", F.round(
+            F.col("n_common")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common")), 4))
+        .where(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DD_NGRAM_SQL = """
+WITH shingled AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+    FROM (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS words
+      FROM documents
+    ), UNNEST(range(1, len(words) - 1)) AS t(i)
+    WHERE len(words) >= 3
+  )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shingled GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shingled a JOIN shingled b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       ROUND(CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
+N_MINHASH = 16
+N_BANDS = 4  # 4 rows per band
+
+
+def _minhash_signature_col():
+    """MinHash via K deterministic hash functions: for seed k, the doc's
+    k-th signature value is min over shingles of xxhash64(shingle, k).
+    One nested transform — the shingle array is evaluated once per row,
+    not once per hash function (Catalyst would inline K copies of the
+    shingle construction if these were K separate expressions)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(N_MINHASH - 1)),
+        lambda k: F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(s, k))))
+
+
+def dd_minhash_lsh(spark, sf_dir):
+    """MinHash + LSH banding near-dup candidates (rows-only oracle: the
+    xxhash64 seed family is Spark-specific).
+
+    shingle → K minhashes (expression-only) → B bands of K/B values →
+    band-hash bucket join → candidate pairs ranked by band collisions.
+    The only shuffle is the band-bucket join, keyed by (band_idx, hash)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    words = F.split(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "), " ")
+    sigs = (
+        docs.withColumn("words", words)
+        .withColumn("n_words", F.size("words"))
+        .where(F.col("n_words") >= 3)
+        .withColumn("shingles", F.array_distinct(F.transform(
+            F.sequence(F.lit(0), F.col("n_words") - 3),
+            lambda i: F.concat_ws(" ", F.col("words")[i],
+                                  F.col("words")[i + 1],
+                                  F.col("words")[i + 2]))))
+        .withColumn("sig", _minhash_signature_col())
+        .select("doc_id", "sig")
+    )
+    # pipeline break: signatures are tiny (K longs/doc); caching prevents
+    # the band explode from re-deriving shingles+hashes per band reference
+    sigs = sigs.cache()
+    rows_per_band = N_MINHASH // N_BANDS
+    bands = sigs.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.hash(*[F.col("sig")[b * rows_per_band + r]
+                         for r in range(rows_per_band)]).alias("band_hash"))
+            for b in range(N_BANDS)
+        ])).alias("bh")
+    ).select("doc_id", "bh.band", "bh.band_hash")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_band_collisions"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def dd_simhash(spark, sf_dir):
+    """64-bit SimHash per document in an Arrow-batched pandas stage
+    (bit-vote accumulation has no vectorized Spark expression), then
+    exact-bucket grouping on the signature (rows-only oracle)."""
+    import pandas as pd
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def _simhash(batches):
+        import hashlib
+        for pdf in batches:
+            out = []
+            for text in pdf["text"]:
+                votes = [0] * 64
+                for tok in set((text or "").lower().split()):
+                    h = int.from_bytes(
+                        hashlib.md5(tok.encode()).digest()[:8], "big")
+                    for bit in range(64):
+                        votes[bit] += 1 if (h >> bit) & 1 else -1
+                sig = 0
+                for bit in range(64):
+                    if votes[bit] > 0:
+                        sig |= 1 << bit
+                out.append(sig - (1 << 63))  # to signed int64
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
+
+    sigs = docs.mapInPandas(_simhash, "doc_id long, simhash long")
+    return (
+        sigs.groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .where(F.col("n_docs") > 1)
+        .orderBy("simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def sim_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k: the 5 query vectors are broadcast against
+    the corpus; dot/norm via zip_with + aggregate (JVM-side, no Python).
+    This is the correctness baseline for ANN (oracle:
+    DuckDB list_cosine_similarity)."""
+    emb = _emb(spark, sf_dir)
+    emb_d = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    queries = emb_d.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    corpus = emb_d.select(F.col("vec_id").alias("cand_id"),
+                          F.col("embedding").alias("cvec"))
+    sim = F.round(
+        _dot(F.col("qvec"), F.col("cvec"))
+        / (F.sqrt(_dot(F.col("qvec"), F.col("qvec")))
+           * F.sqrt(_dot(F.col("cvec"), F.col("cvec")))), 4)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        corpus.crossJoin(broadcast(queries))
+        .where(F.col("query_id") != F.col("cand_id"))
+        .withColumn("cosine", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "rank", "cand_id", "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
+SIM_COSINE_SQL = """
+SELECT query_id, rank, cand_id, cosine FROM (
+  SELECT query_id, cand_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, cand_id) AS rank
+  FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           ROUND(list_cosine_similarity(
+               CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) AS cosine
+    FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND q.vec_id != c.vec_id
+  )
+) WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
+N_HYPERPLANES = 12
+
+
+def sim_lsh_buckets(spark, sf_dir):
+    """Random-hyperplane LSH (scale path for ANN): sign bits against
+    deterministic pseudo-random hyperplanes (hash-derived coefficients, no
+    RNG state) → bucket id → bucket sizes. Candidate generation then joins
+    within buckets only: shuffle keyed by bucket, corpus-size-proportional.
+    Rows-only oracle (hash family is engine-specific)."""
+    emb = _emb(spark, sf_dir)
+    dim = 64
+    # deterministic hyperplane coefficients in [-1, 1): from xxhash64(i, j)
+    planes = [
+        F.array(*[
+            (F.xxhash64(F.lit(p * dim + j)) % 2000) / F.lit(1000.0)
+            for j in range(dim)])
+        for p in range(N_HYPERPLANES)
+    ]
+    vec = F.col("embedding").cast("array<double>")
+    bits = [F.when(_dot(vec, pl) >= 0, 1).otherwise(0) for pl in planes]
+    bucket = None
+    for i, b in enumerate(bits):
+        term = b * (2 ** i)
+        bucket = term if bucket is None else bucket + term
+    return (
+        emb.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"),
+             F.min("vec_id").alias("min_vec_id"))
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_STOPWORDS_EN = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
+
+
+def txt_quality(spark, sf_dir):
+    """Quality scoring: length / token / stopword / punctuation ratios as
+    pure column expressions (langdetect-style heuristics, JVM-side)."""
+    docs = _docs(spark, sf_dir)
+    tokens = F.split(F.col("text"), r"\s+")
+    n_tokens = F.size(tokens)
+    n_stop = F.size(F.filter(tokens, lambda t: t.isin(*_STOPWORDS_EN)))
+    n_punct = F.length(F.regexp_replace(F.col("text"), r"[^\.,;:!\?]", ""))
+    n_chars = F.length(F.col("text"))
+    return (
+        docs.select(
+            "doc_id",
+            n_chars.alias("n_chars_m"),
+            n_tokens.alias("n_tokens"),
+            F.round(n_stop / n_tokens, 4).alias("stopword_ratio"),
+            F.round(n_punct / n_chars, 4).alias("punct_ratio"),
+            F.round(
+                F.when(n_tokens > 0,
+                       n_chars / n_tokens).otherwise(0.0), 4).alias("avg_token_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TXT_QUALITY_SQL = """
+SELECT doc_id,
+       length(text) AS n_chars_m,
+       len(string_split_regex(text, '\\s+')) AS n_tokens,
+       ROUND(CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                  t -> t IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
+             / len(string_split_regex(text, '\\s+')), 4) AS stopword_ratio,
+       ROUND(CAST(length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g')) AS DOUBLE)
+             / length(text), 4) AS punct_ratio,
+       ROUND(CASE WHEN len(string_split_regex(text, '\\s+')) > 0
+             THEN CAST(length(text) AS DOUBLE) / len(string_split_regex(text, '\\s+'))
+             ELSE 0.0 END, 4) AS avg_token_len
+FROM documents ORDER BY doc_id
+"""
+
+
+_LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "fr": ["le", "et", "les"],
+    "es": ["el", "y", "los"],
+}
+
+
+def txt_langid(spark, sf_dir):
+    """Language-ID n-gram/stopword heuristic as expressions: count marker
+    hits per language, argmax with deterministic tie order."""
+    docs = _docs(spark, sf_dir)
+    tokens = F.split(F.lower(F.col("text")), r"\s+")
+    hit_cols = [
+        F.size(F.filter(tokens, lambda t: t.isin(*words))).alias(f"hits_{lang}")
+        for lang, words in _LANG_MARKERS.items()
+    ]
+    scored = docs.select("doc_id", "lang", *hit_cols)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in _LANG_MARKERS])
+    pred = F.lit("unk")
+    for lang in reversed(list(_LANG_MARKERS)):  # earlier langs win ties
+        pred = F.when((F.col(f"hits_{lang}") == best) & (best > 0),
+                      F.lit(lang)).otherwise(pred)
+    return (
+        scored.withColumn("pred_lang", pred)
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+TXT_LANGID_SQL = """
+WITH scored AS (
+  SELECT doc_id, lang,
+    len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t IN ('the','and','of'))) AS hits_en,
+    len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t IN ('der','und','die'))) AS hits_de,
+    len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t IN ('le','et','les'))) AS hits_fr,
+    len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t IN ('el','y','los'))) AS hits_es
+  FROM documents
+),
+pred AS (
+  SELECT lang,
+         CASE WHEN hits_en = GREATEST(hits_en, hits_de, hits_fr, hits_es) AND GREATEST(hits_en, hits_de, hits_fr, hits_es) > 0 THEN 'en'
+              WHEN hits_de = GREATEST(hits_en, hits_de, hits_fr, hits_es) AND GREATEST(hits_en, hits_de, hits_fr, hits_es) > 0 THEN 'de'
+              WHEN hits_fr = GREATEST(hits_en, hits_de, hits_fr, hits_es) AND GREATEST(hits_en, hits_de, hits_fr, hits_es) > 0 THEN 'fr'
+              WHEN hits_es = GREATEST(hits_en, hits_de, hits_fr, hits_es) AND GREATEST(hits_en, hits_de, hits_fr, hits_es) > 0 THEN 'es'
+              ELSE 'unk' END AS pred_lang
+  FROM scored
+)
+SELECT lang, pred_lang, COUNT(*) AS n_docs
+FROM pred GROUP BY 1, 2 ORDER BY lang, pred_lang
+"""
+
+
+def txt_token_count(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish regex tokens
+    ([letters]+ | [digits]+ | single other) as expressions."""
+    docs = _docs(spark, sf_dir)
+    ws_tokens = F.size(F.split(F.col("text"), r"\s+"))
+    bpe_tokens = F.size(F.regexp_extract_all(
+        F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)))
+    return (
+        docs.select("doc_id", ws_tokens.alias("ws_tokens"),
+                    bpe_tokens.alias("bpe_tokens"))
+        .orderBy("doc_id")
+    )
+
+
+TXT_TOKEN_SQL = """
+SELECT doc_id,
+       len(string_split_regex(text, '\\s+')) AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def txt_fingerprint(spark, sf_dir):
+    """Document fingerprint: md5 of case/whitespace-normalized text (the
+    SQL-checkable variant; the winnowing rolling-hash variant is
+    mm_winnow_fingerprint, rows-only)."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            "doc_id",
+            F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+            .alias("fingerprint"))
+        .orderBy("doc_id")
+    )
+
+
+TXT_FP_SQL = """
+SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+def mm_winnow_fingerprint(spark, sf_dir):
+    """Winnowing fingerprint (rolling-hash k-grams, window-min selection) in
+    a pandas stage — the classic plagiarism/near-dup fingerprint
+    (Schleimer et al., SIGMOD'03). Rows-only oracle."""
+    import pandas as pd
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    K, W = 5, 4
+
+    def _winnow(batches):
+        import zlib
+        for pdf in batches:
+            fps = []
+            for text in pdf["text"]:
+                s = " ".join((text or "").lower().split())
+                hashes = [zlib.crc32(s[i:i + K].encode())
+                          for i in range(max(0, len(s) - K + 1))]
+                sel = set()
+                for i in range(max(0, len(hashes) - W + 1)):
+                    window = hashes[i:i + W]
+                    sel.add(min(window))
+                fps.append(len(sel))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "n_fingerprints": fps})
+
+    return (docs.mapInPandas(_winnow, "doc_id long, n_fingerprints int")
+            .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal column plumbing (decode stubbed; Spark plumbing real)
+# ---------------------------------------------------------------------------
+
+def mm_binary_features(spark, sf_dir):
+    """Multimodal plumbing: documents.text treated as an opaque binary
+    column with typed metadata; 'decode' is a deterministic fake (first-8-
+    bytes hex + byte stats) in a pandas stage — the real image/audio decode
+    would slot into the same mapInPandas signature (libs not in this
+    container; see ocr_spark.operators docs). Rows-only oracle."""
+    import pandas as pd
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("blob"),
+        F.lit("text/plain").alias("mime"))
+
+    def _decode(batches):
+        for pdf in batches:
+            heads, sizes = [], []
+            for blob in pdf["blob"]:
+                b = bytes(blob or b"")
+                heads.append(b[:8].hex())
+                sizes.append(len(b))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"], "mime": pdf["mime"],
+                "head_hex": heads, "n_bytes": sizes,
+            })
+
+    return (docs.mapInPandas(
+        _decode, "doc_id long, mime string, head_hex string, n_bytes int")
+        .orderBy("doc_id"))
+
+
+QUERIES = {
+    "dd_exact_dup": (dd_exact_dup, DD_EXACT_SQL),
+    "dd_ngram_jaccard": (dd_ngram_jaccard, DD_NGRAM_SQL),
+    "dd_minhash_lsh": (dd_minhash_lsh, None),
+    "dd_simhash": (dd_simhash, None),
+    "sim_cosine_topk": (sim_cosine_topk, SIM_COSINE_SQL),
+    "sim_lsh_buckets": (sim_lsh_buckets, None),
+    "txt_quality": (txt_quality, TXT_QUALITY_SQL),
+    "txt_langid": (txt_langid, TXT_LANGID_SQL),
+    "txt_token_count": (txt_token_count, TXT_TOKEN_SQL),
+    "txt_fingerprint": (txt_fingerprint, TXT_FP_SQL),
+    "mm_winnow_fingerprint": (mm_winnow_fingerprint, None),
+    "mm_binary_features": (mm_binary_features, None),
+}

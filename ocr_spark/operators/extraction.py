@@ -1,0 +1,85 @@
+"""Extraction queries for the driver contract (rows-only checks).
+
+The extraction engine itself is not SQL-expressible (DOM parsing, regex
+cascades, PHP-semantics rounding), so these queries get rows-only checks.
+Inputs are synthesized deterministically from sf_dir's documents table so
+the whole query is a pure function of the testdata — no external data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _transcripts_from_documents(spark, sf_dir):
+    """Wrap each document's text into a transcript turn whose payload is a
+    deterministic markdown invoice containing the doc text as a remark —
+    exercises detection + markdown table extraction end-to-end over real
+    testdata text."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    payload = F.concat(
+        F.lit("## Supplier "), F.col("source"), F.lit(" Ltd\n"),
+        F.lit("invoice no: INV-"), F.col("doc_id").cast("string"), F.lit("\n"),
+        F.lit("date: 2025-03-"), F.format_string("%02d", (F.col("doc_id") % 28) + 1), F.lit("\n\n"),
+        F.lit("| code | name | qty | unit price | total |\n"),
+        F.lit("|---|---|---|---|---|\n"),
+        F.lit("| D-1 | Document bundle | "),
+        ((F.col("doc_id") % 5) + 1).cast("string"),
+        F.lit(" | 10.00 | "),
+        F.format_string("%d.00", ((F.col("doc_id") % 5) + 1) * 10),
+        F.lit(" |\n\n合计："),
+        F.format_string("%d.00", ((F.col("doc_id") % 5) + 1) * 10),
+        F.lit("\nremark: "), F.substring(F.col("text"), 1, 120), F.lit("\n"),
+    )
+    return docs.select(
+        F.format_string("conv-%06d", F.col("doc_id") % 50).alias("conv_id"),
+        (F.col("doc_id") % 1000).cast("int").alias("turn_idx"),
+        F.lit("tool").alias("role"),
+        payload.alias("text"),
+        F.lit("markdown").alias("tool"),
+        F.timestamp_seconds(F.lit(1735689600) + F.col("doc_id")).alias("ts"),
+    )
+
+
+def extract_documents(spark, sf_dir):
+    """Flagship: full extraction pipeline over payloads synthesized from the
+    documents table. One output row per turn with the detected kind and the
+    extracted record summary."""
+    from ..pipeline.extract import extract_turns
+    t = _transcripts_from_documents(spark, sf_dir)
+    e = extract_turns(t, salt_partitions=None)
+    return (
+        e.select(
+            "conv_id", "turn_idx", "source_kind",
+            F.round("confidence", 3).alias("confidence"),
+            "n_items",
+            F.round("calc_total", 2).alias("calc_total"),
+            F.element_at(F.col("records"), 1).getField("invoice_number").alias("invoice_number"),
+            F.element_at(F.col("records"), 1).getField("invoice_date").alias("invoice_date"),
+            F.element_at(F.col("records"), 1).getField("supplier_name").alias("supplier_name"),
+        )
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+def extract_synthetic(spark, sf_dir):
+    """Extraction over the native synthetic transcripts generator (all four
+    payload shapes + chatter + hot-conv skew), summarized per parser kind.
+    Deterministic: pure function of the seed."""
+    from ..pipeline.extract import extract_turns
+    from ..sources.synthetic import synthesize_transcripts
+    t = synthesize_transcripts(spark, n_convs=100, turns_per_conv=6)
+    e = extract_turns(t, salt_partitions=None)
+    return (
+        e.groupBy("source_kind")
+        .agg(F.count("*").alias("n_turns"),
+             F.sum("n_items").alias("total_items"),
+             F.round(F.sum("calc_total"), 2).alias("sum_calc_total"))
+        .orderBy(F.col("source_kind").asc_nulls_first())
+    )
+
+
+QUERIES = {
+    "extract_documents": (extract_documents, None),
+    "extract_synthetic": (extract_synthetic, None),
+}
