@@ -525,8 +525,128 @@ def mm_binary_features(spark, sf_dir):
         .orderBy("doc_id"))
 
 
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup + IVF approximate nearest neighbor
+# ---------------------------------------------------------------------------
+
+def dd_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate detection with planted duplicates:
+    the corpus is unioned with scaled copies of every 10th vector (2x
+    scaling keeps cosine exactly 1.0 — deterministic, no RNG), then pairs
+    with cosine >= 0.999 are detected within label buckets. The detector
+    must recover exactly the planted pairs (the testdata's organic
+    vectors top out at cosine ~0.47, verified). Candidate generation
+    joins on `label` so the self-join is keyed — at 100 TB the bucket key
+    bounds the shuffle; no unkeyed cross join ever happens. Oracle:
+    DuckDB list_cosine_similarity over the same planted-union pairs."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec"))
+    planted = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "label",
+        F.transform(F.col("vec"), lambda x: x * 2.0).alias("vec"))
+    full = emb.unionByName(planted)
+    a = full.select(F.col("vec_id").alias("a_id"), "label",
+                    F.col("vec").alias("a_vec"))
+    b = full.select(F.col("vec_id").alias("b_id"), "label",
+                    F.col("vec").alias("b_vec"))
+    cos = (_dot(F.col("a_vec"), F.col("b_vec"))
+           / (F.sqrt(_dot(F.col("a_vec"), F.col("a_vec")))
+              * F.sqrt(_dot(F.col("b_vec"), F.col("b_vec")))))
+    return (
+        a.join(b, "label")
+        .where(F.col("a_id") < F.col("b_id"))
+        .withColumn("cosine", F.round(cos, 3))
+        .where(F.col("cosine") >= 0.999)
+        .select("a_id", "b_id", "label", "cosine")
+        .orderBy("a_id", "b_id")
+    )
+
+
+DD_EMB_SQL = """
+WITH full_set AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, label,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0) AS vec
+  FROM embeddings WHERE vec_id % 10 = 0
+)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label,
+       ROUND(list_cosine_similarity(a.vec, b.vec), 3) AS cosine
+FROM full_set a JOIN full_set b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.vec, b.vec), 3) >= 0.999
+ORDER BY a_id, b_id
+"""
+
+
+N_IVF_CELLS = 16
+N_IVF_PROBE = 4
+
+
+def sim_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: coarse quantize the corpus into N_IVF_CELLS cells
+    (centroids = the first N vectors, deterministic — one k-means
+    assignment step without the iterative refinement, which is enough to
+    exercise the scale path), then each query probes only its N_IVF_PROBE
+    nearest cells. Two keyed shuffles: corpus→cell assignment (broadcast
+    centroids, map-only) and the (query, cell) × cell-inverted-list join.
+    At 100 TB the probe join touches nprobe/ncells of the corpus instead
+    of all of it. Rows-only check (approximate by construction); recall
+    vs the brute-force baseline is asserted in tests."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec"))
+    centroids = emb.where(F.col("vec_id") < N_IVF_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("vec").alias("cvec"))
+
+    # corpus → nearest centroid (broadcast join + argmin window)
+    dist2 = F.aggregate(
+        F.zip_with(F.col("vec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, v: acc + v)
+    wv = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell_id"))
+    assigned = (
+        emb.crossJoin(broadcast(centroids))
+        .withColumn("d2", dist2)
+        .withColumn("rn", F.row_number().over(wv))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "vec", "cell_id")
+    )
+
+    # queries → nprobe nearest cells
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"))
+    wq = Window.partitionBy("query_id").orderBy(F.asc("qd2"), F.asc("cell_id"))
+    qdist2 = F.aggregate(
+        F.zip_with(F.col("qvec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, v: acc + v)
+    probes = (
+        queries.crossJoin(broadcast(centroids))
+        .withColumn("qd2", qdist2)
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= N_IVF_PROBE)
+        .select("query_id", "qvec", "cell_id")
+    )
+
+    # probe join: candidates only from the probed cells
+    cos = (_dot(F.col("qvec"), F.col("vec"))
+           / (F.sqrt(_dot(F.col("qvec"), F.col("qvec")))
+              * F.sqrt(_dot(F.col("vec"), F.col("vec")))))
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        probes.join(assigned, "cell_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cos, 4))
+        .withColumn("cand_id", F.col("vec_id"))
+        .withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "rank", "cand_id", "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
 QUERIES = {
     "dd_exact_dup": (dd_exact_dup, DD_EXACT_SQL),
+    "dd_embedding_neardup": (dd_embedding_neardup, DD_EMB_SQL),
+    "sim_ivf_topk": (sim_ivf_topk, None),
     "dd_ngram_jaccard": (dd_ngram_jaccard, DD_NGRAM_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, None),
     "dd_simhash": (dd_simhash, None),

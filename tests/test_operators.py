@@ -77,3 +77,13 @@ def test_entry_smoke(spark):
     df = E.entry(spark)
     assert df.count() > 0
     assert set(E.oracle_sql()) <= set(E.queries())
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF ANN must recover most of the brute-force top-10 (it probes
+    4/16 cells, so it is approximate — recall, not equality)."""
+    from ocr_spark.operators.corpus import sim_cosine_topk, sim_ivf_topk
+    bf = {(r.query_id, r.cand_id) for r in sim_cosine_topk(spark, SF_DIR).collect()}
+    ivf = {(r.query_id, r.cand_id) for r in sim_ivf_topk(spark, SF_DIR).collect()}
+    recall = len(bf & ivf) / len(bf)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} below floor"
