@@ -478,8 +478,49 @@ FROM j GROUP BY 1 ORDER BY passed
 """
 
 
+# ---------------------------------------------------------------------------
+# W3b — native session_window (batch) vs gaps-and-islands oracle
+# ---------------------------------------------------------------------------
+
+def w3b_session_window(spark, sf_dir):
+    """Spark's native session_window (the streaming-ready form of the
+    reference's Y-gap grouping, TextBlockParser.php:219-263) run in batch
+    — the oracle proves it equals the classic lag+cumsum gaps-and-islands
+    SQL. Streaming twin: ocr_spark.streaming.sessionize_by_gap."""
+    from ..streaming import sessionize_by_gap
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    return (
+        sessionize_by_gap(ev, gap="30 minutes")
+        .orderBy("user_id", "session_start")
+    )
+
+
+W3B_SQL = """
+WITH e AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events WHERE user_id < 20
+), s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
 QUERIES = {
     "a1_a2_invoice_totals": (a1_a2_invoice_totals, A1_A2_SQL),
+    "w3b_session_window": (w3b_session_window, W3B_SQL),
     "a3_file_summary": (a3_file_summary, A3_SQL),
     "a4_validation_summary": (a4_validation_summary, A4_SQL),
     "f3_rejects_antijoin": (f3_rejects_antijoin, F3_SQL),

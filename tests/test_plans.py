@@ -1,0 +1,71 @@
+"""Physical-plan regression pins: pushdown, pruning, broadcast, shuffle
+count, codegen. A change that silently de-optimizes a headline plan
+fails here even while results stay correct."""
+
+import os
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="testdata not available")
+
+
+def test_q1_filter_pushed_and_columns_pruned(spark):
+    from ocr_spark.operators.relational import q1_pricing_summary
+    from ocr_spark.plans import pushed_filters, scan_read_schema
+    df = q1_pricing_summary(spark, SF_DIR)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed, f"shipdate filter not pushed: {pushed}"
+    cols = scan_read_schema(df)
+    assert "l_comment" not in cols, "scan reads columns the query never uses"
+    assert set(cols) <= {"l_returnflag", "l_linestatus", "l_quantity",
+                         "l_extendedprice", "l_discount", "l_shipdate"}
+
+
+def test_j1_small_dim_broadcasts(spark):
+    from ocr_spark.operators.relational import j1_dim_lookup_join
+    from ocr_spark.plans import (has_broadcast_hash_join,
+                                 has_sort_merge_join)
+    df = j1_dim_lookup_join(spark, SF_DIR)
+    assert has_broadcast_hash_join(df), "dim join must broadcast"
+    assert not has_sort_merge_join(df), "no sort-merge for a tiny dim"
+
+
+def test_sim_cosine_broadcasts_query_side(spark):
+    from ocr_spark.operators.corpus import sim_cosine_topk
+    from ocr_spark.plans import formatted_plan
+    df = sim_cosine_topk(spark, SF_DIR)
+    assert "BroadcastNestedLoopJoin" in formatted_plan(df) or \
+        "BroadcastHashJoin" in formatted_plan(df)
+
+
+def test_extraction_shuffles_at_most_once(spark, tmp_path):
+    from ocr_spark.pipeline.extract import extract_turns
+    from ocr_spark.plans import exchange_count
+    from ocr_spark.sources.synthetic import synthesize_transcripts
+    # parquet input so the plan under audit is scan → [salt] → extract,
+    # without the synthetic generator's own repartition
+    path = str(tmp_path / "t")
+    synthesize_transcripts(spark, n_convs=10).write.parquet(path)
+    t = spark.read.parquet(path)
+    assert exchange_count(extract_turns(t, salt_partitions=32)) == 1, \
+        "salted path: exactly the one explicit repartition"
+    assert exchange_count(extract_turns(t, salt_partitions=0)) == 0, \
+        "map-only path: no shuffle at all"
+
+
+def test_scan_filter_prunes_at_source(spark):
+    from ocr_spark.operators.relational import s1_scan_filter_sort
+    from ocr_spark.plans import pushed_filters
+    pushed = " ".join(pushed_filters(s1_scan_filter_sort(spark, SF_DIR)))
+    assert "p_size" in pushed
+
+
+def test_relational_queries_have_codegen_spans(spark):
+    from ocr_spark.operators.relational import (f4_tolerance_gate,
+                                                q1_pricing_summary)
+    from ocr_spark.plans import codegen_stage_count
+    assert codegen_stage_count(q1_pricing_summary(spark, SF_DIR)) >= 1
+    assert codegen_stage_count(f4_tolerance_gate(spark, SF_DIR)) >= 2
