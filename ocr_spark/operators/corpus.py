@@ -191,13 +191,26 @@ def dd_minhash_lsh(spark, sf_dir):
             for b in range(N_BANDS)
         ])).alias("bh")
     ).select("doc_id", "bh.band", "bh.band_hash")
-    a, b = bands.alias("a"), bands.alias("b")
+    # one shuffle, not two: instead of a self-join on (band, band_hash)
+    # (which shuffles the bands relation twice and is skew-fragile), group
+    # each bucket's members and explode the within-bucket pairs. Bucket
+    # sizes are small by LSH construction, so the pair explode is bounded;
+    # at 100 TB a degenerate bucket would be capped/salted here.
+    members = (
+        bands.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .where(F.size("docs") >= 2)
+    )
+    pairs = members.select(
+        F.explode(F.flatten(F.transform(
+            F.col("docs"),
+            lambda a, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size("docs")),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")))
+        ))).alias("p"))
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.band_hash") == F.col("b.band_hash"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"),
-                 F.col("b.doc_id").alias("doc_b"))
+        pairs.select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_band_collisions"))
         .orderBy("doc_a", "doc_b")
     )

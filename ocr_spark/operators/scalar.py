@@ -479,6 +479,90 @@ FROM j GROUP BY 1 ORDER BY passed
 
 
 # ---------------------------------------------------------------------------
+# S6 — JSON reader with null-on-bad-input error accounting
+# ---------------------------------------------------------------------------
+
+def s6_json_reader(spark, sf_dir):
+    """Util::readJson (Util.php:21-27) as from_json over the events
+    props payload: nulls (bad JSON) are *counted* as error metrics rather
+    than thrown (SURVEY §2.1 S6) — the set-oriented error contract."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    ev = _t(spark, sf_dir, "events")
+    schema = StructType([StructField("k", IntegerType())])
+    parsed = F.from_json(F.col("props"), schema)
+    return (
+        ev.select(F.col("event_type"), parsed.getField("k").alias("k"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_rows"),
+             F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("n_bad"),
+             F.sum("k").alias("sum_k"))
+        .orderBy("event_type")
+    )
+
+
+S6_SQL = """
+SELECT event_type, COUNT(*) AS n_rows,
+       SUM(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS n_bad,
+       SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS sum_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# T1 — cleanString
+# ---------------------------------------------------------------------------
+
+def t1_clean_string(spark, sf_dir):
+    """cleanString (AbstractParser.php:138-142): collapse whitespace runs,
+    trim — applied to deliberately whitespace-dirtied part names."""
+    from ..functions import clean_string
+    part = _t(spark, sf_dir, "part")
+    dirty = F.concat(F.lit("  "), F.regexp_replace("p_name", " ", "   "),
+                     F.lit("\t"))
+    return (
+        part.where(F.col("p_partkey") <= 1500)
+        .select("p_partkey", clean_string(dirty).alias("cleaned"))
+        .orderBy("p_partkey")
+    )
+
+
+T1_SQL = """
+SELECT p_partkey,
+       trim(regexp_replace('  ' || replace(p_name, ' ', '   ') || chr(9),
+                           '\\s+', ' ', 'g')) AS cleaned
+FROM part WHERE p_partkey <= 1500 ORDER BY p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# A8 — max-of-counts (maxCols analog)
+# ---------------------------------------------------------------------------
+
+def a8_max_cols(spark, sf_dir):
+    """maxCols = max over rows of column count (TableExtraction.php:82,203)
+    — expressed over document word counts per source."""
+    docs = _t(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.col("text"), r"\s+"))
+    return (
+        docs.select("source", n_words.alias("n_words"))
+        .groupBy("source")
+        .agg(F.max("n_words").alias("max_words"),
+             F.min("n_words").alias("min_words"),
+             F.count("*").alias("n"))
+        .orderBy("source")
+    )
+
+
+A8_SQL = """
+SELECT source,
+       MAX(len(regexp_split_to_array(text, '\\s+'))) AS max_words,
+       MIN(len(regexp_split_to_array(text, '\\s+'))) AS min_words,
+       COUNT(*) AS n
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # W3b — native session_window (batch) vs gaps-and-islands oracle
 # ---------------------------------------------------------------------------
 
@@ -520,6 +604,9 @@ ORDER BY user_id, session_start
 
 QUERIES = {
     "a1_a2_invoice_totals": (a1_a2_invoice_totals, A1_A2_SQL),
+    "a8_max_cols": (a8_max_cols, A8_SQL),
+    "s6_json_reader": (s6_json_reader, S6_SQL),
+    "t1_clean_string": (t1_clean_string, T1_SQL),
     "w3b_session_window": (w3b_session_window, W3B_SQL),
     "a3_file_summary": (a3_file_summary, A3_SQL),
     "a4_validation_summary": (a4_validation_summary, A4_SQL),
