@@ -79,7 +79,49 @@ def extract_synthetic(spark, sf_dir):
     )
 
 
+def extract_ordered_spans(spark, sf_dir):
+    """The north_rule equality surface: per-turn extracted clean text +
+    char spans under STABLE TURN ORDERING (window over conv_id ordered by
+    turn_idx, ts → turn_seq). One row per (turn, span)."""
+    from ..pipeline.extract import extract_turns, stable_order
+    t = _transcripts_from_documents(spark, sf_dir)
+    e = stable_order(extract_turns(t, salt_partitions=None))
+    return (
+        e.select("conv_id", "turn_seq", "turn_idx",
+                 F.substring("clean_text", 1, 40).alias("clean_prefix"),
+                 F.posexplode_outer("spans").alias("span_idx", "span"))
+        .select("conv_id", "turn_seq", "turn_idx", "clean_prefix",
+                "span_idx",
+                F.col("span.field").alias("field"),
+                F.col("span.start").alias("span_start"),
+                F.col("span.end").alias("span_end"))
+        .orderBy("conv_id", "turn_seq", "span_idx")
+    )
+
+
+def import_star_schema(spark, sf_dir):
+    """End-to-end: extraction → set-oriented star-schema import
+    (pipeline/importer.py; PurchaseImporter semantics). Returns the
+    purchases fact joined to the supplier dim, proving referential
+    integrity through deterministic surrogate keys."""
+    from ..pipeline.extract import extract_turns
+    from ..pipeline.importer import plan_import
+    t = _transcripts_from_documents(spark, sf_dir)
+    tables = plan_import(extract_turns(t, salt_partitions=None))
+    return (
+        tables["purchases"]
+        .join(tables["suppliers"],
+              tables["purchases"].supplier_id == tables["suppliers"].supplier_id)
+        .select("reference_no", "name", "item",
+                F.round("total_qty", 2).alias("total_qty"),
+                F.round("grand_total", 2).alias("grand_total"), "date")
+        .orderBy("reference_no")
+    )
+
+
 QUERIES = {
     "extract_documents": (extract_documents, None),
     "extract_synthetic": (extract_synthetic, None),
+    "extract_ordered_spans": (extract_ordered_spans, None),
+    "import_star_schema": (import_star_schema, None),
 }
