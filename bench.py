@@ -32,11 +32,12 @@ def _sf_from_dir(sf_dir: str) -> float:
 
 
 HEADLINE = [
-    "q1_pricing_summary", "f4_tolerance_gate", "j1_dim_lookup_join",
-    "j2_product_join", "a7_topk_per_group", "w3_gap_sessionize",
-    "u4_fallback_chain", "dd_exact_dup", "dd_ngram_jaccard",
-    "dd_minhash_lsh", "sim_cosine_topk", "txt_quality", "txt_langid",
-    "extract_documents",
+    "q1_pricing_summary", "a1_a2_invoice_totals", "f4_tolerance_gate",
+    "j1_dim_lookup_join", "j2_product_join", "a7_topk_per_group",
+    "w3_gap_sessionize", "w3b_session_window", "u4_fallback_chain",
+    "t18_imputation", "dd_exact_dup", "dd_ngram_jaccard", "dd_minhash_lsh",
+    "dd_embedding_neardup", "sim_cosine_topk", "sim_ivf_topk",
+    "txt_quality", "txt_langid", "extract_documents", "import_star_schema",
 ]
 
 

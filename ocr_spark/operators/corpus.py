@@ -266,15 +266,19 @@ def sim_cosine_topk(spark, sf_dir):
     This is the correctness baseline for ANN (oracle:
     DuckDB list_cosine_similarity)."""
     emb = _emb(spark, sf_dir)
-    emb_d = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    emb_d = (emb.select("vec_id",
+                        F.col("embedding").cast("array<double>").alias("embedding"))
+             .withColumn("norm", F.sqrt(_dot(F.col("embedding"),
+                                             F.col("embedding")))))
     queries = emb_d.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"),
+        F.col("norm").alias("qnorm"))
     corpus = emb_d.select(F.col("vec_id").alias("cand_id"),
-                          F.col("embedding").alias("cvec"))
+                          F.col("embedding").alias("cvec"),
+                          F.col("norm").alias("cnorm"))
     sim = F.round(
         _dot(F.col("qvec"), F.col("cvec"))
-        / (F.sqrt(_dot(F.col("qvec"), F.col("qvec")))
-           * F.sqrt(_dot(F.col("cvec"), F.col("cvec")))), 4)
+        / (F.col("qnorm") * F.col("cnorm")), 4)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (
         corpus.crossJoin(broadcast(queries))
@@ -558,19 +562,34 @@ def dd_embedding_neardup(spark, sf_dir):
         (F.col("vec_id") + 1000000).alias("vec_id"), "label",
         F.transform(F.col("vec"), lambda x: x * 2.0).alias("vec"))
     full = emb.unionByName(planted)
-    a = full.select(F.col("vec_id").alias("a_id"), "label",
-                    F.col("vec").alias("a_vec"))
-    b = full.select(F.col("vec_id").alias("b_id"), "label",
-                    F.col("vec").alias("b_vec"))
-    cos = (_dot(F.col("a_vec"), F.col("b_vec"))
-           / (F.sqrt(_dot(F.col("a_vec"), F.col("a_vec")))
-              * F.sqrt(_dot(F.col("b_vec"), F.col("b_vec")))))
+
+    # within-bucket verification is a grouped-map pandas stage: one BLAS
+    # matrix product per label bucket beats O(pairs · dim) interpreted
+    # higher-order expressions by ~10x (the SURVEY §2.9 'drop to Arrow
+    # batches where built-ins can't express it efficiently' rule). The
+    # shuffle is still only the keyed groupBy(label).
+    def _pairs(pdf):
+        import numpy as np
+        import pandas as pd
+        ids = pdf["vec_id"].to_numpy()
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+        norms = np.sqrt((m * m).sum(axis=1))
+        cos = (m @ m.T) / np.outer(norms, norms)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        # a_id < b_id ordering regardless of row order in the bucket
+        a, b = ids[iu], ids[ju]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        c = np.round(cos[iu, ju], 3)
+        keep = c >= 0.999
+        return pd.DataFrame({
+            "a_id": lo[keep], "b_id": hi[keep],
+            "label": pdf["label"].iloc[0],
+            "cosine": c[keep]})
+
     return (
-        a.join(b, "label")
-        .where(F.col("a_id") < F.col("b_id"))
-        .withColumn("cosine", F.round(cos, 3))
-        .where(F.col("cosine") >= 0.999)
-        .select("a_id", "b_id", "label", "cosine")
+        full.groupBy("label")
+        .applyInPandas(_pairs,
+                       "a_id long, b_id long, label int, cosine double")
         .orderBy("a_id", "b_id")
     )
 
@@ -606,27 +625,29 @@ def sim_ivf_topk(spark, sf_dir):
     At 100 TB the probe join touches nprobe/ncells of the corpus instead
     of all of it. Rows-only check (approximate by construction); recall
     vs the brute-force baseline is asserted in tests."""
-    emb = _emb(spark, sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("vec"))
+    emb = (_emb(spark, sf_dir)
+           .select("vec_id", F.col("embedding").cast("array<double>").alias("vec"))
+           .withColumn("norm", F.sqrt(_dot(F.col("vec"), F.col("vec")))))
     centroids = emb.where(F.col("vec_id") < N_IVF_CELLS).select(
         F.col("vec_id").alias("cell_id"), F.col("vec").alias("cvec"))
 
-    # corpus → nearest centroid (broadcast join + argmin window)
+    # corpus → nearest centroid: broadcast join + hash-agg argmin (min_by
+    # needs no per-key sort, unlike a row_number window)
     dist2 = F.aggregate(
         F.zip_with(F.col("vec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
         F.lit(0.0), lambda acc, v: acc + v)
-    wv = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell_id"))
     assigned = (
         emb.crossJoin(broadcast(centroids))
         .withColumn("d2", dist2)
-        .withColumn("rn", F.row_number().over(wv))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "vec", "cell_id")
+        .groupBy("vec_id")
+        .agg(F.min_by("cell_id", F.struct("d2", "cell_id")).alias("cell_id"),
+             F.first("vec").alias("vec"), F.first("norm").alias("norm"))
     )
 
-    # queries → nprobe nearest cells
+    # queries → nprobe nearest cells (tiny: window is fine)
     queries = emb.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"))
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"))
     wq = Window.partitionBy("query_id").orderBy(F.asc("qd2"), F.asc("cell_id"))
     qdist2 = F.aggregate(
         F.zip_with(F.col("qvec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
@@ -636,13 +657,12 @@ def sim_ivf_topk(spark, sf_dir):
         .withColumn("qd2", qdist2)
         .withColumn("rn", F.row_number().over(wq))
         .where(F.col("rn") <= N_IVF_PROBE)
-        .select("query_id", "qvec", "cell_id")
+        .select("query_id", "qvec", "qnorm", "cell_id")
     )
 
-    # probe join: candidates only from the probed cells
+    # probe join: candidates only from the probed cells; norms precomputed
     cos = (_dot(F.col("qvec"), F.col("vec"))
-           / (F.sqrt(_dot(F.col("qvec"), F.col("qvec")))
-              * F.sqrt(_dot(F.col("vec"), F.col("vec")))))
+           / (F.col("qnorm") * F.col("norm")))
     wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (
         probes.join(assigned, "cell_id")

@@ -117,3 +117,23 @@ def test_run_extract_job_and_resume(spark, tmp_path):
     assert m2["buckets_skipped"] == manifest.select("bucket").distinct().count()
     final = spark.read.parquet(m1["output"])
     assert final.count() == t.count()  # still exactly one row per turn
+
+
+def test_salting_splits_hot_conversations(spark):
+    """The salt key (conv_id, turn_idx//64) must spread a hot
+    conversation's turns over many partitions, while plain conv_id
+    partitioning concentrates them in one — the UDF map-stage skew fix
+    AQE cannot do on its own (SURVEY §4 item 1)."""
+    from pyspark.sql import functions as F
+    t = synthesize_transcripts(spark, 120, 4)  # hot convs carry 400 turns
+
+    def hot_partitions(df):
+        return (df.withColumn("p", F.spark_partition_id())
+                .where(F.col("conv_id") == "conv-000000")
+                .select("p").distinct().count())
+
+    unsalted = t.repartition(16, F.col("conv_id"))
+    salted = t.repartition(16, F.col("conv_id"),
+                           F.floor(F.col("turn_idx") / 64))
+    assert hot_partitions(unsalted) == 1, "baseline: hot conv on one task"
+    assert hot_partitions(salted) >= 4, "salted: hot conv split across tasks"
