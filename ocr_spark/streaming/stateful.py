@@ -1,0 +1,106 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+Two operators the batch engine has that need explicit state when the
+input is an unbounded stream:
+
+- streaming_dedup_first_wins: the reference's first-wins dedup (U2,
+  TextBlockParsing.php:432-445) across micro-batches — per-key state
+  remembers seen composite keys, so a duplicate arriving in a LATER
+  micro-batch is still dropped (batch dropDuplicates can't see across
+  batches). State per conversation is explicitly capped at
+  MAX_DEDUP_KEYS entries (oldest evicted first).
+
+- streaming_running_totals: per-conversation running calc_total / item
+  counters (A1/A2 as accumulating state) emitting one updated row per
+  micro-batch — the run-manifest metrics stream (A10) without a full
+  re-aggregation of history.
+
+Scale notes: state is keyed by conv_id — same partitioning axis as the
+batch job's salt — and each key's state is O(min(distinct keys,
+MAX_DEDUP_KEYS)) / O(1) respectively. State-idle TIMEOUTS are the
+canonical bounding tool, but this sandbox's PySpark 4.1.2 hard-crashes
+the Python worker when setTimeoutDuration is used with
+ProcessingTimeTimeout (verified with a minimal repro; the string
+variant raises NOT_INT, the int variant segfaults the worker), so
+bounding is done inside the function instead and the timeout mode is
+NoTimeout. On a build where the timeout path works, add
+state.setTimeoutDuration(...) back for idle eviction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+DEDUP_OUTPUT_SCHEMA = ("conv_id string, turn_idx int, dedup_key string, "
+                       "first_seen int")
+DEDUP_STATE_SCHEMA = "seen array<string>"
+
+TOTALS_OUTPUT_SCHEMA = ("conv_id string, n_turns long, n_items long, "
+                        "calc_total_cents long")
+TOTALS_STATE_SCHEMA = ("n_turns long, n_items long, calc_total_cents long")
+
+
+MAX_DEDUP_KEYS = 4096
+
+
+def _dedup_fn(key, pdfs, state: GroupState):
+    import pandas as pd
+    (conv_id,) = key
+    # state holds insertion-ordered seen keys (list), capped
+    seen_list = list(state.get[0]) if state.exists else []
+    seen = set(seen_list)
+    out = []
+    for pdf in pdfs:
+        for turn_idx, dk in zip(pdf["turn_idx"], pdf["dedup_key"]):
+            first = dk not in seen
+            if first:
+                seen.add(dk)
+                seen_list.append(dk)
+            out.append((conv_id, int(turn_idx), dk, int(first)))
+    if len(seen_list) > MAX_DEDUP_KEYS:
+        seen_list = seen_list[-MAX_DEDUP_KEYS:]
+    state.update((seen_list,))
+    yield pd.DataFrame(out, columns=["conv_id", "turn_idx", "dedup_key",
+                                     "first_seen"])
+
+
+def streaming_dedup_first_wins(turns: DataFrame) -> DataFrame:
+    """First-wins dedup across micro-batches, keyed by conv_id.
+
+    Input needs columns (conv_id, turn_idx, dedup_key). Emits every row
+    tagged first_seen 1/0 — filter first_seen==1 downstream for the
+    dedup view (tagging instead of dropping keeps the 1:1 lineage
+    invariant inspectable)."""
+    return (
+        turns.groupBy("conv_id")
+        .applyInPandasWithState(
+            _dedup_fn, DEDUP_OUTPUT_SCHEMA, DEDUP_STATE_SCHEMA,
+            "append", GroupStateTimeout.NoTimeout)
+    )
+
+
+def _totals_fn(key, pdfs, state: GroupState):
+    import pandas as pd
+    (conv_id,) = key
+    n_turns, n_items, cents = state.get if state.exists else (0, 0, 0)
+    for pdf in pdfs:
+        n_turns += len(pdf)
+        n_items += int(pdf["n_items"].sum())
+        cents += int((pdf["calc_total"] * 100).round().sum())
+    state.update((n_turns, n_items, cents))
+    yield pd.DataFrame([(conv_id, n_turns, n_items, cents)],
+                       columns=["conv_id", "n_turns", "n_items",
+                                "calc_total_cents"])
+
+
+def streaming_running_totals(extracted: DataFrame) -> DataFrame:
+    """Accumulating per-conversation metrics over the extracted stream.
+    Input needs (conv_id, n_items, calc_total); emits the updated running
+    totals for each conversation touched by the micro-batch."""
+    return (
+        extracted.groupBy("conv_id")
+        .applyInPandasWithState(
+            _totals_fn, TOTALS_OUTPUT_SCHEMA, TOTALS_STATE_SCHEMA,
+            "append", GroupStateTimeout.NoTimeout)
+    )
