@@ -1,0 +1,136 @@
+"""Property-based tests (hypothesis) for the extraction kernels —
+SURVEY §5's property list: invariants that must hold for ANY input, not
+just the golden fixtures. Pure Python, no SparkSession."""
+
+import math
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ocr_spark.kernels import parsers as P
+from ocr_spark.kernels.dates import normalize_date, normalize_date_string
+from ocr_spark.kernels.php import (clean_string, php_is_numeric, php_round,
+                                   php_strip_tags, php_trim)
+from ocr_spark.kernels.textitems import deduplicate_items
+
+# text that never blows up a kernel
+any_text = st.text(max_size=400)
+money = st.floats(min_value=0, max_value=1e7, allow_nan=False,
+                  allow_infinity=False)
+
+
+@settings(max_examples=200, deadline=None)
+@given(any_text)
+def test_extract_turn_total_crashes_never(text):
+    """Any payload, any of the three ext routes: no exception, and the
+    engine invariants hold (calc_total == round(sum items, 2); qty > 0)."""
+    for ext in ("json", "md", "txt"):
+        res = P.extract_turn(ext, f"f.{ext}", text)
+        for inv in res["invoices"]:
+            calc = php_round(sum(it["total"] for it in inv["items"]), 2)
+            assert inv["calc_total"] == calc
+            for it in inv["items"]:
+                assert it["qty"] > 0
+        for (field, start, end) in res["spans"]:
+            assert 0 <= start <= end, f"span out of order for {field}"
+
+
+@settings(max_examples=300, deadline=None)
+@given(any_text)
+def test_clean_string_idempotent_and_collapsed(s):
+    c = clean_string(s)
+    assert clean_string(c) == c, "clean is idempotent"
+    assert "  " not in c
+    # PHP trim semantics, not Python's: \x1f is Python-whitespace but NOT
+    # PHP-whitespace, and the kernel must match PHP
+    assert c == php_trim(c)
+
+
+@settings(max_examples=300, deadline=None)
+@given(any_text)
+def test_strip_tags_removes_all_tags(s):
+    out = php_strip_tags(s)
+    assert php_strip_tags(out) == out, "strip is idempotent"
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.fixed_dictionaries({
+    "name": st.sampled_from(["a", "b", "A", " a "]),
+    "qty": st.sampled_from([1.0, 2.0]),
+    "total": st.sampled_from([1.0, 2.0]),
+    "code": st.just(""), "description": st.just(""),
+    "unit": st.just(""), "unit_price": st.just(0.0),
+    "metadata": st.just({}),
+}), max_size=8))
+def test_dedup_idempotent_and_first_wins(items):
+    once = deduplicate_items(list(items))
+    twice = deduplicate_items(list(once))
+    assert once == twice, "dedup is idempotent"
+    # first occurrence of each key is preserved in order; the reference
+    # keys on lower(name) WITHOUT trimming (TextBlockParsing.php:436) so
+    # ' a ' and 'a' are distinct — the model must match that
+    def key(it):
+        return (it["name"].lower(), it["qty"], it["total"])
+    seen = set()
+    expect = []
+    for it in items:
+        if key(it) not in seen:
+            seen.add(key(it))
+            expect.append(it)
+    assert [key(i) for i in once] == [key(i) for i in expect]
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.dates(min_value=__import__("datetime").date(1000, 1, 2)))
+def test_normalize_date_roundtrip(d):
+    """Any real date (year >= 1000 — PHP's Y format, like strftime %Y,
+    does not zero-pad earlier years) serialized in any supported format
+    normalizes to ISO YYYY-MM-DD."""
+    iso = d.isoformat()
+    assert normalize_date(iso) == iso
+    assert normalize_date(d.strftime("%Y/%m/%d")) == iso
+
+
+@settings(max_examples=300, deadline=None)
+@given(any_text)
+def test_normalize_date_never_crashes(s):
+    out = normalize_date(s)
+    assert out is None or re.fullmatch(r"\d{4}-\d{2}-\d{2}", out)
+    out2 = normalize_date_string(s)
+    assert out2 is None or re.fullmatch(r"\d{4}-\d{2}-\d{2}", out2)
+
+
+@settings(max_examples=500, deadline=None)
+@given(money, st.integers(min_value=0, max_value=4))
+def test_php_round_half_away_from_zero(x, p):
+    r = php_round(x, p)
+    scaled = x * (10 ** p)
+    # exact half-values must round AWAY from zero (PHP), not to even
+    if abs(scaled - math.floor(scaled) - 0.5) < 1e-12:
+        assert r >= x or math.isclose(r, x)
+    assert abs(r - x) <= 0.5 / (10 ** p) + 1e-9
+
+
+@settings(max_examples=200, deadline=None)
+@given(money, money)
+def test_tolerance_gate_monotone(decl, calc):
+    """The importer gate (abs 0.05 OR rel 2%) is monotone: shrinking the
+    difference never flips pass → fail (PurchaseImporter.php:58-70)."""
+    def gate(d, c):
+        if d == 0:
+            return True
+        diff = abs(d - c)
+        rel = diff / abs(d)
+        return not (diff > 0.05 and rel > 0.02)
+
+    if gate(decl, calc):
+        closer = calc + (decl - calc) * 0.5
+        assert gate(decl, closer), "halving the gap must still pass"
+
+
+@settings(max_examples=300, deadline=None)
+@given(any_text)
+def test_php_is_numeric_matches_float_parse(s):
+    if php_is_numeric(s):
+        float(s.strip())  # must not raise on the stripped value
