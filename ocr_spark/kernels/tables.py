@@ -125,7 +125,56 @@ class _TableHTMLParser(HTMLParser):
         super().close()
 
 
+# Fast tokenizer: html.parser's goahead/parse_starttag is ~40% of the
+# whole extraction kernel (profiled). For markup with no entities,
+# comments, PIs, or stray '<' we can tokenize with one compiled regex and
+# drive the SAME _TableHTMLParser handlers — one state machine, two
+# tokenizers, so semantics cannot diverge where the fast gate admits.
+_FAST_UNSAFE = re.compile(r"&|<!|<\?|<\s|<script|<style", re.I)
+_FAST_TAG = re.compile(
+    r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*?)\s*(/?)>")
+_FAST_ATTR = re.compile(
+    r"([a-zA-Z][a-zA-Z0-9_:-]*)\s*(?:=\s*(\"[^\"]*\"|'[^']*'|[^\s>]+))?")
+
+
+def _fast_feed(p: _TableHTMLParser, html: str) -> bool:
+    """Tokenize with regex and replay through p's handlers. Returns False
+    (caller falls back to html.parser) if any '<' is not a clean tag."""
+    pos = 0
+    lt_positions = [i for i, ch in enumerate(html) if ch == "<"]
+    matches = list(_FAST_TAG.finditer(html))
+    if [m.start() for m in matches] != lt_positions:
+        return False  # some '<' is data or malformed — slow path decides
+    for m in matches:
+        if m.start() > pos:
+            p.handle_data(html[pos:m.start()])
+        pos = m.end()
+        closing, name, attrs_s, selfclose = m.groups()
+        name = name.lower()
+        if closing:
+            p.handle_endtag(name)
+        else:
+            attrs = []
+            if attrs_s and name in _CELL_TAGS:
+                for am in _FAST_ATTR.finditer(attrs_s):
+                    k, v = am.group(1).lower(), am.group(2)
+                    if v and v[0] in "\"'":
+                        v = v[1:-1]
+                    attrs.append((k, v))
+            p.handle_starttag(name, attrs)
+            if selfclose:
+                p.handle_endtag(name)
+    if pos < len(html):
+        p.handle_data(html[pos:])
+    return True
+
+
 def _parse_html(html: str) -> list[list[list[tuple[str, int, int, bool]]]]:
+    if not _FAST_UNSAFE.search(html):
+        p = _TableHTMLParser()
+        if _fast_feed(p, html):
+            p.close()
+            return p.tables
     p = _TableHTMLParser()
     p.feed(html)
     p.close()

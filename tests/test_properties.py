@@ -134,3 +134,29 @@ def test_tolerance_gate_monotone(decl, calc):
 def test_php_is_numeric_matches_float_parse(s):
     if php_is_numeric(s):
         float(s.strip())  # must not raise on the stripped value
+
+
+# -- differential fuzz: fast HTML tokenizer vs html.parser ------------------
+
+_tag_bits = st.sampled_from([
+    "<table>", "</table>", "<tr>", "</tr>", "<td>", "</td>", "<th>", "</th>",
+    "<td colspan=\"2\">", "<td rowspan='3'>", "<td colspan=2 rowspan=2>",
+    "<br/>", "<b>", "</b>", "<thead>", "</thead>", "cell text", " 123 ",
+    "名 稱", "|", "x<y", "&amp;", "<!-- c -->", "<TD>", "</TD>",
+])
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_tag_bits, max_size=30))
+def test_fast_html_tokenizer_matches_htmlparser(bits):
+    """The regex fast path must produce byte-identical tables to the
+    html.parser path — on EVERY input: when the gate rejects, fallback is
+    automatic, so the public function must never differ from a forced
+    slow parse."""
+    from ocr_spark.kernels import tables as T
+    html = "".join(bits)
+    fast = T._parse_html(html)
+    slow_p = T._TableHTMLParser()
+    slow_p.feed(html)
+    slow_p.close()
+    assert fast == slow_p.tables
