@@ -11,9 +11,11 @@ sorts columns by name before hashing values.
 
 from .corpus import QUERIES as CORPUS_QUERIES
 from .extraction import QUERIES as EXTRACTION_QUERIES
+from .multimodal import QUERIES as MM_QUERIES
 from .relational import QUERIES as REL_QUERIES
 from .scalar import QUERIES as SCALAR_QUERIES
 
 ALL_QUERIES = {}
-for _q in (REL_QUERIES, SCALAR_QUERIES, CORPUS_QUERIES, EXTRACTION_QUERIES):
+for _q in (REL_QUERIES, SCALAR_QUERIES, CORPUS_QUERIES, MM_QUERIES,
+           EXTRACTION_QUERIES):
     ALL_QUERIES.update(_q)

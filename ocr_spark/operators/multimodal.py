@@ -1,0 +1,154 @@
+"""Multimodal column operators (image / audio / video plumbing).
+
+Design (task brief): media are opaque `binary` columns with typed
+metadata; decode / feature-extract / resize / frame-sample run as
+Arrow-batched pandas stages over mapInPandas. The image/audio codec
+libraries are not in this container, so the DECODE step is a
+deterministic fake (byte-level stats / hash-derived "pixels") behind
+`_decode_image` / `_decode_audio` — clearly marked, one function each to
+swap for PIL/soundfile — while everything Spark-side is real and tested:
+the asset table schema, the binary column handling through Arrow, the
+UDF signatures and batch shapes, the metadata-driven frame-sampling plan
+(pure column arithmetic, oracle-checked), and the partitioning.
+
+Scale notes: assets are processed map-only (no shuffle); frame-sample
+explodes metadata BEFORE touching bytes, so the plan prunes to sampled
+frames and a 100 TB video corpus never materializes unsampled frames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+FPS = 24
+SAMPLE_EVERY = 48  # one frame every 2 seconds
+
+
+def _assets(spark, sf_dir):
+    """Typed asset table synthesized deterministically from documents:
+    blob = utf-8 bytes of text (stand-in for media bytes), mime cycles
+    image/audio/video, metadata carries the typed fields a real ingest
+    would (width/height or sample_rate or duration_ms/fps)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mime = (F.when(F.col("doc_id") % 3 == 0, "image/png")
+            .when(F.col("doc_id") % 3 == 1, "audio/wav")
+            .otherwise("video/mp4"))
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("blob"),
+        mime.alias("mime"),
+        F.create_map(
+            F.lit("width"), ((F.col("doc_id") % 8 + 1) * 160).cast("string"),
+            F.lit("height"), ((F.col("doc_id") % 8 + 1) * 90).cast("string"),
+            F.lit("sample_rate"), F.lit("16000"),
+            F.lit("duration_ms"),
+            ((F.col("doc_id") % 30 + 1) * 1000).cast("string"),
+            F.lit("fps"), F.lit(str(FPS)),
+        ).alias("meta"),
+    )
+
+
+def _decode_image(blob: bytes, width: int, height: int):
+    """STUB DECODE (no PIL in this container): deterministic fake pixel
+    stats from the bytes. Swap body for `PIL.Image.open(BytesIO(blob))`
+    to make it real — the signature and batch shape stay identical."""
+    b = bytes(blob or b"")
+    n = max(1, len(b))
+    return (sum(b) / n, min(b, default=0), max(b, default=0))
+
+
+def _decode_audio(blob: bytes, sample_rate: int):
+    """STUB DECODE (no soundfile): fake per-window energy over bytes."""
+    b = bytes(blob or b"")
+    win = max(1, sample_rate // 100)
+    return [sum(b[i:i + win]) % 997 for i in range(0, min(len(b), 10 * win), win)]
+
+
+def mm_image_resize(spark, sf_dir):
+    """Image path: decode (stubbed) → 'resize' to a 64x36 thumbnail plan —
+    emits per-image stats + target dims + a deterministic content
+    checksum. Map-only pandas stage; rows-only check."""
+    import pandas as pd
+    assets = _assets(spark, sf_dir).where(F.col("mime") == "image/png")
+
+    def _resize(batches):
+        import zlib
+        for pdf in batches:
+            rows = []
+            for doc_id, blob, meta in zip(pdf["doc_id"], pdf["blob"],
+                                          pdf["meta"]):
+                w, h = int(meta["width"]), int(meta["height"])
+                mean, lo, hi = _decode_image(blob, w, h)
+                rows.append((int(doc_id), w, h, 64, 36,
+                             round(float(mean), 3),
+                             zlib.crc32(bytes(blob or b""))))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "src_w", "src_h", "dst_w", "dst_h",
+                "mean_byte", "checksum"])
+
+    return (assets.mapInPandas(
+        _resize, "doc_id long, src_w int, src_h int, dst_w int, dst_h int,"
+        " mean_byte double, checksum long").orderBy("doc_id"))
+
+
+def mm_audio_features(spark, sf_dir):
+    """Audio path: decode (stubbed) → windowed energy features; emits
+    n_windows + first energies. Map-only pandas stage; rows-only check."""
+    import pandas as pd
+    assets = _assets(spark, sf_dir).where(F.col("mime") == "audio/wav")
+
+    def _feat(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, blob, meta in zip(pdf["doc_id"], pdf["blob"],
+                                          pdf["meta"]):
+                e = _decode_audio(blob, int(meta["sample_rate"]))
+                rows.append((int(doc_id), len(e), e[:4]))
+            yield pd.DataFrame(rows, columns=["doc_id", "n_windows",
+                                              "head_energy"])
+
+    return (assets.mapInPandas(
+        _feat, "doc_id long, n_windows int, head_energy array<int>")
+        .orderBy("doc_id"))
+
+
+def mm_frame_plan(spark, sf_dir):
+    """Video frame-sampling PLAN: pure metadata arithmetic — every
+    SAMPLE_EVERY-th frame of duration_ms×fps — exploded to one row per
+    sampled frame BEFORE any byte is touched (the pruning that makes
+    100 TB video viable). Fully SQL-expressible → DuckDB oracle."""
+    assets = _assets(spark, sf_dir).where(F.col("mime") == "video/mp4")
+    n_frames = (F.col("meta")["duration_ms"].cast("long") * FPS / 1000) \
+        .cast("long")
+    return (
+        assets.withColumn("n_frames", n_frames)
+        .select("doc_id", "n_frames",
+                F.explode(F.sequence(
+                    F.lit(0), F.col("n_frames") - 1,
+                    F.lit(SAMPLE_EVERY))).alias("frame_idx"))
+        .withColumn("ts_ms", (F.col("frame_idx") * 1000 / FPS).cast("long"))
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+MM_FRAME_SQL = f"""
+WITH v AS (
+  SELECT doc_id, (doc_id % 30 + 1) * 1000 AS duration_ms
+  FROM documents WHERE doc_id % 3 = 2
+), f AS (
+  SELECT doc_id, CAST(duration_ms * {FPS} / 1000 AS BIGINT) AS n_frames
+  FROM v
+)
+SELECT doc_id, n_frames,
+       unnest(range(0, n_frames, {SAMPLE_EVERY})) AS frame_idx,
+       CAST(unnest(range(0, n_frames, {SAMPLE_EVERY})) * 1000 / {FPS} AS BIGINT) AS ts_ms
+FROM f
+ORDER BY doc_id, frame_idx
+"""
+
+
+QUERIES = {
+    "mm_image_resize": (mm_image_resize, None),
+    "mm_audio_features": (mm_audio_features, None),
+    "mm_frame_plan": (mm_frame_plan, MM_FRAME_SQL),
+}
