@@ -32,6 +32,9 @@ _VOID_TAGS = {
 # DOMDocument's libxml parser does for table markup)
 _CELL_TAGS = {"td", "th"}
 
+_SPAN_INT = re.compile(r"[+-]?\d+")
+_CELL_NOISE = re.compile(r"^[\|\-\+]+$")
+
 
 class _TableHTMLParser(HTMLParser):
     """Minimal DOM builder for table extraction.
@@ -69,11 +72,13 @@ class _TableHTMLParser(HTMLParser):
             if self._cell_stack and self._cell_stack[-1]["open"]:
                 # <td>a<td>b — implicit close
                 self._close_cell()
-            d = dict(attrs)
+            d = dict(attrs) if attrs else None
 
             def _span(key: str) -> int:
+                if not d:
+                    return 1
                 raw = (d.get(key) or "").strip()
-                m = re.match(r"[+-]?\d+", raw)
+                m = _SPAN_INT.match(raw)
                 v = int(m.group(0)) if m else 0
                 return v if v else 1
 
@@ -186,7 +191,7 @@ def clean_cell_text(text: str | None) -> str:
     if text is None:
         return ""
     text = php_trim(collapse_ws(text, unicode=False))
-    text = re.sub(r"^[\|\-\+]+$", "", text)
+    text = _CELL_NOISE.sub("", text)
     return text
 
 

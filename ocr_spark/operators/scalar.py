@@ -563,6 +563,57 @@ FROM documents GROUP BY source ORDER BY source
 
 
 # ---------------------------------------------------------------------------
+# J2b — Sale-variant product get-or-create with derived cost
+# ---------------------------------------------------------------------------
+
+def j2b_sale_cost_derivation(spark, sf_dir):
+    """SaleImporter's product creation derives cost = round(price*0.7, 2)
+    (SaleImporter.php:159) — the one semantic difference from the
+    purchase path. Exact-cents arithmetic (price scaled by 7, floor+0.5)
+    keeps both engines bit-identical."""
+    part = _t(spark, sf_dir, "part")
+    cost = (F.floor(F.col("p_retailprice") * 70 + 0.5) / 100.0)
+    return (
+        part.where(F.col("p_partkey") <= 2000)
+        .select("p_partkey",
+                F.round("p_retailprice", 2).alias("price"),
+                cost.alias("derived_cost"))
+        .orderBy("p_partkey")
+    )
+
+
+J2B_SQL = """
+SELECT p_partkey, ROUND(p_retailprice, 2) AS price,
+       FLOOR(p_retailprice * 70 + 0.5) / 100.0 AS derived_cost
+FROM part WHERE p_partkey <= 2000 ORDER BY p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# A11 — distinct-count metrics (exact; approx variant is free via HLL)
+# ---------------------------------------------------------------------------
+
+def a11_distinct_users(spark, sf_dir):
+    """Run-metrics distinct counts (BENCH report shape, SURVEY §2.4 note):
+    exact count_distinct per group — partial aggregation handles the
+    two-phase distinct; the approx_count_distinct variant swaps in for
+    the 100 TB path (HLL sketches merge associatively)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"),
+             F.count("*").alias("n_events"))
+        .orderBy("event_type")
+    )
+
+
+A11_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # W3b — native session_window (batch) vs gaps-and-islands oracle
 # ---------------------------------------------------------------------------
 
@@ -605,6 +656,8 @@ ORDER BY user_id, session_start
 QUERIES = {
     "a1_a2_invoice_totals": (a1_a2_invoice_totals, A1_A2_SQL),
     "a8_max_cols": (a8_max_cols, A8_SQL),
+    "a11_distinct_users": (a11_distinct_users, A11_SQL),
+    "j2b_sale_cost_derivation": (j2b_sale_cost_derivation, J2B_SQL),
     "s6_json_reader": (s6_json_reader, S6_SQL),
     "t1_clean_string": (t1_clean_string, T1_SQL),
     "w3b_session_window": (w3b_session_window, W3B_SQL),
