@@ -14,8 +14,9 @@ from .extraction import QUERIES as EXTRACTION_QUERIES
 from .multimodal import QUERIES as MM_QUERIES
 from .relational import QUERIES as REL_QUERIES
 from .scalar import QUERIES as SCALAR_QUERIES
+from .temporal import QUERIES as TEMPORAL_QUERIES
 
 ALL_QUERIES = {}
-for _q in (REL_QUERIES, SCALAR_QUERIES, CORPUS_QUERIES, MM_QUERIES,
-           EXTRACTION_QUERIES):
+for _q in (REL_QUERIES, SCALAR_QUERIES, TEMPORAL_QUERIES, CORPUS_QUERIES,
+           MM_QUERIES, EXTRACTION_QUERIES):
     ALL_QUERIES.update(_q)

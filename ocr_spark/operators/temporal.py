@@ -1,0 +1,135 @@
+"""Temporal join operators Spark lacks natively: as-of join, range join.
+
+The reference is batch-single-process and has neither (SURVEY §2.3: "No
+sort-merge/range/as-of/interval joins exist") — these are the engine-
+completing operators a transcript/event store needs (e.g. join each turn
+to the latest config/model snapshot at its timestamp).
+
+Spark-first strategy (task brief order):
+(a) composition of existing DataFrame ops where semantics allow —
+    the as-of join is the classic union + window trick: tag both sides,
+    union, window per key ordered by (ts, side), carry the last right
+    row forward with last(..., ignorenulls=True). ONE shuffle (the
+    window), no pandas, no broadcast requirement on either side.
+(b) pandas fallback (merge_asof per key group) exists conceptually but
+    is never needed — (a) covers the semantics exactly.
+
+Range join: bucketize the range key so the join is equi on
+(key, bucket) and the residual BETWEEN predicate filters within bucket —
+the shuffle is keyed, never a cross join (guide's recommended pattern).
+
+Oracles: DuckDB has native ASOF JOIN; the range join oracle is a plain
+BETWEEN join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
+              right_cols: list[str]) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    right.on <= left.on within the same `by` key (backward as-of).
+    All left columns are carried through.
+
+    union + window: right rows sort before left rows at equal ts
+    (side 0 < 1) so an exact-ts right row IS visible to that left row —
+    matching merge_asof/DuckDB ASOF (<=) semantics. ONE shuffle (the
+    per-key window); neither side needs to fit in memory."""
+    rt = right.select(
+        F.col(by), F.col(on), F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols])
+    lt = left.withColumn("_side", F.lit(1))
+    # allowMissingColumns: left payload columns are null on right rows
+    # (filtered out at the end); _r_* are null on left rows until the
+    # window carries the last non-null right value forward
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    w = (Window.partitionBy(by).orderBy(on, "_side")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    for c in right_cols:
+        unioned = unioned.withColumn(
+            f"asof_{c}", F.last(f"_r_{c}", ignorenulls=True).over(w))
+    return (unioned.where(F.col("_side") == 1)
+            .drop("_side", *[f"_r_{c}" for c in right_cols]))
+
+
+def qr_asof_join(spark, sf_dir):
+    """Every 'error' event gets the user's latest 'view' event id/value
+    at-or-before its ts. Oracle: DuckDB native ASOF LEFT JOIN."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    left = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id")
+    right = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id"),
+        F.col("value").alias("view_value"))
+    return (
+        asof_join(left, right, on="ts", by="user_id",
+                  right_cols=["view_id", "view_value"])
+        .select("user_id", "ts", "event_id",
+                F.col("asof_view_id").alias("view_id"),
+                F.round("asof_view_value", 2).alias("view_value"))
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+QR_ASOF_SQL = """
+SELECT e.user_id, e.ts, e.event_id,
+       v.event_id AS view_id,
+       ROUND(v.value, 2) AS view_value
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON e.user_id = v.user_id AND v.ts <= e.ts
+ORDER BY e.user_id, e.ts, e.event_id
+"""
+
+BUCKET_WIDTH = 5.0
+
+
+def qr_range_join(spark, sf_dir):
+    """Range join via bucketization: events matched to value bands
+    (band = [lo, hi) slices of width 5) — the band table is derived, the
+    join key is the bucket id, the BETWEEN residual filters in-bucket.
+    Equi-keyed shuffle only; broadcastable band side."""
+    ev = _t(spark, sf_dir, "events")
+    bands = (spark.range(0, 6).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * BUCKET_WIDTH).alias("lo"),
+        ((F.col("id") + 1) * BUCKET_WIDTH).alias("hi")))
+    # bucket id of each event's value IS the band id (width-aligned) —
+    # the general pattern floor(value/width) joins to band bucket lists
+    evb = ev.withColumn("band_id", F.floor(F.col("value") / BUCKET_WIDTH))
+    return (
+        evb.join(F.broadcast(bands), "band_id")
+        .where((F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")))
+        .groupBy("band_id")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("band_id")
+    )
+
+
+QR_RANGE_SQL = f"""
+WITH bands AS (
+  SELECT band_id, band_id * {BUCKET_WIDTH} AS lo,
+         (band_id + 1) * {BUCKET_WIDTH} AS hi
+  FROM (SELECT unnest(range(0, 6)) AS band_id)
+)
+SELECT band_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM events JOIN bands
+  ON value >= lo AND value < hi
+GROUP BY band_id ORDER BY band_id
+"""
+
+
+QUERIES = {
+    "qr_asof_join": (qr_asof_join, QR_ASOF_SQL),
+    "qr_range_join": (qr_range_join, QR_RANGE_SQL),
+}

@@ -69,3 +69,23 @@ def test_relational_queries_have_codegen_spans(spark):
     from ocr_spark.plans import codegen_stage_count
     assert codegen_stage_count(q1_pricing_summary(spark, SF_DIR)) >= 1
     assert codegen_stage_count(f4_tolerance_gate(spark, SF_DIR)) >= 2
+
+
+def test_partitioned_output_prunes_on_bucket(spark, tmp_path):
+    """The extraction output is partitioned by the stable bucket; a
+    bucket-filtered read must prune at the scan (PartitionFilters), which
+    is what makes manifest-driven resume O(pending) not O(all)."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.pipeline.extract import run_extract_job
+    from ocr_spark.plans import formatted_plan
+    from ocr_spark.sources.synthetic import synthesize_transcripts
+    out = str(tmp_path / "run")
+    t = synthesize_transcripts(spark, n_convs=20)
+    m = run_extract_job(spark, t, out, run_id="p1", salt_partitions=4,
+                        n_buckets=8)
+    scan = spark.read.parquet(m["output"]).where(F.col("bucket") == 3)
+    plan = formatted_plan(scan)
+    import re as _re
+    pf = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "bucket" in pf.group(1), f"no partition pruning: {plan[:500]}"
