@@ -101,3 +101,53 @@ def test_session_window_stream_equals_batch(spark, tmp_path):
     # coverage must be substantial
     assert got <= expected
     assert len(got) >= 0.8 * len(expected)
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """The late-data contract (SURVEY §2.8): an event older than the
+    watermark horizon arriving in a later micro-batch must NOT reopen its
+    session. The reference never needed this (single process); streaming
+    at scale does."""
+    import datetime as dt
+
+    from ocr_spark.streaming import sessionize_by_gap
+
+    inp = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ck")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(inp)
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(inp)
+
+    def run():
+        stream = spark.readStream.schema(
+            spark.read.parquet(inp).schema).parquet(inp)
+        q = (sessionize_by_gap(stream, gap="10 minutes",
+                               watermark="30 minutes")
+             .writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).outputMode("append").start())
+        q.awaitTermination(300)
+        return spark.read.parquet(out_dir)
+
+    # batch 1: a session at t0 and a much later event that advances the
+    # watermark far past it (sealing the t0 session)
+    write([(1, t0, 7, 1.0), (2, t0 + dt.timedelta(minutes=5), 7, 1.0),
+           (3, t0 + dt.timedelta(hours=5), 7, 1.0)])
+    res1 = run()
+    sealed = [r for r in res1.collect()
+              if r.session_start == t0 and r.user_id == 7]
+    assert len(sealed) == 1 and sealed[0].n_events == 2
+
+    # batch 2: a LATE event inside the long-sealed t0 session window
+    write([(4, t0 + dt.timedelta(minutes=6), 7, 99.0)])
+    res2 = run()
+    sealed2 = [r for r in res2.collect()
+               if r.session_start == t0 and r.user_id == 7]
+    # the sealed session is never re-emitted with the late event counted
+    assert all(r.n_events == 2 for r in sealed2), \
+        "late event beyond the watermark must be dropped"
