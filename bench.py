@@ -37,7 +37,8 @@ HEADLINE = [
     "w3_gap_sessionize", "w3b_session_window", "u4_fallback_chain",
     "t18_imputation", "dd_exact_dup", "dd_ngram_jaccard", "dd_minhash_lsh",
     "dd_embedding_neardup", "sim_cosine_topk", "sim_ivf_topk",
-    "txt_quality", "txt_langid", "extract_documents", "import_star_schema",
+    "txt_quality", "txt_langid", "qr_asof_join", "mm_frame_plan",
+    "conv_assemble", "extract_documents", "import_star_schema",
 ]
 
 

@@ -119,7 +119,58 @@ def import_star_schema(spark, sf_dir):
     )
 
 
+def conv_assemble(spark, sf_dir):
+    """Conversation assembly under stable turn ordering (W1/north_rule):
+    per conv_id, concatenate turn texts ordered by (turn_idx, ts) into
+    one document. sort_array over structs pins the order inside the
+    aggregation itself — no reliance on input row order, so the result
+    is identical at any parallelism. Oracle: DuckDB string_agg with
+    ORDER BY."""
+    t = _transcripts_from_documents(spark, sf_dir)
+    # tiebreak on text (not ts): at sf >= 0.1 turn_idx collides within a
+    # conv (doc_id % 1000 wraps) and both engines must break ties the
+    # same way
+    assembled = (
+        t.groupBy("conv_id")
+        .agg(F.sort_array(F.collect_list(F.struct("turn_idx", "text")))
+             .alias("turns"))
+        .select(
+            "conv_id",
+            F.size("turns").alias("n_turns"),
+            F.md5(F.concat_ws(
+                "\n", F.transform(F.col("turns"), lambda s: s["text"])))
+            .alias("doc_md5"))
+        .orderBy("conv_id")
+    )
+    return assembled
+
+
+# the oracle re-synthesizes the same payloads the Spark side builds in
+# _transcripts_from_documents, then aggregates under the same ordering
+CONV_ASSEMBLE_SQL = """
+WITH t AS (
+  SELECT printf('conv-%06d', doc_id % 50) AS conv_id,
+         CAST(doc_id % 1000 AS INTEGER) AS turn_idx,
+         '## Supplier ' || source || ' Ltd' || chr(10) ||
+         'invoice no: INV-' || CAST(doc_id AS VARCHAR) || chr(10) ||
+         'date: 2025-03-' || printf('%02d', (doc_id % 28) + 1) || chr(10) || chr(10) ||
+         '| code | name | qty | unit price | total |' || chr(10) ||
+         '|---|---|---|---|---|' || chr(10) ||
+         '| D-1 | Document bundle | ' || CAST((doc_id % 5) + 1 AS VARCHAR) ||
+         ' | 10.00 | ' || printf('%d.00', ((doc_id % 5) + 1) * 10) ||
+         ' |' || chr(10) || chr(10) ||
+         '合计：' || printf('%d.00', ((doc_id % 5) + 1) * 10) || chr(10) ||
+         'remark: ' || substring(text, 1, 120) || chr(10) AS text
+  FROM documents
+)
+SELECT conv_id, COUNT(*) AS n_turns,
+       md5(string_agg(text, chr(10) ORDER BY turn_idx, text)) AS doc_md5
+FROM t GROUP BY conv_id ORDER BY conv_id
+"""
+
+
 QUERIES = {
+    "conv_assemble": (conv_assemble, CONV_ASSEMBLE_SQL),
     "extract_documents": (extract_documents, None),
     "extract_synthetic": (extract_synthetic, None),
     "extract_ordered_spans": (extract_ordered_spans, None),
