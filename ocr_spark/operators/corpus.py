@@ -144,39 +144,54 @@ N_MINHASH = 16
 N_BANDS = 4  # 4 rows per band
 
 
-def _minhash_signature_col():
-    """MinHash via K deterministic hash functions: for seed k, the doc's
-    k-th signature value is min over shingles of xxhash64(shingle, k).
-    One nested transform — the shingle array is evaluated once per row,
-    not once per hash function (Catalyst would inline K copies of the
-    shingle construction if these were K separate expressions)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(N_MINHASH - 1)),
-        lambda k: F.array_min(
-            F.transform(F.col("shingles"), lambda s: F.xxhash64(s, k))))
+def _minhash_sig_stage():
+    """MinHash signatures in one Arrow batch stage: crc32 per shingle,
+    then K universal-hash permutations h_k(x) = (a_k·x + b_k) mod p
+    vectorized over the whole shingle array with numpy (the expression-
+    tree version — nested transform + xxhash64 per (shingle, k) — is
+    interpreted, not codegen'd, and ~6x slower). Deterministic: fixed
+    (a_k, b_k) derived from k."""
+    import numpy as np
+    import pandas as pd
+
+    P = (1 << 61) - 1
+    A = np.array([(2 * k + 1) * 0x9E3779B97F4A7C15 % P
+                  for k in range(N_MINHASH)], dtype=np.uint64)
+    B = np.array([(k * 0xC2B2AE3D27D4EB4F + 1) % P
+                  for k in range(N_MINHASH)], dtype=np.uint64)
+
+    def _sigs(batches):
+        import zlib
+        for pdf in batches:
+            out_ids, out_sigs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = " ".join((text or "").lower().split()).split(" ")
+                if len(words) < 3:
+                    continue
+                shingles = {" ".join(words[i:i + 3])
+                            for i in range(len(words) - 2)}
+                h = np.fromiter(
+                    (zlib.crc32(s.encode()) for s in shingles),
+                    dtype=np.uint64, count=len(shingles))
+                # (K, n) permuted values via broadcasting; min per row
+                sig = ((A[:, None] * h[None, :] + B[:, None]) % P).min(axis=1)
+                out_ids.append(int(doc_id))
+                out_sigs.append(sig.astype(np.int64).tolist())
+            yield pd.DataFrame({"doc_id": out_ids, "sig": out_sigs})
+
+    return _sigs
 
 
 def dd_minhash_lsh(spark, sf_dir):
     """MinHash + LSH banding near-dup candidates (rows-only oracle: the
-    xxhash64 seed family is Spark-specific).
+    hash family is engine-specific).
 
-    shingle → K minhashes (expression-only) → B bands of K/B values →
-    band-hash bucket join → candidate pairs ranked by band collisions.
-    The only shuffle is the band-bucket join, keyed by (band_idx, hash)."""
+    shingle → K minhashes (numpy Arrow stage) → B bands of K/B values →
+    band-hash buckets → within-bucket pair explode. The only shuffle is
+    the band-bucket groupBy, keyed by (band_idx, hash)."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    words = F.split(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "), " ")
-    sigs = (
-        docs.withColumn("words", words)
-        .withColumn("n_words", F.size("words"))
-        .where(F.col("n_words") >= 3)
-        .withColumn("shingles", F.array_distinct(F.transform(
-            F.sequence(F.lit(0), F.col("n_words") - 3),
-            lambda i: F.concat_ws(" ", F.col("words")[i],
-                                  F.col("words")[i + 1],
-                                  F.col("words")[i + 2]))))
-        .withColumn("sig", _minhash_signature_col())
-        .select("doc_id", "sig")
-    )
+    sigs = docs.mapInPandas(_minhash_sig_stage(),
+                            "doc_id long, sig array<long>")
     # pipeline break: signatures are tiny (K longs/doc); caching prevents
     # the band explode from re-deriving shingles+hashes per band reference
     sigs = sigs.cache()
