@@ -340,6 +340,26 @@ def run_extract_job(spark: SparkSession, transcripts: DataFrame,
     }
 
 
+def list_runs(spark: SparkSession, output_dir: str,
+              limit: int = 50) -> DataFrame:
+    """Run catalog (S9, RunStore.php:58-96 listRuns): newest-first summary
+    of committed runs from the checkpoint manifest — run id, buckets,
+    rows in/out/rejected, extractor version — limit N. Set-oriented: one
+    manifest scan + hash agg instead of a glob + per-dir JSON read."""
+    manifest_dir = os.path.join(output_dir, "_checkpoints")
+    m = spark.read.parquet(manifest_dir)
+    return (
+        m.groupBy("run_id", "extractor_version")
+        .agg(F.countDistinct("bucket").alias("n_buckets"),
+             F.sum("rows_in").alias("rows_in"),
+             F.sum("rows_out").alias("rows_out"),
+             F.sum("rows_rejected").alias("rows_rejected"),
+             F.max("committed_at").alias("committed_at"))
+        .orderBy(F.desc("run_id"))
+        .limit(limit)
+    )
+
+
 def stable_order(extracted: DataFrame) -> DataFrame:
     """Stable turn ordering: within conv_id order by (turn_idx, ts) — the
     invariant every equality comparison runs under (north_rule;

@@ -248,3 +248,15 @@ class TestTextItems:
         # fallback requires a company suffix
         assert X.extract_supplier_name("short line here ok") == ""
         assert X.extract_supplier_name("City Hardware Co. Ltd") == "City Hardware Co. Ltd"
+
+
+def test_t6_infer_column_type():
+    """SmartFieldMapping::inferColumnType (T6, :192-241): qty for small
+    ints, total for decimals/large, name for long low-numeric text."""
+    from ocr_spark.kernels.fields import infer_column_type
+    rows = [["3", "12.50", "a very long product description here"],
+            ["7", "99.99", "another long descriptive item name"],
+            ["2", "1500", "third long descriptive product name"]]
+    assert infer_column_type(rows, 0) == "qty"
+    assert infer_column_type(rows, 1) == "total"
+    assert infer_column_type(rows, 2) == "name"

@@ -137,3 +137,21 @@ def test_salting_splits_hot_conversations(spark):
                            F.floor(F.col("turn_idx") / 64))
     assert hot_partitions(unsalted) == 1, "baseline: hot conv on one task"
     assert hot_partitions(salted) >= 4, "salted: hot conv split across tasks"
+
+
+def test_list_runs_catalog(spark, tmp_path):
+    """S9 run catalog: newest-first, one row per run with manifest
+    aggregates (RunStore.php:58-96 listRuns analog)."""
+    from ocr_spark.pipeline.extract import list_runs
+    out = str(tmp_path / "cat")
+    t = synthesize_transcripts(spark, 20, 4)
+    run_extract_job(spark, t, out, run_id="20260101_a", salt_partitions=4,
+                    n_buckets=4)
+    run_extract_job(spark, t, out, run_id="20260102_b", resume=True,
+                    salt_partitions=4, n_buckets=4)
+    runs = list_runs(spark, out).collect()
+    assert [r.run_id for r in runs][0] == "20260102_b" or len(runs) == 1
+    first = runs[0]
+    assert first.rows_in == first.rows_out
+    # limit applies
+    assert len(list_runs(spark, out, limit=1).collect()) == 1
