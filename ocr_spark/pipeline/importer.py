@@ -116,11 +116,15 @@ def plan_import(extracted: DataFrame) -> dict[str, DataFrame]:
                          F.lit("@example.com")).alias("email"))
     )
 
-    # one row per item; code default via genCode (upper slug ≤24 + md5[6])
+    # one row per item; code default via genCode (upper slug ≤24 + md5[6]).
+    # source_file/declared_total ride along so the purchases fact can be
+    # re-aggregated without joining back to `accepted` (one less shuffle
+    # join; the importer is then dims-distinct + facts-agg only)
     items = (
         accepted.select(
             "conv_id", "turn_idx", "invoice_idx", "reference_no",
-            "invoice_date", supplier_id.alias("supplier_id"),
+            "invoice_date", "source_file", "declared_total",
+            supplier_id.alias("supplier_id"),
             F.posexplode("items").alias("item_idx", "it"))
         .withColumn("name0", F.trim(F.col("it.name")))
         .withColumn("code0", F.trim(F.col("it.code")))
@@ -160,14 +164,12 @@ def plan_import(extracted: DataFrame) -> dict[str, DataFrame]:
 
     purchases = (
         items.groupBy("conv_id", "turn_idx", "invoice_idx", "reference_no",
-                      "invoice_date", "supplier_id")
+                      "invoice_date", "supplier_id", "source_file",
+                      "declared_total")
         .agg(F.count("*").alias("item"),
              F.sum("qty").alias("total_qty"),
              (F.sum(F.floor(F.col("total") * 100 + 0.5).cast("long"))
               / 100.0).alias("calc_total"))
-        .join(accepted.select("conv_id", "turn_idx", "invoice_idx",
-                              "source_file", "declared_total"),
-              ["conv_id", "turn_idx", "invoice_idx"])
         .withColumn("grand_total", F.coalesce("declared_total",
                                               "calc_total"))
         .select("reference_no", "supplier_id",
