@@ -614,6 +614,84 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 
 # ---------------------------------------------------------------------------
+# A12/A13/A14 — aggregation breadth the reference lacks but Catalyst
+# gives free (SURVEY §2.4 note): exact percentiles, rollup, pivot
+# ---------------------------------------------------------------------------
+
+def a12_percentiles(spark, sf_dir):
+    """Exact continuous percentiles of event value per type (Spark
+    `percentile` == DuckDB `quantile_cont`, both linear interpolation).
+    The approx variant (percentile_approx / KLL) swaps in at 100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+             F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+             F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"))
+        .orderBy("event_type")
+    )
+
+
+A12_SQL = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+       ROUND(quantile_cont(value, 0.9), 4) AS p90,
+       ROUND(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def a13_rollup(spark, sf_dir):
+    """Rollup over (priority, status): subtotals + grand total in one
+    pass — partial aggregation covers every grouping set."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("n"),
+             (F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+              / 100.0).alias("total"))
+        .orderBy(F.col("o_orderpriority").asc_nulls_first(),
+                 F.col("o_orderstatus").asc_nulls_first())
+    )
+
+
+A13_SQL = """
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+       SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS total
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST
+"""
+
+
+def a14_pivot(spark, sf_dir):
+    """Pivot event counts into one column per type (fixed pivot values →
+    no extra pass to discover them; expressed as conditional aggregation
+    in the oracle so both engines share exact semantics)."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+        .where(F.col("user_id") < 25)
+        .orderBy("user_id")
+    )
+
+
+A14_SQL = """
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (WHERE event_type = 'view') AS view
+FROM events WHERE user_id < 25
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # W3b — native session_window (batch) vs gaps-and-islands oracle
 # ---------------------------------------------------------------------------
 
@@ -657,6 +735,9 @@ QUERIES = {
     "a1_a2_invoice_totals": (a1_a2_invoice_totals, A1_A2_SQL),
     "a8_max_cols": (a8_max_cols, A8_SQL),
     "a11_distinct_users": (a11_distinct_users, A11_SQL),
+    "a12_percentiles": (a12_percentiles, A12_SQL),
+    "a13_rollup": (a13_rollup, A13_SQL),
+    "a14_pivot": (a14_pivot, A14_SQL),
     "j2b_sale_cost_derivation": (j2b_sale_cost_derivation, J2B_SQL),
     "s6_json_reader": (s6_json_reader, S6_SQL),
     "t1_clean_string": (t1_clean_string, T1_SQL),
