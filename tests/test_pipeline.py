@@ -155,3 +155,46 @@ def test_list_runs_catalog(spark, tmp_path):
     assert first.rows_in == first.rows_out
     # limit applies
     assert len(list_runs(spark, out, limit=1).collect()) == 1
+
+
+@pytest.mark.skipif(not os.path.isdir(UPLOADS), reason="no reference fixtures")
+def test_golden_multidoc_cjk_run_through_spark(spark):
+    """The 4-document CJK golden run (20260119_051129_444e1c22) through
+    the full Spark path: one turn per source JSON, per-turn records must
+    match the reference draft field-for-field under stable ordering —
+    including the degenerate merged-cell quirks the golden output
+    captures (SURVEY §5.1)."""
+    run = "20260119_051129_444e1c22"
+    files_dir = os.path.join(UPLOADS, run + "_files")
+    golden = json.load(open(os.path.join(UPLOADS, run, "draft.json")))["invoices"]
+    gold_by_src = {g["source_file"]: g for g in golden}
+
+    rows, src_by_idx = [], {}
+    for i, fn in enumerate(sorted(os.listdir(files_dir))):
+        if fn.endswith(".json"):
+            raw = open(os.path.join(files_dir, fn)).read()
+            rows.append(("conv-cjk", i, "tool", raw, "doc_parser", None))
+            src_by_idx[i] = fn
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    out = stable_order(extract_turns(t, salt_partitions=2)) \
+        .orderBy("turn_seq").collect()
+    # the engine names turns conv_turnidx.ext (it never sees filesystem
+    # names); map each turn back to its source file by position
+    produced = {}
+    for row in out:
+        for rec in row.records:
+            produced[src_by_idx[row.turn_idx]] = rec.asDict(recursive=True)
+
+    assert set(produced) == set(gold_by_src)
+    for src, gold in gold_by_src.items():
+        mine = produced[src]
+        assert mine["supplier_name"] == gold["supplier_name"], src
+        assert mine["calc_total"] == gold["calc_total"], src
+        assert mine["invoice_date"] == gold["invoice_date"], src
+        assert mine["currency"] == gold["currency"], src
+        assert len(mine["items"]) == len(gold["items"]), src
+        for m, g in zip(mine["items"], gold["items"]):
+            assert (m["name"], m["qty"], m["unit_price"], m["total"]) == \
+                (g["name"], g["qty"], g["unit_price"], g["total"]), src
