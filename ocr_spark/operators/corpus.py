@@ -86,8 +86,17 @@ def dd_ngram_jaccard(spark, sf_dir):
         .distinct()
     )
     sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    a = shingled.alias("a")
-    b = shingled.alias("b")
+    # singleton shingles cannot produce a pair — drop them before the
+    # self-join (identical result set, much smaller join input: in a
+    # random corpus most shingles are singletons). The count uses the
+    # same shuffle key as the join, and a window over that partitioning
+    # avoids a second exchange.
+    shared = (shingled
+              .withColumn("_n", F.count("*").over(
+                  Window.partitionBy("shingle")))
+              .where(F.col("_n") >= 2).drop("_n"))
+    a = shared.alias("a")
+    b = shared.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
