@@ -169,8 +169,25 @@ FROM t GROUP BY conv_id ORDER BY conv_id
 """
 
 
+def extract_conversations_q(spark, sf_dir):
+    """Conversation-level grouped extraction (pipeline/conversations.py):
+    turns assembled per conv under stable ordering, extracted as one
+    merged markdown document — the T23 merged-split path at the
+    conversation grain. Rows-only check."""
+    from ..pipeline.conversations import extract_conversations
+    t = _transcripts_from_documents(spark, sf_dir)
+    return (
+        extract_conversations(t)
+        .select("conv_id", "n_turns", "n_payload_turns", "n_records",
+                F.round("calc_total", 2).alias("calc_total"),
+                F.size("suppliers").alias("n_suppliers"))
+        .orderBy("conv_id")
+    )
+
+
 QUERIES = {
     "conv_assemble": (conv_assemble, CONV_ASSEMBLE_SQL),
+    "extract_conversations": (extract_conversations_q, None),
     "extract_documents": (extract_documents, None),
     "extract_synthetic": (extract_synthetic, None),
     "extract_ordered_spans": (extract_ordered_spans, None),

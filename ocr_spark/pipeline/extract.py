@@ -237,6 +237,35 @@ def stable_bucket_py(conv_id: str, n_buckets: int) -> int:
     return int(hashlib.md5(conv_id.encode()).hexdigest()[:8], 16) % n_buckets
 
 
+def suggest_salt_partitions(transcripts: DataFrame,
+                            target_rows_per_task: int = 20_000,
+                            sample_fraction: float | None = None) -> int:
+    """Pick the salt fan-out from a cheap skew sketch (SURVEY §4 item 1):
+    approx distinct convs + total rows + the hottest conv's share decide
+    how many partitions the salted repartition needs so no task exceeds
+    ~target_rows_per_task even if the hottest conversations collide.
+
+    One lightweight aggregation job (optionally over a sample); returns
+    a partition count >= 2x the current parallelism."""
+    df = transcripts
+    if sample_fraction:
+        df = df.sample(fraction=sample_fraction, seed=7)
+    sketch = df.groupBy("conv_id").count().agg(
+        F.count("*").alias("n_convs"),
+        F.sum("count").alias("n_rows"),
+        F.max("count").alias("hottest"),
+    ).first()
+    n_rows = (sketch.n_rows or 0) / (sample_fraction or 1.0)
+    hottest = (sketch.hottest or 0) / (sample_fraction or 1.0)
+    spark = transcripts.sparkSession
+    base = spark.sparkContext.defaultParallelism * 2
+    by_volume = int(n_rows / max(1, target_rows_per_task)) + 1
+    # the hottest conv splits into ceil(hottest / turn_bucket) cells of
+    # ~turn_bucket rows; enough partitions to spread those cells
+    by_heat = int(hottest / 64) + 1
+    return max(base, by_volume, by_heat)
+
+
 def extract_turns(transcripts: DataFrame,
                   salt_partitions: int | None = None,
                   n_buckets: int = 64,

@@ -198,3 +198,36 @@ def test_golden_multidoc_cjk_run_through_spark(spark):
         for m, g in zip(mine["items"], gold["items"]):
             assert (m["name"], m["qty"], m["unit_price"], m["total"]) == \
                 (g["name"], g["qty"], g["unit_price"], g["total"]), src
+
+
+def test_suggest_salt_partitions_scales_with_skew(spark):
+    from ocr_spark.pipeline.extract import suggest_salt_partitions
+    small = synthesize_transcripts(spark, 30, 4)
+    big = synthesize_transcripts(spark, 3000, 8)
+    s_small = suggest_salt_partitions(small)
+    s_big = suggest_salt_partitions(big)
+    base = spark.sparkContext.defaultParallelism * 2
+    assert s_small >= base
+    assert s_big >= s_small, "more rows must never suggest fewer partitions"
+    # the suggestion is usable directly
+    from ocr_spark.pipeline.extract import extract_turns
+    assert extract_turns(small, salt_partitions=s_small).count() == small.count()
+
+
+def test_extract_conversations_grouped(spark):
+    from ocr_spark.pipeline.conversations import extract_conversations
+    t = synthesize_transcripts(spark, 30, 6)
+    out = extract_conversations(t)
+    rows = {r.conv_id: r for r in out.collect()}
+    assert len(rows) == t.select("conv_id").distinct().count()
+    # per-conv turn counts are exact
+    for conv_id, n in t.groupBy("conv_id").count().collect():
+        assert rows[conv_id].n_turns == n
+    # at least some conversations carried payloads and produced records
+    assert sum(r.n_records for r in rows.values()) > 0
+    # determinism under different input order
+    out2 = {r.conv_id: (r.n_records, round(r.calc_total, 2))
+            for r in extract_conversations(
+                t.orderBy(F.rand(3))).collect()}
+    assert out2 == {c: (r.n_records, round(r.calc_total, 2))
+                    for c, r in rows.items()}
