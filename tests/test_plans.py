@@ -89,3 +89,35 @@ def test_partitioned_output_prunes_on_bucket(spark, tmp_path):
     import re as _re
     pf = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert pf and "bucket" in pf.group(1), f"no partition pruning: {plan[:500]}"
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Same-bucketed tables must join with ZERO exchanges (co-located
+    join — the bucketing checkbox of the scale posture). Broadcast is
+    disabled for the assertion so the planner can't hide the shuffle
+    question behind a broadcast."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.pipeline.bucketing import colocated_join, write_bucketed
+    from ocr_spark.plans import exchange_count
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet") \
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet") \
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus")
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(li, "t_li_b", "l_orderkey", 8)
+        write_bucketed(orders, "t_ord_b", "l_orderkey", 8)
+        joined = colocated_join(spark, "t_li_b", "t_ord_b", "l_orderkey")
+        n_ex = exchange_count(joined)
+        assert n_ex == 0, f"bucketed join must not shuffle, saw {n_ex}"
+        # and the result is right
+        plain = li.join(orders, "l_orderkey")
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS t_li_b")
+        spark.sql("DROP TABLE IF EXISTS t_ord_b")
