@@ -74,13 +74,16 @@ def slugify(c: Column) -> Column:
 
 
 def gen_code(name: Column) -> Column:
-    """Deterministic product-code generation modeled on the importer
-    variant (PurchaseImporter.php:201-205): upper slug prefix + '_' +
-    md5(name)[0:6]. The validator's random ITEM#### fallback
-    (InvoiceDataValidator.php:424-434) is nondeterministic and excluded
-    from the parity surface (SURVEY §7.3.3)."""
-    slug = F.upper(F.substring(
-        F.regexp_replace(name, r"[^a-zA-Z0-9]+", "_"), 1, 10))
+    """Deterministic product-code generation faithful to the importer
+    (PurchaseImporter.php:201-205): replace [^A-Z0-9 CJK]+ with '_'
+    BEFORE uppercasing (so lowercase runs collapse to '_', CJK is kept),
+    24-char prefix, then '_' + md5(name)[0:6]. The validator's random
+    ITEM#### fallback (InvoiceDataValidator.php:424-434) is
+    nondeterministic and excluded from the parity surface (SURVEY
+    §7.3.3). pipeline/importer.py reuses this kernel — one code-gen
+    semantics repo-wide."""
+    slug = F.substring(F.upper(
+        F.regexp_replace(name, r"[^A-Z0-9一-鿿]+", "_")), 1, 24)
     return F.concat(slug, F.lit("_"), F.substring(F.md5(name), 1, 6))
 
 

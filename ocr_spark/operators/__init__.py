@@ -16,7 +16,10 @@ from .relational import QUERIES as REL_QUERIES
 from .scalar import QUERIES as SCALAR_QUERIES
 from .temporal import QUERIES as TEMPORAL_QUERIES
 
+# merge order = driver check order (it walks the registry in order with a
+# bounded budget): cheap oracle-paired relational/scalar/temporal first,
+# then extraction + multimodal, the heavy corpus dedup queries last
 ALL_QUERIES = {}
-for _q in (REL_QUERIES, SCALAR_QUERIES, TEMPORAL_QUERIES, CORPUS_QUERIES,
-           MM_QUERIES, EXTRACTION_QUERIES):
+for _q in (REL_QUERIES, SCALAR_QUERIES, TEMPORAL_QUERIES,
+           EXTRACTION_QUERIES, MM_QUERIES, CORPUS_QUERIES):
     ALL_QUERIES.update(_q)

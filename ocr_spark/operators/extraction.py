@@ -119,6 +119,84 @@ def import_star_schema(spark, sf_dir):
     )
 
 
+def _sale_transcripts_from_documents(spark, sf_dir):
+    """Sale-draft variant of _transcripts_from_documents: same markdown
+    invoice payload plus a 'customer:' header line
+    (TextBlockParsing.php:72-78 customer patterns), so the sale import
+    path has a real counterparty to build its customers dim from."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    payload = F.concat(
+        F.lit("## Supplier "), F.col("source"), F.lit(" Ltd\n"),
+        F.lit("invoice no: INV-"), F.col("doc_id").cast("string"), F.lit("\n"),
+        F.lit("date: 2025-03-"), F.format_string("%02d", (F.col("doc_id") % 28) + 1), F.lit("\n"),
+        F.lit("customer: Customer "), (F.col("doc_id") % 7).cast("string"),
+        F.lit(" Trading Co\n\n"),
+        F.lit("| code | name | qty | unit price | total |\n"),
+        F.lit("|---|---|---|---|---|\n"),
+        F.lit("| D-1 | Document bundle | "),
+        ((F.col("doc_id") % 5) + 1).cast("string"),
+        F.lit(" | 10.00 | "),
+        F.format_string("%d.00", ((F.col("doc_id") % 5) + 1) * 10),
+        F.lit(" |\n\n合计："),
+        F.format_string("%d.00", ((F.col("doc_id") % 5) + 1) * 10),
+        F.lit("\n"),
+    )
+    return docs.select(
+        F.format_string("conv-%06d", F.col("doc_id") % 50).alias("conv_id"),
+        (F.col("doc_id") % 1000).cast("int").alias("turn_idx"),
+        F.lit("tool").alias("role"),
+        payload.alias("text"),
+        F.lit("markdown").alias("tool"),
+        F.timestamp_seconds(F.lit(1735689600) + F.col("doc_id")).alias("ts"),
+    )
+
+
+def import_sales(spark, sf_dir):
+    """End-to-end sale path: extraction → plan_sale_import
+    (SaleImporter.php semantics) → sales fact joined to the customers
+    dim. Oracle-paired: the synthesized payload is a pure function of
+    documents, so DuckDB can derive every sale row — reference_no
+    content hash included — straight from the table."""
+    from ..pipeline.extract import extract_turns
+    from ..pipeline.importer import plan_sale_import
+    t = _sale_transcripts_from_documents(spark, sf_dir)
+    tables = plan_sale_import(extract_turns(t, salt_partitions=None))
+    sales, customers = tables["sales"], tables["customers"]
+    return (
+        sales.join(customers, "customer_id")
+        .select("reference_no", "name", "item",
+                F.round("total_qty", 2).alias("total_qty"),
+                F.round("grand_total", 2).alias("grand_total"),
+                F.round("paid_amount", 2).alias("paid_amount"),
+                "date")
+        .orderBy("reference_no", "date")
+    )
+
+
+IMPORT_SALES_SQL = """
+WITH d AS (
+  SELECT printf('conv-%06d', doc_id % 50) AS conv_id,
+         CAST(doc_id % 1000 AS INTEGER) AS turn_idx,
+         '2025-03-' || printf('%02d', (doc_id % 28) + 1) AS invoice_date,
+         'Customer ' || CAST(doc_id % 7 AS VARCHAR) || ' Trading Co' AS name,
+         CAST((doc_id % 5) + 1 AS DOUBLE) AS qty
+  FROM documents
+)
+SELECT 'sr-' || replace(invoice_date, '-', '') || '-' ||
+         substring(md5(conv_id || '|' || CAST(turn_idx AS VARCHAR) || '|0|'
+                       || conv_id || '_' || CAST(turn_idx AS VARCHAR) || '.md'),
+                   1, 6) AS reference_no,
+       name,
+       CAST(1 AS BIGINT) AS item,
+       ROUND(qty, 2) AS total_qty,
+       ROUND(qty * 10.0, 2) AS grand_total,
+       ROUND(qty * 10.0, 2) AS paid_amount,
+       invoice_date AS date
+FROM d
+ORDER BY reference_no, date
+"""
+
+
 def conv_assemble(spark, sf_dir):
     """Conversation assembly under stable turn ordering (W1/north_rule):
     per conv_id, concatenate turn texts ordered by (turn_idx, ts) into
@@ -187,6 +265,7 @@ def extract_conversations_q(spark, sf_dir):
 
 QUERIES = {
     "conv_assemble": (conv_assemble, CONV_ASSEMBLE_SQL),
+    "import_sales": (import_sales, IMPORT_SALES_SQL),
     "extract_conversations": (extract_conversations_q, None),
     "extract_documents": (extract_documents, None),
     "extract_synthetic": (extract_synthetic, None),

@@ -97,21 +97,26 @@ def f4_tolerance_gate(spark, sf_dir):
     """PurchaseImporter.php:58-70 tolerance gate re-expressed set-oriented:
     declared (o_totalprice) vs calc (sum of line gross) per order; one
     aggregation, rejects counted in the same pass (F3-style side output
-    becomes a count_if)."""
+    becomes a count_if). Money runs as exact integer cents end-to-end
+    (floor(x*100+0.5) per line, bigint sums) so the gate is
+    summation-order independent — a ROUND over a double sum flips at
+    edges under parallel partial aggregation (CLAUDE.md invariant)."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
+    line_cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                         * (1 + F.col("l_tax")) * 100 + 0.5).cast("long")
     calc = (
         li.groupBy("l_orderkey")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2).alias("calc_total"))
+        .agg(F.sum(line_cents).alias("calc_cents"))
     )
-    joined = orders.join(calc, orders.o_orderkey == calc.l_orderkey, "inner")
-    passed = (
-        (F.abs(F.col("o_totalprice") - F.col("calc_total")) <= 0.05)
-        | (F.abs(F.col("o_totalprice") - F.col("calc_total"))
-           / F.abs(F.col("o_totalprice")) <= 0.02)
-    )
+    joined = orders.withColumn(
+        "declared_cents",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"),
+    ).join(calc, orders.o_orderkey == calc.l_orderkey, "inner")
+    diff = F.abs(F.col("declared_cents") - F.col("calc_cents"))
+    passed = (diff <= 5) | (diff <= 0.02 * F.abs(F.col("declared_cents")))
     return (
-        joined.withColumn("passed", passed.cast("int"))
+        joined.withColumn("passed", passed.cast("long"))
         .groupBy("o_orderstatus")
         .agg(F.count("*").alias("n_orders"),
              F.sum("passed").alias("n_passed"),
@@ -123,18 +128,23 @@ def f4_tolerance_gate(spark, sf_dir):
 F4_SQL = """
 WITH calc AS (
   SELECT l_orderkey,
-         ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS calc_total
+         SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100
+                        + 0.5) AS BIGINT)) AS calc_cents
   FROM lineitem GROUP BY l_orderkey
+),
+gated AS (
+  SELECT o_orderstatus,
+         CASE WHEN ABS(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) - calc_cents) <= 5
+                OR ABS(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) - calc_cents)
+                   <= 0.02 * ABS(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              THEN 1 ELSE 0 END AS passed
+  FROM orders JOIN calc ON o_orderkey = l_orderkey
 )
 SELECT o_orderstatus,
        COUNT(*) AS n_orders,
-       SUM(CASE WHEN ABS(o_totalprice - calc_total) <= 0.05
-                  OR ABS(o_totalprice - calc_total) / ABS(o_totalprice) <= 0.02
-                THEN 1 ELSE 0 END) AS n_passed,
-       COUNT(*) - SUM(CASE WHEN ABS(o_totalprice - calc_total) <= 0.05
-                  OR ABS(o_totalprice - calc_total) / ABS(o_totalprice) <= 0.02
-                THEN 1 ELSE 0 END) AS n_rejected
-FROM orders JOIN calc ON o_orderkey = l_orderkey
+       CAST(SUM(passed) AS BIGINT) AS n_passed,
+       COUNT(*) - CAST(SUM(passed) AS BIGINT) AS n_rejected
+FROM gated
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """
@@ -357,10 +367,17 @@ def w3_gap_sessionize(spark, sf_dir):
     lag + cumulative sum of boundary flags, one shuffle on user_id."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    # microsecond gap arithmetic: testdata ts is timestamp_ntz[us]; whole-
+    # second truncation (unix_timestamp) would diverge from the oracle the
+    # moment two events straddle the gap by <1s. The cast to instant type
+    # is safe here: only differences are used, so the session-tz offset
+    # cancels.
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    gap_us = us(F.col("ts")) - us(F.lag("ts").over(w))
     with_session = (
         ev.withColumn("new_session",
-                      F.when(gap >= 300, 1).when(gap.isNull(), 1).otherwise(0))
+                      F.when(gap_us >= 300_000_000, 1)
+                      .when(gap_us.isNull(), 1).otherwise(0))
         .withColumn("session_id", F.sum("new_session").over(
             w.rowsBetween(Window.unboundedPreceding, 0)))
     )
@@ -376,7 +393,7 @@ W3_SQL = """
 WITH flagged AS (
   SELECT user_id, event_id, ts,
          CASE WHEN LAG(ts) OVER w IS NULL THEN 1
-              WHEN epoch(ts) - epoch(LAG(ts) OVER w) >= 300 THEN 1
+              WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 300000000 THEN 1
               ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -387,7 +404,8 @@ sessions AS (
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged
 )
-SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
+SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
 FROM sessions GROUP BY user_id ORDER BY user_id
 """
 

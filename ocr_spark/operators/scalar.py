@@ -77,7 +77,8 @@ def a3_file_summary(spark, sf_dir):
 
 
 A3_SQL = """
-SELECT source, lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+SELECT source, lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        ROUND(AVG(n_chars), 2) AS avg_chars
 FROM documents GROUP BY source, lang ORDER BY source, lang
 """
@@ -106,10 +107,11 @@ def a4_validation_summary(spark, sf_dir):
 
 A4_SQL = """
 SELECT l_returnflag, COUNT(*) AS n_rows,
-       SUM(CASE WHEN l_quantity <= 50 THEN 1 ELSE 0 END) AS n_qty_ok,
-       SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS n_negative,
-       SUM(CASE WHEN ABS(l_quantity * (l_extendedprice / l_quantity)
-                        - l_extendedprice) > 0.01 THEN 1 ELSE 0 END) AS n_math_warn
+       CAST(SUM(CASE WHEN l_quantity <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_qty_ok,
+       CAST(SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
+       CAST(SUM(CASE WHEN ABS(l_quantity * (l_extendedprice / l_quantity)
+                        - l_extendedprice) > 0.01
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_math_warn
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
@@ -376,7 +378,8 @@ def t19_code_gen(spark, sf_dir):
 
 T19_SQL = """
 SELECT p_partkey,
-       upper(substring(regexp_replace(p_name, '[^a-zA-Z0-9]+', '_', 'g'), 1, 10))
+       substring(upper(regexp_replace(p_name, '[^A-Z0-9\\x{4e00}-\\x{9fff}]+',
+                                      '_', 'g')), 1, 24)
        || '_' || substring(md5(p_name), 1, 6) AS code
 FROM part WHERE p_partkey <= 2000 ORDER BY p_partkey
 """
@@ -502,8 +505,9 @@ def s6_json_reader(spark, sf_dir):
 
 S6_SQL = """
 SELECT event_type, COUNT(*) AS n_rows,
-       SUM(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS n_bad,
-       SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS sum_k
+       CAST(SUM(CASE WHEN json_extract(props, '$.k') IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
@@ -711,9 +715,13 @@ def w3b_session_window(spark, sf_dir):
 W3B_SQL = """
 WITH e AS (
   SELECT user_id, ts, value,
+         -- >= (not >): Spark session_window merges on the half-open
+         -- interval [start, last+gap), so an event arriving EXACTLY gap
+         -- after the previous one starts a NEW session; the oracle must
+         -- break on >= to match that boundary convention
          CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                 OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                   > INTERVAL 30 MINUTE
+                   >= INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS brk
   FROM events WHERE user_id < 20
 ), s AS (

@@ -333,7 +333,12 @@ def run_extract_job(spark: SparkSession, transcripts: DataFrame,
     extracted = extract_turns(pending, salt_partitions=salt_partitions,
                               n_buckets=n_buckets)
 
-    (extracted.write.mode("overwrite" if not resume else "append")
+    # ALWAYS dynamic partition overwrite, also on resume: completed buckets
+    # are filtered out of `pending` so they emit no partitions and stay
+    # untouched, while buckets whose data committed but whose manifest write
+    # crashed get cleanly REPLACED instead of appended-to (append would
+    # duplicate every row of such an orphan bucket on resume).
+    (extracted.write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("bucket")
      .parquet(data_dir))

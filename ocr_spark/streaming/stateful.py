@@ -81,13 +81,17 @@ def streaming_dedup_first_wins(turns: DataFrame) -> DataFrame:
 
 
 def _totals_fn(key, pdfs, state: GroupState):
+    import numpy as np
     import pandas as pd
     (conv_id,) = key
     n_turns, n_items, cents = state.get if state.exists else (0, 0, 0)
     for pdf in pdfs:
         n_turns += len(pdf)
         n_items += int(pdf["n_items"].sum())
-        cents += int((pdf["calc_total"] * 100).round().sum())
+        # integer-cents money rule: floor(x*100 + 0.5) half-up, mirroring
+        # the batch path — pandas .round() is half-even and drifts a cent
+        # on half-cent values (CLAUDE.md money invariant)
+        cents += int(np.floor(pdf["calc_total"] * 100 + 0.5).sum())
     state.update((n_turns, n_items, cents))
     yield pd.DataFrame([(conv_id, n_turns, n_items, cents)],
                        columns=["conv_id", "n_turns", "n_items",

@@ -5,7 +5,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from ocr_spark.pipeline.extract import extract_turns
-from ocr_spark.pipeline.importer import plan_import, write_import
+from ocr_spark.pipeline.importer import (plan_draft_import, plan_import,
+                                         plan_sale_import, write_import)
 from ocr_spark.sources.synthetic import synthesize_transcripts
 
 
@@ -90,3 +91,62 @@ def test_write_import_counts(spark, extracted, tmp_path):
     assert counts["product_purchases"] >= counts["purchases"]
     assert set(counts) == {"suppliers", "products", "purchases",
                            "product_purchases", "rejects"}
+
+
+# ---------------------------------------------------------------------------
+# Sale path (SaleImporter.php:14-204)
+# ---------------------------------------------------------------------------
+
+def test_sale_rejects_and_accepts_partition_invoices(spark, extracted):
+    tables = plan_sale_import(extracted)
+    n_invoices = extracted.select(F.explode("records")).count()
+    assert tables["sales"].count() + tables["rejects"].count() == n_invoices
+    assert tables["sales"].count() > 0
+
+
+def test_sale_referential_integrity(spark, extracted):
+    tables = plan_sale_import(extracted)
+    ps, prod = tables["product_sales"], tables["products"]
+    sales, cust = tables["sales"], tables["customers"]
+    assert ps.join(prod, "product_id", "left_anti").count() == 0
+    assert ps.join(sales, "reference_no", "left_anti").count() == 0
+    assert sales.join(cust, "customer_id", "left_anti").count() == 0
+    assert prod.count() == prod.select("code").distinct().count()
+    assert cust.count() == cust.select("name").distinct().count()
+
+
+def test_sale_cost_derivation(spark, extracted):
+    """Products created by the sale path carry cost = round(price * 0.7, 2)
+    (SaleImporter.php:159) — checked row-by-row on the dim."""
+    prod = plan_sale_import(extracted)["products"]
+    off = prod.where(
+        F.abs(F.col("cost") - F.round(F.col("price") * 0.7, 2)) > 1e-9)
+    assert off.count() == 0
+    assert prod.count() > 0
+
+
+def test_sale_reference_no_prefix_and_grand_total(spark, extracted):
+    sales = plan_sale_import(extracted)["sales"]
+    assert sales.where(~F.col("reference_no").startswith("sr-")).count() == 0
+    # grand_total falls back to calc when declared is null
+    # (insertSale :173: grand = decl ?? calc) — paid_amount mirrors it
+    assert sales.where(
+        F.col("grand_total") != F.col("paid_amount")).count() == 0
+
+
+def test_sale_import_deterministic(spark, extracted):
+    t1 = plan_sale_import(extracted)
+    t2 = plan_sale_import(extracted)
+    for name in ("customers", "products", "sales"):
+        a = sorted(map(tuple, t1[name].collect()))
+        b = sorted(map(tuple, t2[name].collect()))
+        assert a == b, f"{name} not deterministic"
+
+
+def test_draft_type_dispatch(spark, extracted):
+    """preview.php:114-122: purchase drafts → PurchaseImporter, anything
+    else → SaleImporter."""
+    assert set(plan_draft_import(extracted, "purchase")) == {
+        "suppliers", "products", "purchases", "product_purchases", "rejects"}
+    assert set(plan_draft_import(extracted, "sale")) == {
+        "customers", "products", "sales", "product_sales", "rejects"}

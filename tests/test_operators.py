@@ -21,7 +21,39 @@ def _duck(sql: str):
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
-    return con.execute(sql).fetchall(), [d[0] for d in con.description]
+    # DESCRIBE gives real DuckDB type names (BIGINT / HUGEINT / DOUBLE ...);
+    # the DBAPI cursor description only exposes generic NUMBER/STRING codes.
+    desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    dtypes = {r[0]: r[1] for r in desc}
+    res = con.execute(sql)
+    rows = res.fetchall()
+    cols = [d[0] for d in res.description]
+    return rows, cols, [dtypes.get(c, "?") for c in cols]
+
+
+def _duck_type_tag(duck_type: str) -> str:
+    """Coarse type family for the oracle-vs-spark dtype check. HUGEINT is
+    deliberately its own tag: the driver's value hash distinguishes DuckDB
+    HUGEINT (int128, from a bare SUM(integer)) from Spark bigint even when
+    every value is identical — the round-1 failure class. Oracle SQLs must
+    CAST integer sums to BIGINT."""
+    t = duck_type.upper()
+    if t == "HUGEINT":
+        return "hugeint"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT") or t.startswith("UINT"):
+        return "int"
+    if t in ("FLOAT", "DOUBLE") or t.startswith("DECIMAL"):
+        return "float"
+    return "other"
+
+
+def _spark_type_tag(spark_type: str) -> str:
+    t = spark_type.lower()
+    if t in ("tinyint", "smallint", "int", "bigint", "byte", "short", "integer", "long"):
+        return "int"
+    if t in ("float", "double") or t.startswith("decimal"):
+        return "float"
+    return "other"
 
 
 def _canon(rows, cols):
@@ -53,10 +85,18 @@ def test_query_matches_oracle(spark, name):
     sdf = fn(spark, SF_DIR)
     srows = [tuple(r) for r in sdf.collect()]
     scols = sdf.columns
-    drows, dcols = _duck(sql)
+    drows, dcols, ddtypes = _duck(sql)
     sc, scol_names = _canon(srows, scols)
     dc, dcol_names = _canon(drows, dcols)
     assert scol_names == dcol_names, f"{name}: column mismatch {scol_names} != {dcol_names}"
+    # dtype-family check: catches DuckDB HUGEINT (bare SUM(int)) vs Spark
+    # bigint, which the driver's value hash flags even with identical values
+    sdtypes = dict(sdf.dtypes)
+    for col, dtype in zip(dcols, ddtypes):
+        dt, st = _duck_type_tag(dtype), _spark_type_tag(sdtypes[col])
+        assert dt == st, (
+            f"{name}.{col}: oracle type {dtype} ({dt}) vs spark "
+            f"{sdtypes[col]} ({st}) — cast the oracle SUM to BIGINT")
     assert len(sc) == len(dc), f"{name}: row count {len(sc)} != {len(dc)}"
     mismatches = [i for i, (a, b) in enumerate(zip(sc, dc)) if a != b]
     assert not mismatches, (
@@ -81,9 +121,11 @@ def test_entry_smoke(spark):
 
 def test_ivf_recall_vs_bruteforce(spark):
     """IVF ANN must recover most of the brute-force top-10 (it probes
-    4/16 cells, so it is approximate — recall, not equality)."""
+    4/16 cells, so it is approximate — recall, not equality). The floor
+    is 0.8, reachable since the Lloyd-refined centroids (N_IVF_ITERS
+    k-means steps over the deterministic seed) replaced raw seeding."""
     from ocr_spark.operators.corpus import sim_cosine_topk, sim_ivf_topk
     bf = {(r.query_id, r.cand_id) for r in sim_cosine_topk(spark, SF_DIR).collect()}
     ivf = {(r.query_id, r.cand_id) for r in sim_ivf_topk(spark, SF_DIR).collect()}
     recall = len(bf & ivf) / len(bf)
-    assert recall >= 0.5, f"IVF recall {recall:.2f} below floor"
+    assert recall >= 0.8, f"IVF recall {recall:.2f} below floor"

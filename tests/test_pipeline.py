@@ -119,6 +119,40 @@ def test_run_extract_job_and_resume(spark, tmp_path):
     assert final.count() == t.count()  # still exactly one row per turn
 
 
+def test_resume_replaces_orphan_buckets(spark, tmp_path):
+    """Crash-recovery contract: if a run crashes after the parquet data
+    commit but before the manifest commit, those buckets are orphans —
+    data present, no manifest row. resume=True must REPLACE them via
+    dynamic partition overwrite, not append duplicates (mode('append')
+    here doubled every orphan row: 476 in → 952 out)."""
+    import shutil
+    from ocr_spark.pipeline.extract import MANIFEST_SCHEMA
+    out = str(tmp_path / "crash")
+    t = synthesize_transcripts(spark, 40, 4)
+    n = t.count()
+    m1 = run_extract_job(spark, t, out, run_id="r1", salt_partitions=4,
+                         n_buckets=8)
+    assert m1["rows_out"] == n
+
+    # simulate the crash for half the buckets: keep their data, drop
+    # their manifest rows
+    mdir = m1["manifest"]
+    rows = spark.read.parquet(mdir).collect()
+    kept = [r for r in rows if r.bucket % 2 == 0]
+    assert 0 < len(kept) < len(rows)
+    shutil.rmtree(mdir)
+    spark.createDataFrame(kept, MANIFEST_SCHEMA).write.parquet(mdir)
+
+    m2 = run_extract_job(spark, t, out, run_id="r2", resume=True,
+                         salt_partitions=4, n_buckets=8)
+    final = spark.read.parquet(m1["output"])
+    assert final.count() == n, "orphan buckets must be replaced, not appended"
+    # completed buckets were skipped, orphans re-committed under r2
+    assert m2["buckets_skipped"] == len({r.bucket for r in kept})
+    manifest = spark.read.parquet(mdir)
+    assert manifest.select("bucket").distinct().count() == 8
+
+
 def test_salting_splits_hot_conversations(spark):
     """The salt key (conv_id, turn_idx//64) must spread a hot
     conversation's turns over many partitions, while plain conv_id
