@@ -607,17 +607,22 @@ def tb_parse_text_payload(source_name: str, text: str,
 # Registry
 # ---------------------------------------------------------------------------
 
-PARSER_IDS = ("doc_parser_json", "generic_markdown", "text_block")
+PARSER_IDS = ("doc_parser_json", "generic_markdown", "text_block",
+              "readability_html")
 
 
 def detect_parser(ext: str, text: str) -> tuple[str | None, float, dict[str, float]]:
     """ParserRegistry::detectParser — argmax with strict '>' so the earlier-
     registered parser wins ties; threshold MIN_CONFIDENCE
     (ParserRegistry.php:115-148). Returns (parser_id|None, confidence, scores)."""
+    from .readability import rb_can_parse
     scores = {
         "doc_parser_json": doc_can_parse(ext, text),
         "generic_markdown": gm_can_parse(ext, text),
         "text_block": tb_can_parse(ext, text),
+        # north-star extension: generic HTML pages (no reference analog —
+        # the reference only ever sees invoice payloads)
+        "readability_html": rb_can_parse(ext, text),
     }
     best_id, best = None, 0.0
     for pid in PARSER_IDS:
@@ -650,6 +655,8 @@ def parse_payload(parser_id: str, ext: str, source_name: str, text: str,
         if inv and inv["items"]:
             return [normalize_invoice(inv, parser_id)]
         return []
+    # readability_html emits no invoice records — its output surface is
+    # clean_text + content spans, handled in extract_turn
     return []
 
 
@@ -664,7 +671,14 @@ def extract_turn(ext: str, source_name: str, text: str) -> dict:
     spans: list = []
     invoices = parse_payload(parser_id, ext, source_name, text, spans) if parser_id else []
 
-    if ext == "json":
+    if parser_id == "readability_html":
+        # north-star surface: boilerplate-stripped main content + raw-
+        # offset spans (kernels/readability.py Arc90-style scoring)
+        from .readability import extract_main_content
+        main = extract_main_content(text)
+        clean_text = main["text"]
+        spans.extend(main["spans"])
+    elif ext == "json":
         doc = decode_json(text)
         blocks = _blocks_of(normalize_root(doc)) if doc is not None else []
         clean_text = "\n".join(doc_collect_text_blocks(blocks))

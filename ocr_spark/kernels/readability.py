@@ -1,0 +1,275 @@
+"""Arc90/readability-style main-content extraction for generic HTML payloads.
+
+The north-star surface (BASELINE.json north_star): strip boilerplate from
+HTML turn payloads via text-density + link-density scoring over a
+lightweight tag tree, emitting cleaned main-content text plus character
+span offsets into the RAW payload. The reference repo has no HTML-page
+parser (its four payload shapes are invoice files); this kernel extends
+the same ``extract_turn`` contract to web-page-like payloads, following
+the published Arc90 readability heuristic:
+
+1. build a tag tree, keeping per-node direct text runs with raw offsets;
+2. give container nodes a prior by tag (+5 div, +3 pre/td/blockquote,
+   -3 list/form/address, -5 headings/th) and ±25 by class/id hints;
+3. every paragraph-ish node with >= 25 chars of text votes
+   ``1 + commas + min(len/100, 3)`` for its parent and half for its
+   grandparent;
+4. candidate score *= (1 - link_density); highest score wins, first in
+   document order on ties;
+5. the winner's descendant text runs become clean_text (whitespace
+   collapsed) and the ("content", start, end) spans.
+
+Deterministic, pure-Python, no DOM library — runs inside the same
+Arrow-batched extraction stage as the invoice kernels.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+from .php import collapse_ws, php_trim
+
+_POSITIVE_RE = re.compile(
+    r"article|body|content|entry|main|page|post|story|text|blog", re.I)
+_NEGATIVE_RE = re.compile(
+    r"banner|combx|comment|contact|foot|masthead|media|menu|meta|nav|"
+    r"promo|related|scroll|shoutbox|sidebar|sponsor|shopping|tags|"
+    r"tool|widget|advert|\bad\b", re.I)
+
+_SCORE_BY_TAG = {
+    "div": 5, "article": 5, "section": 5, "main": 5,
+    "pre": 3, "td": 3, "blockquote": 3,
+    "address": -3, "ol": -3, "ul": -3, "dl": -3, "dd": -3, "dt": -3,
+    "li": -3, "form": -3,
+    "h1": -5, "h2": -5, "h3": -5, "h4": -5, "h5": -5, "h6": -5, "th": -5,
+}
+
+_PARAGRAPH_TAGS = {"p", "pre", "td"}
+
+_SKIP_CONTENT_TAGS = {"script", "style", "noscript", "template"}
+
+_VOID_TAGS = {
+    "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
+    "meta", "param", "source", "track", "wbr",
+}
+
+# tags whose open implicitly closes an open <p> (the subset of the HTML5
+# tree-construction rule the heuristic needs)
+_P_CLOSERS = {"p", "div", "table", "ul", "ol", "blockquote", "pre",
+              "h1", "h2", "h3", "h4", "h5", "h6", "section", "article",
+              "footer", "header", "nav", "aside", "main", "form"}
+
+
+class _Node:
+    __slots__ = ("tag", "attrs", "parent", "children", "texts", "score",
+                 "order")
+
+    def __init__(self, tag, attrs, parent, order):
+        self.tag = tag
+        self.attrs = attrs
+        self.parent = parent
+        self.children: list[_Node] = []
+        # direct text runs: (start, end, decoded_text); offsets into raw html
+        self.texts: list[tuple[int, int, str]] = []
+        self.score: float = 0.0
+        self.order = order
+
+
+class _TreeBuilder(HTMLParser):
+    """Offset-preserving lightweight tree. convert_charrefs=False so every
+    handle_data chunk maps 1:1 onto a raw substring; entity/char refs are
+    appended as decoded one-char runs spanning their raw source."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=False)
+        self.root = _Node("#root", {}, None, 0)
+        self._cur = self.root
+        self._order = 0
+        self._line_starts: list[int] = []
+        self._skip_depth = 0
+
+    def feed_document(self, html: str):
+        starts, pos = [0], 0
+        while True:
+            nl = html.find("\n", pos)
+            if nl < 0:
+                break
+            starts.append(nl + 1)
+            pos = nl + 1
+        self._line_starts = starts
+        self.feed(html)
+        self.close()
+
+    def _abs(self) -> int:
+        line, col = self.getpos()
+        return self._line_starts[line - 1] + col
+
+    def handle_starttag(self, tag, attrs):
+        tag = tag.lower()
+        if self._skip_depth:
+            if tag in _SKIP_CONTENT_TAGS:
+                self._skip_depth += 1
+            return
+        if tag in _SKIP_CONTENT_TAGS:
+            self._skip_depth = 1
+            return
+        if tag in _VOID_TAGS:
+            return
+        if tag in _P_CLOSERS and self._cur.tag == "p":
+            self._cur = self._cur.parent or self.root
+        self._order += 1
+        node = _Node(tag, dict(attrs), self._cur, self._order)
+        self._cur.children.append(node)
+        self._cur = node
+
+    def handle_startendtag(self, tag, attrs):
+        pass
+
+    def handle_endtag(self, tag):
+        tag = tag.lower()
+        if self._skip_depth:
+            if tag in _SKIP_CONTENT_TAGS:
+                self._skip_depth -= 1
+            return
+        if tag in _VOID_TAGS:
+            return
+        # close the nearest open ancestor with this tag (tolerates
+        # misnesting the way browsers do for the block subset we keep)
+        n = self._cur
+        while n is not None and n.tag != tag:
+            n = n.parent
+        if n is not None:
+            self._cur = n.parent or self.root
+
+    def _add_text(self, raw_len: int, decoded: str):
+        start = self._abs()
+        self._cur.texts.append((start, start + raw_len, decoded))
+
+    def handle_data(self, data):
+        if self._skip_depth:
+            return
+        self._add_text(len(data), data)
+
+    def handle_entityref(self, name):
+        if self._skip_depth:
+            return
+        from html import unescape
+        self._add_text(len(name) + 2, unescape(f"&{name};"))
+
+    def handle_charref(self, name):
+        if self._skip_depth:
+            return
+        from html import unescape
+        self._add_text(len(name) + 3, unescape(f"&#{name};"))
+
+
+def _walk(node: _Node):
+    yield node
+    for c in node.children:
+        yield from _walk(c)
+
+
+def _runs_of(node: _Node) -> list[tuple[int, int, str]]:
+    """All descendant text runs in document order."""
+    runs = list(node.texts)
+    for c in node.children:
+        runs.extend(_runs_of(c))
+    runs.sort(key=lambda r: r[0])
+    return runs
+
+
+def _text_of(node: _Node) -> str:
+    return "".join(r[2] for r in _runs_of(node))
+
+
+def _link_len_of(node: _Node) -> int:
+    total = 0
+    for n in _walk(node):
+        if n.tag == "a":
+            total += len(php_trim(_text_of(n)))
+    return total
+
+
+def _class_weight(node: _Node) -> float:
+    w = 0.0
+    hint = f"{node.attrs.get('class') or ''} {node.attrs.get('id') or ''}"
+    if _NEGATIVE_RE.search(hint):
+        w -= 25
+    if _POSITIVE_RE.search(hint):
+        w += 25
+    return w
+
+
+def extract_main_content(html: str) -> dict:
+    """Run the scorer; returns {'text', 'spans', 'score', 'tag',
+    'link_density'}. text is the winner's whitespace-collapsed content;
+    spans are ("content", start, end) offsets of its non-blank text runs
+    in the raw html. Falls back to the whole document (strip-tags
+    equivalent) when nothing scores — e.g. a page with no paragraphs."""
+    tree = _TreeBuilder()
+    tree.feed_document(html)
+
+    candidates: dict[int, _Node] = {}
+
+    def _ensure(node: _Node):
+        if node.order not in candidates:
+            node.score = (_SCORE_BY_TAG.get(node.tag, 0)
+                          + _class_weight(node))
+            candidates[node.order] = node
+
+    for node in _walk(tree.root):
+        if node.tag not in _PARAGRAPH_TAGS:
+            continue
+        text = php_trim(collapse_ws(_text_of(node)))
+        if len(text) < 25:
+            continue
+        votes = (1 + text.count(",") + text.count("，")
+                 + min(len(text) // 100, 3))
+        parent = node.parent
+        if parent is not None and parent.tag != "#root":
+            _ensure(parent)
+            parent.score += votes
+        grand = parent.parent if parent is not None else None
+        if grand is not None and grand.tag != "#root":
+            _ensure(grand)
+            grand.score += votes / 2.0
+
+    best, best_score, best_ld = None, 0.0, 0.0
+    for order in sorted(candidates):
+        node = candidates[order]
+        text_len = len(php_trim(collapse_ws(_text_of(node))))
+        if text_len == 0:
+            continue
+        ld = min(1.0, _link_len_of(node) / text_len)
+        final = node.score * (1.0 - ld)
+        if best is None or final > best_score:
+            best, best_score, best_ld = node, final, ld
+
+    if best is None:
+        best, best_score, best_ld = tree.root, 0.0, 0.0
+
+    runs = [(s, e, t) for (s, e, t) in _runs_of(best) if php_trim(t)]
+    return {
+        "text": php_trim(collapse_ws("".join(r[2] for r in _runs_of(best)))),
+        "spans": [("content", s, e) for (s, e, _) in runs],
+        "score": best_score,
+        "tag": best.tag,
+        "link_density": best_ld,
+    }
+
+
+_HTML_HINT_RE = re.compile(
+    r"<(?:html|body|div|article|section|main|nav|aside)\b", re.I)
+
+
+def rb_can_parse(ext: str, text: str) -> float:
+    """Detection score for the readability payload kind: generic HTML
+    pages (block-level markup present). Invoice JSON/markdown/text
+    payloads keep routing to the reference's parsers — this kind only
+    claims what they never could."""
+    if ext == "html":
+        return 0.9
+    if ext == "txt" and _HTML_HINT_RE.search(text or ""):
+        return 0.6
+    return 0.0

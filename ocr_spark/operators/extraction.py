@@ -197,6 +197,78 @@ ORDER BY reference_no, date
 """
 
 
+def _html_transcripts_from_documents(spark, sf_dir):
+    """Generic-web-page payloads (north_star): each document's text becomes
+    the article body of a boilerplate-wrapped HTML page — nav, sidebar,
+    footer chrome around a content div. The readability kernel must
+    recover exactly the article."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    payload = F.concat(
+        F.lit('<html><body>\n'
+              '<nav class="nav"><a href="/">Home</a> <a href="/a">About</a> '
+              '<a href="/c">Contact</a></nav>\n'
+              '<div class="sidebar"><ul><li><a href="/r1">Related article one'
+              '</a></li><li><a href="/r2">Related article two</a></li></ul>'
+              '</div>\n<div class="content">\n<h1>Document '),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1>\n<p>"),
+        F.substring(F.col("text"), 1, 200),
+        F.lit("</p>\n<p>Document "),
+        F.col("doc_id").cast("string"),
+        F.lit(" from source "),
+        F.col("source"),
+        F.lit(" has "),
+        F.col("n_chars").cast("string"),
+        F.lit(" characters of content, restated here, with commas, for "
+              "density.</p>\n</div>\n"
+              '<footer class="footer">Copyright 2026 Example Corp. '
+              "All rights reserved.</footer>\n</body></html>"),
+    )
+    return docs.select(
+        F.format_string("conv-%06d", F.col("doc_id") % 50).alias("conv_id"),
+        (F.col("doc_id") % 1000).cast("int").alias("turn_idx"),
+        F.lit("assistant").alias("role"),
+        payload.alias("text"),
+        F.lit("html").alias("tool"),
+        F.timestamp_seconds(F.lit(1735689600) + F.col("doc_id")).alias("ts"),
+    )
+
+
+def extract_html_readability(spark, sf_dir):
+    """North-star boilerplate strip, end-to-end and oracle-paired: HTML
+    pages synthesized from documents run through the full extraction
+    pipeline; the emitted clean_text must be EXACTLY the article content
+    (title + both paragraphs, whitespace-collapsed) with nav/sidebar/
+    footer chrome stripped — which DuckDB can re-derive from the
+    documents table as a pure string expression. n_spans counts the
+    content text runs (title + 2 paragraphs)."""
+    from ..pipeline.extract import extract_turns
+    t = _html_transcripts_from_documents(spark, sf_dir)
+    e = extract_turns(t, salt_partitions=None)
+    return (
+        e.select("conv_id", "turn_idx", "source_kind",
+                 F.col("clean_text"),
+                 F.size("spans").alias("n_spans"))
+        .orderBy("conv_id", "turn_idx", "clean_text")
+    )
+
+
+EXTRACT_HTML_SQL = """
+SELECT printf('conv-%06d', doc_id % 50) AS conv_id,
+       CAST(doc_id % 1000 AS INTEGER) AS turn_idx,
+       'readability_html' AS source_kind,
+       'Document ' || CAST(doc_id AS VARCHAR) || ' ' ||
+         trim(regexp_replace(substring(text, 1, 200), '\\s+', ' ', 'g')) ||
+         ' Document ' || CAST(doc_id AS VARCHAR) || ' from source ' || source ||
+         ' has ' || CAST(n_chars AS VARCHAR) ||
+         ' characters of content, restated here, with commas, for density.'
+         AS clean_text,
+       3 AS n_spans
+FROM documents
+ORDER BY conv_id, turn_idx, clean_text
+"""
+
+
 def conv_assemble(spark, sf_dir):
     """Conversation assembly under stable turn ordering (W1/north_rule):
     per conv_id, concatenate turn texts ordered by (turn_idx, ts) into
@@ -266,6 +338,7 @@ def extract_conversations_q(spark, sf_dir):
 QUERIES = {
     "conv_assemble": (conv_assemble, CONV_ASSEMBLE_SQL),
     "import_sales": (import_sales, IMPORT_SALES_SQL),
+    "extract_html_readability": (extract_html_readability, EXTRACT_HTML_SQL),
     "extract_conversations": (extract_conversations_q, None),
     "extract_documents": (extract_documents, None),
     "extract_synthetic": (extract_synthetic, None),

@@ -513,6 +513,80 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 
 # ---------------------------------------------------------------------------
+# T26 — LLM-reply JSON extraction cascade
+# ---------------------------------------------------------------------------
+
+def t26_llm_json_cascade(spark, sf_dir):
+    """T26 (LlmAssistedParser.php:306-329): direct json parse → ```json
+    fenced block → greedy {...} match. Replies synthesized from
+    events.props in four deterministic shapes (bare / fenced / prose-
+    wrapped / no-json), cascade applied in an Arrow-batched kernel stage
+    (kernels/llmreply.py). ok flags an object/array winner; k is the
+    extracted payload field."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.col("event_id") % 4
+    reply = (
+        F.when(m == 0, F.col("props"))
+        .when(m == 1, F.concat(F.lit("Here is the result:\n```json\n"),
+                               F.col("props"), F.lit("\n```")))
+        .when(m == 2, F.concat(F.lit("The extracted data is "),
+                               F.col("props"), F.lit(" as requested.")))
+        .otherwise(F.lit("no json here, sorry")))
+    src = ev.select("event_id", reply.alias("reply"))
+
+    def _stage(batches):
+        import pandas as pd
+
+        from ..kernels.llmreply import extract_json_from_reply
+
+        for pdf in batches:
+            oks, ks = [], []
+            for r in pdf["reply"]:
+                j = extract_json_from_reply(r or "")
+                ok = isinstance(j, (dict, list))
+                oks.append(1 if ok else 0)
+                k = j.get("k") if isinstance(j, dict) else None
+                ks.append(None if k is None else int(k))
+            yield pd.DataFrame({"event_id": pdf["event_id"],
+                                "ok": oks, "k": ks})
+
+    return (src.mapInPandas(_stage, "event_id long, ok int, k int")
+            .orderBy("event_id"))
+
+
+T26_SQL = """
+WITH r AS (
+  SELECT event_id,
+         CASE CAST(event_id % 4 AS INTEGER)
+           WHEN 0 THEN props
+           WHEN 1 THEN 'Here is the result:' || chr(10) || '```json' ||
+                       chr(10) || props || chr(10) || '```'
+           WHEN 2 THEN 'The extracted data is ' || props || ' as requested.'
+           ELSE 'no json here, sorry' END AS reply
+  FROM events
+),
+parsed AS (
+  SELECT event_id,
+         CASE
+           WHEN json_valid(reply) THEN reply
+           WHEN json_valid(trim(regexp_extract(reply,
+                  '```(?:json)?\\s*\\n?([\\s\\S]*?)\\n?```', 1)))
+             THEN trim(regexp_extract(reply,
+                  '```(?:json)?\\s*\\n?([\\s\\S]*?)\\n?```', 1))
+           WHEN json_valid(regexp_extract(reply, '\\{[\\s\\S]*\\}', 0))
+             THEN regexp_extract(reply, '\\{[\\s\\S]*\\}', 0)
+           ELSE NULL END AS j
+  FROM r
+)
+SELECT event_id,
+       CASE WHEN j IS NOT NULL AND json_type(j) IN ('OBJECT', 'ARRAY')
+            THEN 1 ELSE 0 END AS ok,
+       CAST(json_extract(j, '$.k') AS INTEGER) AS k
+FROM parsed ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # T1 — cleanString
 # ---------------------------------------------------------------------------
 
@@ -762,4 +836,5 @@ QUERIES = {
     "t19_code_gen": (t19_code_gen, T19_SQL),
     "t21_slug": (t21_slug, T21_SQL),
     "t23_split_explode": (t23_split_explode, T23_SQL),
+    "t26_llm_json_cascade": (t26_llm_json_cascade, T26_SQL),
 }

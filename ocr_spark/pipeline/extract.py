@@ -107,6 +107,8 @@ def _ext_for(tool: str, text: str) -> str:
         return "json"
     if tool == "markdown":
         return "md"
+    if tool == "html":
+        return "html"
     return "txt"
 
 

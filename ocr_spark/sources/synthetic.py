@@ -202,11 +202,36 @@ _CHATTER = [
 ]
 
 
+def _html_page(h: int) -> str:
+    """Generic boilerplate-wrapped web page (north-star payload kind):
+    nav/sidebar/footer chrome around an article div. Deterministic in h."""
+    w1, _ = _EN_ITEMS[h % len(_EN_ITEMS)]
+    w2, _ = _EN_ITEMS[(h >> 3) % len(_EN_ITEMS)]
+    return (
+        '<html><body>\n'
+        '<nav class="nav"><a href="/">Home</a> <a href="/d">Docs</a> '
+        '<a href="/c">Contact</a></nav>\n'
+        '<div class="sidebar"><ul><li><a href="/p1">Previous page link</a>'
+        '</li><li><a href="/p2">Next page link</a></li></ul></div>\n'
+        '<div class="content">\n'
+        f'<h1>Field report {h % 9973}</h1>\n'
+        f'<p>The {w1} shipment arrived on schedule, was counted, checked, '
+        f'and moved to the floor without incident this week.</p>\n'
+        f'<p>Meanwhile the {w2} line ran at {50 + h % 50} percent capacity, '
+        f'which, given the season, the team considered acceptable.</p>\n'
+        '</div>\n'
+        '<footer class="footer">Copyright 2026 Example Corp. All rights '
+        'reserved.</footer>\n</body></html>'
+    )
+
+
 def payload_for(conv_id: str, turn_idx: int, seed: int = 42) -> tuple[str, str, str]:
     """(role, text, tool) for one turn — pure function of the key."""
     h = _h(seed, conv_id, turn_idx)
     role = ("user", "assistant", "tool")[turn_idx % 3]
-    # every other turn is a document payload; rest are chatter
+    # every other turn is a document payload; rest are chatter, except a
+    # deterministic slice that carries a generic web page (the north-star
+    # readability payload kind — no invoice inside, chrome to strip)
     if turn_idx % 2 == 1:
         shape = h % 4
         if shape == 0:
@@ -216,6 +241,8 @@ def payload_for(conv_id: str, turn_idx: int, seed: int = 42) -> tuple[str, str, 
         if shape == 2:
             return role, _markdown_pipe_table(h), "markdown"
         return role, _plain_text(h), ""
+    if h % 5 == 0:
+        return role, _html_page(h), "html"
     return role, _CHATTER[h % len(_CHATTER)], ""
 
 

@@ -260,3 +260,156 @@ def test_t6_infer_column_type():
     assert infer_column_type(rows, 0) == "qty"
     assert infer_column_type(rows, 1) == "total"
     assert infer_column_type(rows, 2) == "name"
+
+
+class TestT26LlmReplyCascade:
+    """T26 (LlmAssistedParser.php:306-345): JSON-from-reply cascade."""
+
+    def _x(self, reply):
+        from ocr_spark.kernels.llmreply import extract_json_from_reply
+        return extract_json_from_reply(reply)
+
+    def test_direct_parse(self):
+        assert self._x('{"a": 1}') == {"a": 1}
+        assert self._x('[1, 2]') == [1, 2]
+
+    def test_scalar_stops_cascade(self):
+        # PHP json_decode('"42"') succeeds with a scalar, so the fence /
+        # brace stages never run — even if the reply contains one
+        assert self._x('42') == 42
+
+    def test_fenced_block(self):
+        assert self._x('Sure!\n```json\n{"a": 2}\n```\ndone') == {"a": 2}
+        assert self._x('```\n{"a": 3}\n```') == {"a": 3}  # bare fence
+
+    def test_greedy_brace(self):
+        assert self._x('The result is {"a": 4} ok') == {"a": 4}
+        # greedy: first '{' to LAST '}' — matches the reference regex,
+        # so trailing junk containing '}' breaks the parse
+        assert self._x('x {"a": 5} y {"b"} z') is None
+
+    def test_no_json(self):
+        assert self._x('no json here, sorry') is None
+        assert self._x('null') is None  # literal null continues and fails
+
+    def test_fence_wins_over_brace(self):
+        got = self._x('{"broken": \n```json\n{"a": 6}\n```')
+        assert got == {"a": 6}
+
+    def test_parse_reply_record(self):
+        from ocr_spark.kernels.llmreply import llm_parse_reply
+        rec = llm_parse_reply(
+            '```json\n{"supplier_name": "Acme", "declared_total": "ignored?",'
+            '"items": [{"name": "Widget", "qty": 0, "unit_price": 2.5},'
+            '{"description": "no name or code"}]}\n```'
+            .replace('"ignored?"', "30.0"), "f.json")
+        assert rec["supplier_name"] == "Acme"
+        assert rec["declared_total"] == 30.0
+        assert rec["metadata"] == {"parser": "llm_assisted"}
+        # normalizeItems: nameless+codeless item dropped; qty<=0 -> 1;
+        # total filled from qty*unit_price; calc from RAW totals (0 here)
+        assert len(rec["items"]) == 1
+        it = rec["items"][0]
+        assert (it["qty"], it["unit_price"], it["total"]) == (1.0, 2.5, 2.5)
+        assert rec["calc_total"] == 0.0
+
+    def test_parse_reply_rejects_non_object(self):
+        from ocr_spark.kernels.llmreply import llm_parse_reply
+        assert llm_parse_reply("42", "f.json") is None
+        assert llm_parse_reply("plain prose", "f.json") is None
+
+
+class TestReadability:
+    """North-star boilerplate strip (kernels/readability.py): Arc90-style
+    text-density + link-density scoring over generic HTML pages."""
+
+    PAGE = (
+        '<html><head><title>T</title><style>p{color:red}</style>'
+        '<script>var x=1;</script></head><body>\n'
+        '<nav class="nav"><a href="/">Home</a> <a href="/x">About</a> '
+        '<a href="/y">Contact</a></nav>\n'
+        '<div class="sidebar"><ul><li><a href="/1">Link one here</a></li>'
+        '<li><a href="/2">Link two there</a></li></ul></div>\n'
+        '<div class="content" id="main">\n<h1>The Article Title</h1>\n'
+        '<p>This is the first paragraph of the actual article, with enough '
+        'commas, text, and length to vote properly.</p>\n'
+        '<p>The second paragraph continues the main content, adding more '
+        'prose so the density score rises again.</p>\n</div>\n'
+        '<footer class="footer">Copyright 2026 Example Corp. All rights '
+        'reserved. Terms. Privacy.</footer>\n</body></html>')
+
+    def _x(self, html):
+        from ocr_spark.kernels.readability import extract_main_content
+        return extract_main_content(html)
+
+    def test_strips_boilerplate(self):
+        r = self._x(self.PAGE)
+        assert r["tag"] == "div"
+        assert r["text"].startswith("The Article Title This is the first")
+        for junk in ("Home", "About", "Link one", "Copyright", "var x"):
+            assert junk not in r["text"]
+
+    def test_spans_index_raw_html(self):
+        """Every span must slice the RAW payload back to the text run the
+        clean text was built from (the north_rule offsets contract)."""
+        r = self._x(self.PAGE)
+        assert len(r["spans"]) == 3  # h1 + two <p>
+        joined = " ".join(self.PAGE[s:e].strip() for (_, s, e) in r["spans"])
+        import re
+        assert re.sub(r"\s+", " ", joined) == r["text"]
+
+    def test_link_density_demotes(self):
+        """A link-farm div with MORE text than the article must still lose:
+        its link density zeroes the score."""
+        links = "".join(
+            f'<p><a href="/{i}">This is a long spammy link row number {i}, '
+            f'with commas, filler text</a></p>' for i in range(8))
+        page = (f'<html><body><div class="wrap">{links}</div>'
+                '<div><p>Short real article paragraph, just long enough to '
+                'vote, with text.</p></div></body></html>')
+        r = self._x(page)
+        assert r["text"].startswith("Short real article")
+
+    def test_class_hints(self):
+        """±25 class/id weights: identical structure, the 'content' id
+        beats the 'comment' class."""
+        p = ('<p>Equal paragraph content with enough words, commas, and '
+             'length to vote for its parent.</p>')
+        page = (f'<html><body><div class="comment">{p}</div>'
+                f'<div id="content">{p}</div></body></html>')
+        r = self._x(page)
+        assert r["tag"] == "div"
+        assert r["score"] > 25  # the +25 id bonus decided it
+
+    def test_fallback_whole_document(self):
+        """No paragraph votes → whole-document fallback (strip-tags
+        equivalent), never an empty result."""
+        r = self._x("<html><body><span>tiny</span></body></html>")
+        assert r["text"] == "tiny"
+
+    def test_entity_spans(self):
+        page = ('<html><body><div><p>Ampersand &amp; entity paragraph, '
+                'padded with plenty of words, commas, to vote.</p></div>'
+                '</body></html>')
+        r = self._x(page)
+        assert "Ampersand & entity" in r["text"]
+        # the entity's span covers its raw '&amp;' source
+        raws = [page[s:e] for (_, s, e) in r["spans"]]
+        assert "&amp;" in raws
+
+    def test_detection_routes_html(self):
+        from ocr_spark.kernels.parsers import detect_parser
+        pid, conf, _ = detect_parser("html", self.PAGE)
+        assert pid == "readability_html" and conf >= 0.3
+        # invoice payloads keep their parsers
+        pid2, _, _ = detect_parser("md", "| a | b |\n|---|---|\n| 1 | 2 |\n"
+                                   "invoice no: X\n合计：10.00")
+        assert pid2 != "readability_html"
+
+    def test_extract_turn_html_kind(self):
+        from ocr_spark.kernels.parsers import extract_turn
+        res = extract_turn("html", "c_1.html", self.PAGE)
+        assert res["source_kind"] == "readability_html"
+        assert res["invoices"] == []
+        assert res["clean_text"].startswith("The Article Title")
+        assert all(f == "content" for (f, _, _) in res["spans"])
