@@ -608,21 +608,24 @@ def tb_parse_text_payload(source_name: str, text: str,
 # ---------------------------------------------------------------------------
 
 PARSER_IDS = ("doc_parser_json", "generic_markdown", "text_block",
-              "readability_html")
+              "readability_html", "pdf_layout")
 
 
 def detect_parser(ext: str, text: str) -> tuple[str | None, float, dict[str, float]]:
     """ParserRegistry::detectParser — argmax with strict '>' so the earlier-
     registered parser wins ties; threshold MIN_CONFIDENCE
     (ParserRegistry.php:115-148). Returns (parser_id|None, confidence, scores)."""
+    from .pdftext import pdf_can_parse
     from .readability import rb_can_parse
     scores = {
         "doc_parser_json": doc_can_parse(ext, text),
         "generic_markdown": gm_can_parse(ext, text),
         "text_block": tb_can_parse(ext, text),
-        # north-star extension: generic HTML pages (no reference analog —
-        # the reference only ever sees invoice payloads)
+        # north-star extensions: generic HTML pages and PDF byte streams
+        # (no reference analog — the reference only ever sees invoice
+        # payloads and OCR-service JSON)
         "readability_html": rb_can_parse(ext, text),
+        "pdf_layout": pdf_can_parse(ext, text),
     }
     best_id, best = None, 0.0
     for pid in PARSER_IDS:
@@ -678,6 +681,13 @@ def extract_turn(ext: str, source_name: str, text: str) -> dict:
         main = extract_main_content(text)
         clean_text = main["text"]
         spans.extend(main["spans"])
+    elif parser_id == "pdf_layout":
+        # north-star surface: layout-aware PDF extraction with block/
+        # line/span reconstruction (kernels/pdftext.py)
+        from .pdftext import extract_pdf_layout
+        pdf = extract_pdf_layout(text)
+        clean_text = pdf["text"]
+        spans.extend(pdf["spans"])
     elif ext == "json":
         doc = decode_json(text)
         blocks = _blocks_of(normalize_root(doc)) if doc is not None else []

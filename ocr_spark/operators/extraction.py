@@ -269,6 +269,70 @@ ORDER BY conv_id, turn_idx, clean_text
 """
 
 
+def _pdf_transcripts_from_documents(spark, sf_dir):
+    """Minimal uncompressed PDF payloads (north_star PDF byte-stream
+    path): a 16pt title line and a two-line 12pt body paragraph carrying
+    the document's text, laid out with Td/TD moves so the kernel's
+    block/line reconstruction has real geometry to recover."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p1 = F.trim(F.substring(F.col("text"), 1, 60))
+    p2 = F.trim(F.substring(F.col("text"), 61, 60))
+    payload = F.concat(
+        F.lit("%PDF-1.4\n1 0 obj << /Type /Page >> endobj\n"
+              "4 0 obj << /Length 0 >> stream\n"
+              "BT /F1 16 Tf 72 720 Td (Document "),
+        F.col("doc_id").cast("string"),
+        F.lit(" report) Tj ET\nBT /F1 12 Tf 72 690 Td ("),
+        p1,
+        F.lit(") Tj 0 -14 TD ("),
+        p2,
+        F.lit(") Tj ET\nendstream endobj\n%%EOF"),
+    )
+    return docs.select(
+        F.format_string("conv-%06d", F.col("doc_id") % 50).alias("conv_id"),
+        (F.col("doc_id") % 1000).cast("int").alias("turn_idx"),
+        F.lit("tool").alias("role"),
+        payload.alias("text"),
+        F.lit("pdf").alias("tool"),
+        F.timestamp_seconds(F.lit(1735689600) + F.col("doc_id")).alias("ts"),
+    )
+
+
+def extract_pdf_layout_q(spark, sf_dir):
+    """North-star PDF path, end-to-end and oracle-paired: synthesized PDF
+    byte streams through the full extraction pipeline; clean_text must be
+    exactly title-block + body-block (blocks split on the Y gap, lines
+    stacked by leading), which DuckDB re-derives as a string expression.
+    n_spans = the three shown strings, offset into the raw payload."""
+    from ..pipeline.extract import extract_turns
+    t = _pdf_transcripts_from_documents(spark, sf_dir)
+    e = extract_turns(t, salt_partitions=None)
+    return (
+        e.select("conv_id", "turn_idx", "source_kind", "clean_text",
+                 F.size("spans").alias("n_spans"))
+        .orderBy("conv_id", "turn_idx", "clean_text")
+    )
+
+
+EXTRACT_PDF_SQL = """
+-- a document shorter than 61 chars yields an empty second line, which
+-- the kernel drops entirely (empty show strings emit no span): the
+-- body block then has one line and one fewer span
+SELECT printf('conv-%06d', doc_id % 50) AS conv_id,
+       CAST(doc_id % 1000 AS INTEGER) AS turn_idx,
+       'pdf_layout' AS source_kind,
+       'Document ' || CAST(doc_id AS VARCHAR) || ' report' ||
+         chr(10) || chr(10) || trim(substring(text, 1, 60)) ||
+         CASE WHEN trim(substring(text, 61, 60)) = '' THEN ''
+              ELSE chr(10) || trim(substring(text, 61, 60)) END
+         AS clean_text,
+       CASE WHEN trim(substring(text, 61, 60)) = '' THEN 2 ELSE 3 END
+         AS n_spans
+FROM documents
+ORDER BY conv_id, turn_idx, clean_text
+"""
+
+
 def conv_assemble(spark, sf_dir):
     """Conversation assembly under stable turn ordering (W1/north_rule):
     per conv_id, concatenate turn texts ordered by (turn_idx, ts) into
@@ -339,6 +403,7 @@ QUERIES = {
     "conv_assemble": (conv_assemble, CONV_ASSEMBLE_SQL),
     "import_sales": (import_sales, IMPORT_SALES_SQL),
     "extract_html_readability": (extract_html_readability, EXTRACT_HTML_SQL),
+    "extract_pdf_layout": (extract_pdf_layout_q, EXTRACT_PDF_SQL),
     "extract_conversations": (extract_conversations_q, None),
     "extract_documents": (extract_documents, None),
     "extract_synthetic": (extract_synthetic, None),

@@ -109,6 +109,8 @@ def _ext_for(tool: str, text: str) -> str:
         return "md"
     if tool == "html":
         return "html"
+    if tool == "pdf" or text.startswith("%PDF-"):
+        return "pdf"
     return "txt"
 
 

@@ -202,6 +202,22 @@ _CHATTER = [
 ]
 
 
+def _pdf_page(h: int) -> str:
+    """Minimal uncompressed PDF byte stream (north-star payload kind):
+    a title line and a two-line body with real Td/TD geometry."""
+    w1, _ = _EN_ITEMS[h % len(_EN_ITEMS)]
+    w2, _ = _EN_ITEMS[(h >> 5) % len(_EN_ITEMS)]
+    return (
+        "%PDF-1.4\n1 0 obj << /Type /Page >> endobj\n"
+        "4 0 obj << /Length 0 >> stream\n"
+        f"BT /F1 16 Tf 72 720 Td (Shipment note {h % 9973}) Tj ET\n"
+        f"BT /F1 12 Tf 72 690 Td (The {w1} cartons were received and "
+        "logged at the dock.) Tj\n"
+        f"0 -14 TD (Storage row {h % 40} now holds the {w2} overflow.) "
+        "Tj ET\nendstream endobj\n%%EOF"
+    )
+
+
 def _html_page(h: int) -> str:
     """Generic boilerplate-wrapped web page (north-star payload kind):
     nav/sidebar/footer chrome around an article div. Deterministic in h."""
@@ -243,6 +259,8 @@ def payload_for(conv_id: str, turn_idx: int, seed: int = 42) -> tuple[str, str, 
         return role, _plain_text(h), ""
     if h % 5 == 0:
         return role, _html_page(h), "html"
+    if h % 5 == 1:
+        return role, _pdf_page(h), "pdf"
     return role, _CHATTER[h % len(_CHATTER)], ""
 
 

@@ -413,3 +413,78 @@ class TestReadability:
         assert res["invoices"] == []
         assert res["clean_text"].startswith("The Article Title")
         assert all(f == "content" for (f, _, _) in res["spans"])
+
+
+class TestPdfLayout:
+    """North-star PDF byte-stream extraction (kernels/pdftext.py):
+    block/line/span reconstruction from content-stream geometry."""
+
+    def _pdf(self, content: bytes) -> bytes:
+        return (b'%PDF-1.4\n1 0 obj << >> endobj\n4 0 obj '
+                b'<< /Length 0 >> stream\n' + content +
+                b'\nendstream endobj\n%%EOF')
+
+    def _x(self, content: bytes):
+        from ocr_spark.kernels.pdftext import extract_pdf_layout
+        return extract_pdf_layout(self._pdf(content))
+
+    def test_blocks_lines_spans(self):
+        r = self._x(b'BT /F1 16 Tf 72 720 Td (Title Line) Tj ET\n'
+                    b'BT /F1 12 Tf 72 690 Td (Body one.) Tj '
+                    b'0 -14 TD (Body two.) Tj ET')
+        assert r["text"] == "Title Line\n\nBody one.\nBody two."
+        assert len(r["blocks"]) == 2
+        assert len(r["blocks"][1]["lines"]) == 2
+
+    def test_same_baseline_spans_order_by_x(self):
+        r = self._x(b'BT /F1 12 Tf 200 700 Td (right) Tj ET\n'
+                    b'BT /F1 12 Tf 72 700 Td (left) Tj ET')
+        assert r["text"] == "left right"
+        assert len(r["blocks"]) == 1
+
+    def test_tj_array_and_tm(self):
+        r = self._x(b'BT /F1 12 Tf 1 0 0 1 72 700 Tm '
+                    b'[(Ker) -40 (ned)] TJ ET')
+        assert r["text"] == "Ker ned"
+
+    def test_string_escapes_octal_hex(self):
+        r = self._x(rb'BT /F1 12 Tf 72 700 Td (paren \( and \) plus \101) Tj'
+                    rb' 0 -14 TD <48656C6C6F> Tj ET')
+        assert "paren ( and ) plus A" in r["text"]
+        assert "Hello" in r["text"]
+
+    def test_flate_stream_decodes(self):
+        import zlib
+        content = b'BT /F1 12 Tf 72 700 Td (compressed body text) Tj ET'
+        pdf = (b'%PDF-1.4\nstream\n' + zlib.compress(content) +
+               b'\nendstream\n%%EOF')
+        from ocr_spark.kernels.pdftext import extract_pdf_layout
+        r = extract_pdf_layout(pdf)
+        assert r["text"] == "compressed body text"
+        assert r["spans"] == []  # raw offsets don't exist for inflate
+
+    def test_spans_index_raw_payload(self):
+        content = (b'BT /F1 16 Tf 72 720 Td (First shown) Tj ET\n'
+                   b'BT /F1 12 Tf 72 600 Td (Second shown) Tj ET')
+        pdf = self._pdf(content)
+        from ocr_spark.kernels.pdftext import extract_pdf_layout
+        r = extract_pdf_layout(pdf)
+        raws = [pdf[s:e] for (_, s, e) in r["spans"]]
+        assert raws == [b'(First shown)', b'(Second shown)']
+
+    def test_prime_op_advances_line(self):
+        r = self._x(b"BT /F1 12 Tf 14 TL 72 700 Td (one) Tj (two) ' ET")
+        assert r["text"] == "one\ntwo"
+
+    def test_detection_and_extract_turn(self):
+        from ocr_spark.kernels.parsers import detect_parser, extract_turn
+        payload = self._pdf(
+            b'BT /F1 12 Tf 72 700 Td (hello pdf world) Tj ET'
+        ).decode("latin-1")
+        pid, conf, _ = detect_parser("pdf", payload)
+        assert pid == "pdf_layout" and conf >= 0.3
+        res = extract_turn("pdf", "c_1.pdf", payload)
+        assert res["source_kind"] == "pdf_layout"
+        assert res["clean_text"] == "hello pdf world"
+        assert res["invoices"] == []
+        assert all(f == "content" for (f, _, _) in res["spans"])

@@ -129,3 +129,72 @@ def test_ivf_recall_vs_bruteforce(spark):
     ivf = {(r.query_id, r.cand_id) for r in sim_ivf_topk(spark, SF_DIR).collect()}
     recall = len(bf & ivf) / len(bf)
     assert recall >= 0.8, f"IVF recall {recall:.2f} below floor"
+
+
+def test_lsh_degenerate_bucket_bounded_fanout(spark):
+    """A degenerate LSH bucket (here: 200 identical docs, one signature)
+    must NOT explode O(n²) pairs: above MAX_LSH_BUCKET the star pattern
+    emits exactly n-1 pairs per band, preserving cluster connectivity
+    with bounded fan-out. A small bucket still emits all pairs."""
+    from ocr_spark.operators import corpus as C
+
+    rows = ([(i, "the same boilerplate text repeated again and again here")
+             for i in range(200)]
+            + [(1000 + i, f"unique document number {i} with its own words "
+                          f"entirely distinct content {i * 7}")
+               for i in range(3)])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    import os
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        pairs = C.dd_minhash_lsh(spark, d).collect()
+    degenerate = [p for p in pairs if p.doc_a < 1000 and p.doc_b < 1000]
+    # star: every member pairs with doc 0 only -> n-1 pairs, all bands agree
+    assert len(degenerate) == 199
+    assert all(p.doc_a == 0 for p in degenerate)
+    assert all(p.n_band_collisions == C.N_BANDS for p in degenerate)
+
+
+def test_f4_gate_stable_under_partitioning(spark):
+    """The integer-cents tolerance gate must be bit-stable across
+    partition counts — the failure mode ROUND-of-double-sums has
+    (summation order flips the cent at edges under parallel partials)."""
+    from ocr_spark.operators.relational import f4_tolerance_gate
+    base = None
+    for parts in (1, 7, 32):
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        try:
+            got = sorted(map(tuple, f4_tolerance_gate(spark, SF_DIR).collect()))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+        if base is None:
+            base = got
+        assert got == base, f"gate flipped at shuffle.partitions={parts}"
+
+
+def test_w3_microsecond_gap_boundary(spark):
+    """Sub-second gap straddles must sessionize identically to the oracle:
+    299.9999s is one session, exactly 300.000000s splits (>= boundary)."""
+    import datetime as dt
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, t0, 1, "a", 0.0, "{}"),
+        (2, t0 + dt.timedelta(seconds=299, microseconds=999999), 1, "a", 0.0, "{}"),
+        (3, t0 + dt.timedelta(seconds=600), 1, "a", 0.0, "{}"),  # +300.000001
+        (4, t0 + dt.timedelta(seconds=900), 2, "a", 0.0, "{}"),
+        (5, t0 + dt.timedelta(seconds=1200), 2, "a", 0.0, "{}"),  # exactly 300
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    import os
+    import tempfile
+    from ocr_spark.operators.relational import w3_gap_sessionize
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        got = {r.user_id: (r.n_sessions, r.n_events)
+               for r in w3_gap_sessionize(spark, d).collect()}
+    assert got[1] == (2, 3)  # 299.9999 merges, 300.000001 splits
+    assert got[2] == (2, 2)  # exactly 300 splits (>= boundary)
