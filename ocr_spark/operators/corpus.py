@@ -837,6 +837,69 @@ def sim_ivf_topk(spark, sf_dir):
     )
 
 
+def dd_dup_clusters(spark, sf_dir):
+    """Duplicate CLUSTERS from candidate pairs: connected components via
+    iterative min-label propagation (the step after pair generation every
+    real dedup pipeline needs — pairs alone over-remove or under-remove;
+    the canonical keep-document must be per component).
+
+    Edges = exact-dup pairs (same normalized-text hash → keep_id edge,
+    the md5 grouping from dd_exact_dup) ∪ MinHash-LSH candidate pairs.
+    Labels start as doc_id; each iteration propagates min(label) across
+    edges (both directions) — one keyed shuffle per iteration, label
+    frame persisted between rounds, terminating when no label changed
+    (counted with one action). The LSH star-pattern cap bounds component
+    diameter, so convergence is 2-3 rounds, not O(n). Genuinely
+    iterative → rows-only driver check; pytest verifies against a
+    driver-side union-find at test scale."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    norm = F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    exact = (docs.withColumn("h", norm)
+             .withColumn("keep", F.min("doc_id").over(Window.partitionBy("h")))
+             .where(F.col("doc_id") != F.col("keep"))
+             .select(F.col("keep").alias("src"), F.col("doc_id").alias("dst")))
+    lsh = dd_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = (exact.unionByName(lsh)
+             .unionByName(exact.selectExpr("dst AS src", "src AS dst"))
+             .unionByName(lsh.selectExpr("dst AS src", "src AS dst"))
+             .distinct()
+             .persist())
+
+    # only edge-touched vertices can ever change label: singleton docs
+    # (the overwhelming majority of a real corpus) never enter the loop
+    labels = (edges.select(F.col("src").alias("doc_id")).distinct()
+              .withColumn("label", F.col("doc_id")).persist())
+    prev_sum = None
+    for _ in range(8):  # diameter bound; star-capped components are shallow
+        prop = (edges.join(labels, edges.src == labels.doc_id)
+                .groupBy(F.col("dst").alias("doc_id"))
+                .agg(F.min("label").alias("nbr_label")))
+        new_labels = (labels.join(prop, "doc_id", "left")
+                      .select("doc_id",
+                              F.least(F.col("label"),
+                                      F.coalesce("nbr_label", "label"))
+                              .alias("label"))
+                      .persist())
+        # labels only ever decrease → an unchanged sum means a fixpoint;
+        # one aggregate action per round, no self-join
+        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+
+    return (
+        labels.groupBy(F.col("label").alias("cluster_id"))
+        .agg(F.count("*").alias("n_docs"),
+             F.min("doc_id").alias("keep_id"))
+        .where(F.col("n_docs") >= 2)
+        .orderBy("cluster_id")
+    )
+
+
 # registry order = driver check order: cheap oracle-paired first, the
 # heavy dedup candidates last, so a bounded driver budget scores the
 # whole board before the expensive tails
@@ -855,4 +918,5 @@ QUERIES = {
     "sim_ivf_topk": (sim_ivf_topk, None),
     "dd_ngram_jaccard": (dd_ngram_jaccard, DD_NGRAM_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, None),
+    "dd_dup_clusters": (dd_dup_clusters, None),
 }

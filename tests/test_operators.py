@@ -198,3 +198,63 @@ def test_w3_microsecond_gap_boundary(spark):
                for r in w3_gap_sessionize(spark, d).collect()}
     assert got[1] == (2, 3)  # 299.9999 merges, 300.000001 splits
     assert got[2] == (2, 2)  # exactly 300 splits (>= boundary)
+
+
+def test_dup_clusters_match_union_find(spark):
+    """dd_dup_clusters (iterative min-label propagation) must produce the
+    same components as a driver-side union-find over the same edge set —
+    planted duplicate groups included."""
+    from ocr_spark.operators import corpus as C
+
+    rows = []
+    # three planted duplicate groups of sizes 2, 3, 4 + unique docs
+    for g, size in ((0, 2), (1, 3), (2, 4)):
+        for k in range(size):
+            rows.append((100 * g + k,
+                         f"identical group {g} payload words repeated here "
+                         f"for everyone in the group to share"))
+    rows += [(900 + i, f"completely unique text number {i} nothing shared "
+                       f"with anything else at all {i * 13}")
+             for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    import os
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        clusters = C.dd_dup_clusters(spark, d).collect()
+        lsh = C.dd_minhash_lsh(spark, d).collect()
+
+    # union-find over the identical edge set (exact edges are implied by
+    # identical text; lsh pairs collected above)
+    parent = {r[0]: r[0] for r in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    by_text = {}
+    for doc_id, text in rows:
+        by_text.setdefault(text, []).append(doc_id)
+    for ids in by_text.values():
+        for other in ids[1:]:
+            union(ids[0], other)
+    for p in lsh:
+        union(p.doc_a, p.doc_b)
+
+    expected = {}
+    for doc_id, _ in rows:
+        expected.setdefault(find(doc_id), []).append(doc_id)
+    expected = {root: sorted(m) for root, m in expected.items() if len(m) > 1}
+
+    got = {r.cluster_id: (r.n_docs, r.keep_id) for r in clusters}
+    assert set(got) == set(expected)
+    for root, members in expected.items():
+        assert got[root] == (len(members), members[0])

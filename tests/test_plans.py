@@ -121,3 +121,19 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS t_li_b")
         spark.sql("DROP TABLE IF EXISTS t_ord_b")
+
+
+def test_sale_import_facts_join_free(spark):
+    """The sale import plan (like the purchase plan) must contain ZERO
+    joins in dims and facts: foreign keys are hashes of natural keys and
+    invoice columns ride the item explode, so the whole import is
+    distincts + aggregations — no join shuffle to skew at 100 TB."""
+    from ocr_spark.pipeline.extract import extract_turns
+    from ocr_spark.pipeline.importer import plan_sale_import
+    from ocr_spark.plans import formatted_plan
+    from ocr_spark.sources.synthetic import synthesize_transcripts
+    t = synthesize_transcripts(spark, n_convs=10)
+    tables = plan_sale_import(extract_turns(t, salt_partitions=0))
+    for name in ("customers", "products", "sales", "product_sales"):
+        plan = formatted_plan(tables[name])
+        assert "Join" not in plan, f"{name} plan contains a join:\n{plan}"
