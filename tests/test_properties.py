@@ -160,3 +160,68 @@ def test_fast_html_tokenizer_matches_htmlparser(bits):
     slow_p.feed(html)
     slow_p.close()
     assert fast == slow_p.tables
+
+
+# -- fuzz: readability kernel total robustness + span validity --------------
+
+_html_bits = st.sampled_from([
+    "<div>", "</div>", "<p>", "</p>", "<a href='/x'>", "</a>", "<ul>",
+    "</ul>", "<li>", "</li>", "<nav>", "</nav>", "<br>", "<span>",
+    "</span>", '<div class="content">', '<div class="sidebar">',
+    "<script>", "</script>", "<h1>", "</h1>", "plain words here, padded",
+    "short", "&amp;", "&#65;", "<!-- c -->", "<", ">", "(", "名 稱",
+    "a long enough sentence fragment, with commas, to vote for parents",
+])
+
+
+@settings(max_examples=250, deadline=None)
+@given(st.lists(_html_bits, max_size=40))
+def test_readability_never_crashes_and_spans_valid(bits):
+    """Junk HTML must never crash the boilerplate stripper (a 100 TB run
+    WILL feed it garbage), and every emitted span must slice the raw
+    payload to a non-blank string — the offsets contract."""
+    from ocr_spark.kernels.readability import extract_main_content
+    html = "".join(bits)
+    r = extract_main_content(html)
+    assert isinstance(r["text"], str)
+    for field, s, e in r["spans"]:
+        assert field == "content"
+        assert 0 <= s < e <= len(html)
+        assert html[s:e].strip() != "" or "&" in html[s:e]
+
+
+# -- fuzz: pdf kernel total robustness --------------------------------------
+
+_pdf_bits = st.sampled_from([
+    "stream\n", "\nendstream", "BT ", "ET ", "(text) Tj ", "72 720 Td ",
+    "0 -14 TD ", "/F1 12 Tf ", "[(a) -40 (b)] TJ ", "T* ", "' ",
+    "(unclosed ", "<48656C> Tj ", "<48656", "1 0 0 1 50 700 Tm ",
+    "garbage )))", "\\(esc\\) ", "(octal \\101) Tj ", "%PDF-1.4\n",
+    "14 TL ", "%%EOF", "\x00\x01\xff", "(名稱) Tj ",
+])
+
+
+@settings(max_examples=250, deadline=None)
+@given(st.lists(_pdf_bits, max_size=40))
+def test_pdf_extractor_never_crashes(bits):
+    """Arbitrary byte soup — truncated strings, bad hex, stray operators,
+    binary — must never crash the PDF extractor; spans must index the
+    raw payload."""
+    from ocr_spark.kernels.pdftext import extract_pdf_layout
+    payload = "".join(bits)
+    r = extract_pdf_layout(payload)
+    assert isinstance(r["text"], str)
+    raw = payload.encode("latin-1", "replace")
+    for field, s, e in r["spans"]:
+        assert field == "content"
+        assert 0 <= s < e <= len(raw)
+
+
+@settings(max_examples=200, deadline=None)
+@given(any_text)
+def test_llm_reply_cascade_never_crashes(s):
+    """The T26 cascade must accept arbitrary reply text."""
+    from ocr_spark.kernels.llmreply import extract_json_from_reply, llm_parse_reply
+    extract_json_from_reply(s)
+    rec = llm_parse_reply(s, "f.json")
+    assert rec is None or isinstance(rec, dict)
