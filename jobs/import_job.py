@@ -3,13 +3,15 @@
 
     spark-submit --master local[N] --py-files dist/ocr_spark.zip \
         jobs/import_job.py --n-convs 5000 --output /tmp/star \
-        [--transcripts DIR] [--salt P]
+        [--transcripts DIR] [--salt P] [--type purchase|sale]
 
 Reads transcripts from --transcripts (parquet) or synthesizes them
 deterministically, runs the extraction stage, then materializes the
-star schema (suppliers/products/purchases/product_purchases/rejects)
-with pipeline.importer.write_import. Prints ONE JSON line of table row
-counts + wall time.
+star schema with pipeline.importer.write_import — purchase
+(suppliers/products/purchases/product_purchases/rejects) or sale
+(customers/products/sales/product_sales/rejects), dispatched like
+public/preview.php:114-122. Prints ONE JSON line of table row counts
++ wall time.
 """
 
 from __future__ import annotations
@@ -27,6 +29,8 @@ def main() -> None:
                     help="parquet dir of transcripts; default: synthesize")
     ap.add_argument("--output", required=True)
     ap.add_argument("--salt", type=int, default=None)
+    ap.add_argument("--type", dest="draft_type", default="purchase",
+                    choices=("purchase", "sale"))
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -49,8 +53,9 @@ def main() -> None:
 
     t0 = time.time()
     extracted = extract_turns(t, salt_partitions=args.salt)
-    counts = write_import(extracted, args.output)
+    counts = write_import(extracted, args.output, args.draft_type)
     print(json.dumps({
+        "type": args.draft_type,
         "tables": counts,
         "wall_sec": round(time.time() - t0, 3),
         "output": args.output,
