@@ -213,13 +213,20 @@ def main_scaling() -> None:
         raise SystemExit(f"need {5 * n_small} cores for concurrent "
                          f"N={n_small} vs 4N={n_large}; have {machine}")
 
+    # repeats sized so both timed windows overlap AND each median has
+    # enough samples: the 4N side's wall spread within a run reaches
+    # ~25% (python-worker spawn storms + memory-bandwidth weather), so
+    # medians over 3/9 are the noise floor this box allows
+    reps_n = int(os.environ.get("SPARK_GRAFT_SCALE_REPS_N", "3"))
+    reps_4n = int(os.environ.get("SPARK_GRAFT_SCALE_REPS_4N", "9"))
+
     def _pair(salt):
         p_small = _spark_submit_extract(
             n_small, n_convs, zpath, input_parquet=staged, salt=salt,
-            repeats=2, pin_offset=0, background=True)
+            repeats=reps_n, pin_offset=0, background=True)
         p_large = _spark_submit_extract(
             n_large, n_convs, zpath, input_parquet=staged, salt=salt,
-            repeats=6, pin_offset=n_small, background=True)
+            repeats=reps_4n, pin_offset=n_small, background=True)
         small = _collect(p_small, f"local[{n_small}]")
         large = _collect(p_large, f"local[{n_large}]")
         return {n_small: small, n_large: large}
@@ -270,9 +277,14 @@ meaningless (observed 0.28..1.36 for the same pair). Pinning matters too:
 unpinned local[N] lets Python workers spill onto idle cores and inflates
 the small baseline ~1.5x. The bucketed parquet input is staged ONCE and
 shared; a warm-up pass amortizes JVM + Python-worker startup; each config
-reports the median of its timed repetitions (2 long ones at N, 6 short ones
-at 4N, overlapping windows). JVM uses the parallel collector (G1's
-concurrent cycles cost ~20% at 32 task threads on this workload).
+reports the median of its timed repetitions ({reps_n} long ones at N,
+{reps_4n} short ones at 4N, overlapping windows). JVM uses the parallel
+collector (G1's concurrent cycles cost ~20% at 32 task threads on this
+workload). Residual run-to-run spread of the pair efficiency on this box
+is ~±0.06 (python-worker spawn storms + memory-bandwidth weather survive
+pinning); the round-2 kernels do strictly more python-side work per turn
+(generic HTML + PDF payload kinds joined the mix), which raises that
+contention relative to round 1.
 
 Two job shapes over the identical staged input:
 - **salted** (the default job): scan → explicit skew-salting repartition on
