@@ -265,3 +265,27 @@ def test_extract_conversations_grouped(spark):
                 t.orderBy(F.rand(3))).collect()}
     assert out2 == {c: (r.n_records, round(r.calc_total, 2))
                     for c, r in rows.items()}
+
+
+def test_extraction_invariant_to_salting_and_parallelism(spark):
+    """North-rule equality surface: the extracted per-turn output must be
+    IDENTICAL whatever the physical execution — map-only, lightly or
+    heavily salted. Any kernel state leaking across batch boundaries or
+    order-dependent logic breaks this."""
+    from pyspark.sql import functions as F
+    t = synthesize_transcripts(spark, 50, 6)
+
+    def snapshot(salt):
+        e = extract_turns(t, salt_partitions=salt)
+        rows = (e.select("conv_id", "turn_idx", "source_kind",
+                         F.md5("clean_text").alias("text_md5"),
+                         "n_items",
+                         F.md5(F.to_json(F.struct("records", "spans")))
+                         .alias("rec_md5"))
+                .collect())
+        return sorted(map(tuple, rows))
+
+    base = snapshot(0)
+    assert len(base) == t.count()
+    assert snapshot(4) == base
+    assert snapshot(17) == base
