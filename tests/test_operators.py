@@ -292,3 +292,22 @@ def test_simhash_recovers_planted_mutations(spark):
         assert (10 * g, 10 * g + 1) in pairs, f"mutated pair {g} missed"
     assert all(a < 900 and b < 900 for a, b in pairs), \
         "unrelated docs must not pair"
+
+
+def test_lsh_topk_recall_and_lift(spark):
+    """Multiprobe LSH ANN on the near-uniform testdata (angular-LSH worst
+    case): recall must clear 0.5 AND beat random sampling of the same
+    probed fraction by >= 1.3x — the evidence it exploits angular
+    structure rather than just reading 34% of the corpus."""
+    from ocr_spark.operators import corpus as C
+    bf = {(r.query_id, r.cand_id)
+          for r in C.sim_cosine_topk(spark, SF_DIR).collect()}
+    lsh = {(r.query_id, r.cand_id)
+           for r in C.sim_lsh_topk(spark, SF_DIR).collect()}
+    recall = len(bf & lsh) / len(bf)
+    n_buckets = 1 << C.N_LSH_TOPK_PLANES
+    probed = sum(1 for m in range(n_buckets)
+                 if bin(m).count("1") <= C.N_LSH_MULTIPROBE) / n_buckets
+    assert recall >= 0.5, f"LSH recall {recall:.2f} below floor"
+    assert recall >= 1.3 * probed, \
+        f"no lift over random: recall {recall:.2f} vs probed {probed:.2f}"
