@@ -225,11 +225,18 @@ def _spans_from_stream(src: str, base_offset: int | None):
 def extract_pdf_layout(payload: str | bytes) -> dict:
     """Extract text with block/line/span structure from a PDF payload.
     Lenient by design: every stream segment is tried (inflate → raw);
-    non-text streams simply contribute no spans."""
+    non-text streams simply contribute no spans. Each stream segment is
+    laid out as its OWN page (real PDFs carry one content stream per
+    page object): without that, two pages' lines at the same baseline y
+    would interleave. Pages concatenate in stream order; the rare
+    page-split-across-streams layout degrades to two pages — documented
+    leniency."""
     raw = payload.encode("latin-1", "replace") \
         if isinstance(payload, str) else payload
 
-    all_spans = []
+    text_parts: list[str] = []
+    blocks: list[dict] = []
+    spans: list[tuple] = []
     for m in _STREAM_RE.finditer(raw):
         body = m.group(1)
         base = None
@@ -238,12 +245,28 @@ def extract_pdf_layout(payload: str | bytes) -> dict:
         except zlib.error:
             src = body.decode("latin-1")
             base = m.start(1)
-        all_spans.extend(_spans_from_stream(src, base))
+        page_spans = _spans_from_stream(src, base)
+        if not page_spans:
+            continue
+        page = _layout_page(page_spans)
+        if page["text"]:
+            text_parts.append(page["text"])
+        blocks.extend(page["blocks"])
+        spans.extend(page["spans"])
 
+    return {
+        "text": "\n\n".join(text_parts).strip(),
+        "blocks": blocks,
+        "spans": spans,
+    }
+
+
+def _layout_page(page_spans: list) -> dict:
+    """Block/line reconstruction for ONE page's spans."""
     # ---- lines: group by baseline (|dy| <= 0.2*size), order by x
     lines: list[dict] = []
     for x, y, size, text, off in sorted(
-            all_spans, key=lambda s: (-s[1], s[0])):
+            page_spans, key=lambda s: (-s[1], s[0])):
         placed = False
         for ln in lines:
             if abs(ln["y"] - y) <= 0.2 * max(size, ln["size"]):
@@ -275,8 +298,7 @@ def extract_pdf_layout(payload: str | bytes) -> dict:
 
     text = "\n\n".join(
         "\n".join(ln["text"] for ln in b["lines"] if ln["text"])
-        for b in blocks)
-    text = text.strip()
+        for b in blocks).strip()
 
     spans = [("content", off[0], off[1])
              for b in blocks for ln in b["lines"] for s in ln["spans"]

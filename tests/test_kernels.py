@@ -488,3 +488,16 @@ class TestPdfLayout:
         assert res["clean_text"] == "hello pdf world"
         assert res["invoices"] == []
         assert all(f == "content" for (f, _, _) in res["spans"])
+
+    def test_multipage_streams_do_not_interleave(self):
+        """Two content streams = two pages: identical baselines must NOT
+        merge across pages; page texts concatenate in stream order."""
+        from ocr_spark.kernels.pdftext import extract_pdf_layout
+        p1 = b'BT /F1 12 Tf 72 700 Td (Page one line.) Tj ET'
+        p2 = b'BT /F1 12 Tf 72 700 Td (Page two line.) Tj ET'
+        pdf = (b'%PDF-1.4\n4 0 obj stream\n' + p1 +
+               b'\nendstream endobj\n5 0 obj stream\n' + p2 +
+               b'\nendstream endobj\n%%EOF')
+        r = extract_pdf_layout(pdf)
+        assert r["text"] == "Page one line.\n\nPage two line."
+        assert len(r["blocks"]) == 2
