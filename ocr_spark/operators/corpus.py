@@ -209,6 +209,23 @@ def _minhash_sig_stage():
     return _sigs
 
 
+def _minhash_bands(sigs: DataFrame) -> DataFrame:
+    """Explode K-value signatures into (doc_id, band, band_hash) rows —
+    shared by the batch candidate generator and the streaming near-dedup
+    operator (streaming/stateful.py)."""
+    rows_per_band = N_MINHASH // N_BANDS
+    return sigs.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.hash(*[F.col("sig")[b * rows_per_band + r]
+                         for r in range(rows_per_band)]).alias("band_hash"))
+            for b in range(N_BANDS)
+        ])).alias("bh")
+    ).select("doc_id", "bh.band", "bh.band_hash")
+
+
 def dd_minhash_lsh(spark, sf_dir):
     """MinHash + LSH banding near-dup candidates (rows-only oracle: the
     hash family is engine-specific).
@@ -222,17 +239,7 @@ def dd_minhash_lsh(spark, sf_dir):
     # pipeline break: signatures are tiny (K longs/doc); caching prevents
     # the band explode from re-deriving shingles+hashes per band reference
     sigs = sigs.cache()
-    rows_per_band = N_MINHASH // N_BANDS
-    bands = sigs.select(
-        "doc_id",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.hash(*[F.col("sig")[b * rows_per_band + r]
-                         for r in range(rows_per_band)]).alias("band_hash"))
-            for b in range(N_BANDS)
-        ])).alias("bh")
-    ).select("doc_id", "bh.band", "bh.band_hash")
+    bands = _minhash_bands(sigs)
     # one shuffle, not two: instead of a self-join on (band, band_hash)
     # (which shuffles the bands relation twice and is skew-fragile), group
     # each bucket's members and explode the within-bucket pairs. Buckets

@@ -1,6 +1,6 @@
 """Custom stateful streaming operators (applyInPandasWithState).
 
-Two operators the batch engine has that need explicit state when the
+Operators the batch engine has that need explicit state when the
 input is an unbounded stream:
 
 - streaming_dedup_first_wins: the reference's first-wins dedup (U2,
@@ -14,6 +14,10 @@ input is an unbounded stream:
   counters (A1/A2 as accumulating state) emitting one updated row per
   micro-batch — the run-manifest metrics stream (A10) without a full
   re-aggregation of history.
+
+- streaming_minhash_neardup: the corpus layer's MinHash-LSH near-dup as
+  documents ARRIVE — per-(band, band_hash) bucket state links later
+  arrivals to the bucket's canonical member across micro-batches.
 
 Scale notes: state is keyed by conv_id — same partitioning axis as the
 batch job's salt — and each key's state is O(min(distinct keys,
@@ -106,5 +110,62 @@ def streaming_running_totals(extracted: DataFrame) -> DataFrame:
         extracted.groupBy("conv_id")
         .applyInPandasWithState(
             _totals_fn, TOTALS_OUTPUT_SCHEMA, TOTALS_STATE_SCHEMA,
+            "append", GroupStateTimeout.NoTimeout)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-micro-batch near-duplicate detection (streaming MinHash-LSH)
+# ---------------------------------------------------------------------------
+
+NEARDUP_OUTPUT_SCHEMA = ("doc_id long, band int, band_hash int, "
+                         "canonical_id long, is_first int")
+NEARDUP_STATE_SCHEMA = "members array<long>"
+
+MAX_NEARDUP_BUCKET_STATE = 64  # per-bucket member cap (state bound)
+
+
+def _neardup_fn(key, pdfs, state: GroupState):
+    import pandas as pd
+    band, band_hash = key
+    members = list(state.get[0]) if state.exists else []
+    out = []
+    for pdf in pdfs:
+        # deterministic intra-batch order: lowest doc_id claims the bucket
+        for doc_id in sorted(int(d) for d in pdf["doc_id"]):
+            if members:
+                out.append((doc_id, band, band_hash, members[0], 0))
+            else:
+                out.append((doc_id, band, band_hash, doc_id, 1))
+            if len(members) < MAX_NEARDUP_BUCKET_STATE:
+                members.append(doc_id)
+    state.update((members,))
+    yield pd.DataFrame(out, columns=["doc_id", "band", "band_hash",
+                                     "canonical_id", "is_first"])
+
+
+def streaming_minhash_neardup(docs: DataFrame) -> DataFrame:
+    """Streaming analog of dd_minhash_lsh: near-dup candidates detected
+    AS DOCUMENTS ARRIVE, across micro-batches.
+
+    docs(doc_id, text) stream → minhash signatures (the batch kernel's
+    numpy Arrow stage, unchanged) → band explode (shared _minhash_bands
+    plan) → applyInPandasWithState keyed by (band, band_hash): each
+    bucket's state remembers up to MAX_NEARDUP_BUCKET_STATE member ids;
+    a document landing in a non-empty bucket emits a candidate edge to
+    the bucket's canonical (first) member — including when the canonical
+    arrived in an EARLIER micro-batch, which no per-batch self-join can
+    see. Emits one row per (doc, band): filter is_first == 0 for the
+    candidate view, dedup (doc_id, canonical_id) downstream exactly like
+    the batch pair aggregation. State per bucket is O(cap); the shuffle
+    is the same keyed (band, band_hash) exchange as the batch plan."""
+    from ..operators.corpus import _minhash_bands, _minhash_sig_stage
+    sigs = docs.mapInPandas(_minhash_sig_stage(),
+                            "doc_id long, sig array<long>")
+    bands = _minhash_bands(sigs)
+    return (
+        bands.groupBy("band", "band_hash")
+        .applyInPandasWithState(
+            _neardup_fn, NEARDUP_OUTPUT_SCHEMA, NEARDUP_STATE_SCHEMA,
             "append", GroupStateTimeout.NoTimeout)
     )

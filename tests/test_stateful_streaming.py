@@ -82,3 +82,41 @@ def test_running_totals_accumulate(spark, tmp_path):
         if cur is None or r.n_turns > cur[0]:
             t2[r.conv_id] = (r.n_turns, r.n_items, r.calc_total_cents)
     assert t2["c1"] == (3, 4, 2000), "totals accumulate across micro-batches"
+
+
+def test_streaming_neardup_across_micro_batches(spark, tmp_path):
+    """A near-duplicate arriving in a LATER micro-batch must still link
+    to the canonical document from the earlier batch — the state the
+    batch self-join cannot carry."""
+    from ocr_spark.streaming.stateful import streaming_minhash_neardup
+    inp = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+
+    def write(rows):
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .coalesce(1).write.mode("append").parquet(inp)
+
+    # batch 1: the canonical doc + one unrelated doc
+    write([(1, base),
+           (50, " ".join(f"unrelated{j}" for j in range(20)))])
+    schema = spark.read.parquet(inp).schema
+    stream = spark.readStream.schema(schema).parquet(inp)
+    res1 = _run_available_now(spark, streaming_minhash_neardup(stream),
+                              out, ckpt)
+    got1 = {(r.doc_id, r.band): (r.canonical_id, r.is_first)
+            for r in res1.collect()}
+    assert all(v == (1, 1) for (d, _), v in got1.items() if d == 1)
+
+    # batch 2: an exact copy of doc 1 (same signature, all bands collide)
+    write([(2, base)])
+    stream = spark.readStream.schema(schema).parquet(inp)
+    res2 = _run_available_now(spark, streaming_minhash_neardup(stream),
+                              out, ckpt)
+    dup_rows = [r for r in res2.collect() if r.doc_id == 2]
+    assert len(dup_rows) == 4  # one per band
+    assert all(r.canonical_id == 1 and r.is_first == 0 for r in dup_rows), \
+        "cross-batch duplicate must link to the batch-1 canonical"
