@@ -40,7 +40,7 @@ HEADLINE = [
     "txt_quality", "txt_langid", "qr_asof_join", "mm_frame_plan",
     "conv_assemble", "extract_documents", "import_star_schema",
     "import_sales", "extract_html_readability", "extract_pdf_layout",
-    "t26_llm_json_cascade",
+    "extract_quality_gate", "t26_llm_json_cascade",
 ]
 
 

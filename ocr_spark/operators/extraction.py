@@ -333,6 +333,68 @@ ORDER BY conv_id, turn_idx, clean_text
 """
 
 
+def extract_quality_gate(spark, sf_dir):
+    """The composed training-data flow, oracle-paired end to end:
+    extraction (boilerplate-stripped HTML article text) → per-turn
+    quality metrics on the CLEAN text (token count, stopword ratio,
+    avg token length — the txt_quality expressions applied post-
+    extraction) → gate → per-conversation keep/drop counts. This is the
+    shape a 100 TB corpus job runs: extract once, score the extracted
+    text, filter before anything expensive."""
+    from ..pipeline.extract import extract_turns
+    t = _html_transcripts_from_documents(spark, sf_dir)
+    e = extract_turns(t, salt_partitions=None)
+    tokens = F.split(F.col("clean_text"), " ")
+    n_tokens = F.size(tokens)
+    n_stop = F.size(F.filter(
+        tokens, lambda tok: F.lower(tok).isin("the", "a", "of", "and", "to",
+                                              "in", "is", "it", "for", "on")))
+    avg_len = F.length("clean_text") / n_tokens
+    passed = ((n_tokens >= 15) & (avg_len <= 12.0)
+              & (n_stop / n_tokens <= 0.5)).cast("long")
+    return (
+        e.withColumn("passed", passed)
+        .groupBy("conv_id")
+        .agg(F.count("*").alias("n_turns"),
+             F.sum("passed").alias("n_kept"),
+             (F.count("*") - F.sum("passed")).alias("n_dropped"))
+        .orderBy("conv_id")
+    )
+
+
+EXTRACT_QUALITY_SQL = """
+WITH cleaned AS (
+  SELECT printf('conv-%06d', doc_id % 50) AS conv_id,
+         'Document ' || CAST(doc_id AS VARCHAR) || ' ' ||
+           trim(regexp_replace(substring(text, 1, 200), '\\s+', ' ', 'g')) ||
+           ' Document ' || CAST(doc_id AS VARCHAR) || ' from source ' ||
+           source || ' has ' || CAST(n_chars AS VARCHAR) ||
+           ' characters of content, restated here, with commas, for density.'
+           AS clean_text
+  FROM documents
+),
+scored AS (
+  SELECT conv_id,
+         len(string_split(clean_text, ' ')) AS n_tokens,
+         len(list_filter(string_split(clean_text, ' '),
+             t -> lower(t) IN ('the','a','of','and','to','in','is','it',
+                               'for','on'))) AS n_stop,
+         CAST(length(clean_text) AS DOUBLE)
+           / len(string_split(clean_text, ' ')) AS avg_len
+  FROM cleaned
+)
+SELECT conv_id,
+       COUNT(*) AS n_turns,
+       CAST(SUM(CASE WHEN n_tokens >= 15 AND avg_len <= 12.0
+                      AND CAST(n_stop AS DOUBLE) / n_tokens <= 0.5
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COUNT(*) - CAST(SUM(CASE WHEN n_tokens >= 15 AND avg_len <= 12.0
+                      AND CAST(n_stop AS DOUBLE) / n_tokens <= 0.5
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM scored GROUP BY conv_id ORDER BY conv_id
+"""
+
+
 def conv_assemble(spark, sf_dir):
     """Conversation assembly under stable turn ordering (W1/north_rule):
     per conv_id, concatenate turn texts ordered by (turn_idx, ts) into
@@ -404,6 +466,7 @@ QUERIES = {
     "import_sales": (import_sales, IMPORT_SALES_SQL),
     "extract_html_readability": (extract_html_readability, EXTRACT_HTML_SQL),
     "extract_pdf_layout": (extract_pdf_layout_q, EXTRACT_PDF_SQL),
+    "extract_quality_gate": (extract_quality_gate, EXTRACT_QUALITY_SQL),
     "extract_conversations": (extract_conversations_q, None),
     "extract_documents": (extract_documents, None),
     "extract_synthetic": (extract_synthetic, None),
