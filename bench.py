@@ -260,6 +260,16 @@ def main_scaling() -> None:
                 f"{r['wall_sec']} | {r['turns_per_sec']} |")
 
     os.makedirs("BENCH", exist_ok=True)
+    # hand-maintained evidence (multi-run spread history, complementary
+    # throughput datapoints) lives below the marker and survives regens
+    preserved = ""
+    marker = "<!-- hand-maintained sections below survive --scaling regens -->"
+    try:
+        old = open("BENCH/BASELINE.md").read()
+        if marker in old:
+            preserved = old.split(marker, 1)[1]
+    except FileNotFoundError:
+        pass
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH — measured extraction throughput + scaling efficiency
 
@@ -312,7 +322,8 @@ with task threads, which is a single-box artifact, not a property of the
 job: on a real multi-executor cluster each executor keeps this headroom.
 The extraction stage is embarrassingly parallel after the salt shuffle, so
 efficiency tracks CPU scaling wherever cores are genuinely available.
-""")
+
+{marker}{preserved}""")
     print(json.dumps({
         "metric": "scaling efficiency N->4N",
         "value": eff_salted,
