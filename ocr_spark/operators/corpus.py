@@ -239,16 +239,21 @@ def dd_minhash_lsh(spark, sf_dir):
     # pipeline break: signatures are tiny (K longs/doc); caching prevents
     # the band explode from re-deriving shingles+hashes per band reference
     sigs = sigs.cache()
-    bands = _minhash_bands(sigs)
-    # one shuffle, not two: instead of a self-join on (band, band_hash)
-    # (which shuffles the bands relation twice and is skew-fragile), group
-    # each bucket's members and explode the within-bucket pairs. Buckets
-    # up to MAX_LSH_BUCKET members emit all pairs (O(k²) bounded); a
-    # DEGENERATE bucket — empty/boilerplate docs collapsing to one
-    # signature, unbounded at 100 TB — emits the star pattern instead:
-    # (min_doc, other) for every other member. O(n) pairs, preserves the
-    # duplicate cluster's connectivity (a connected-components pass groups
-    # it identically), and the explode fan-out is bounded everywhere.
+    return _lsh_candidate_pairs(_minhash_bands(sigs))
+
+
+def _lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+    """(doc_id, band, band_hash) → candidate pairs, one shuffle.
+
+    Instead of a self-join on (band, band_hash) (which shuffles the bands
+    relation twice and is skew-fragile), group each bucket's members and
+    explode the within-bucket pairs. Buckets up to MAX_LSH_BUCKET members
+    emit all pairs (O(k²) bounded); a DEGENERATE bucket —
+    empty/boilerplate docs collapsing to one signature, unbounded at
+    100 TB — emits the star pattern instead: (min_doc, other) for every
+    other member. O(n) pairs, preserves the duplicate cluster's
+    connectivity (a connected-components pass groups it identically),
+    and the explode fan-out is bounded everywhere."""
     members = (
         bands.groupBy("band", "band_hash")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))

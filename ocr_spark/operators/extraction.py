@@ -445,6 +445,45 @@ FROM t GROUP BY conv_id ORDER BY conv_id
 """
 
 
+def dd_conv_neardup(spark, sf_dir):
+    """Conversation-grain near-dup — what a transcript pipeline actually
+    dedups: assemble each conversation's turns under stable ordering into
+    one document, then MinHash-LSH over the assembled text (the corpus
+    layer's signature stage + banding + bounded bucket pairs, reused
+    verbatim). Surrogate doc ids are xxhash64(conv_id); the candidate
+    pairs join back to conv ids on both sides (keyed joins on the
+    surrogate — no broadcast assumption, works at any conv count).
+    Rows-only check; planted-duplicate recovery pinned in pytest."""
+    from ..operators.corpus import (_lsh_candidate_pairs, _minhash_bands,
+                                    _minhash_sig_stage)
+    t = _transcripts_from_documents(spark, sf_dir)
+    assembled = (
+        t.groupBy("conv_id")
+        .agg(F.sort_array(F.collect_list(F.struct("turn_idx", "text")))
+             .alias("turns"))
+        .select("conv_id",
+                F.concat_ws("\n", F.transform(
+                    F.col("turns"), lambda s: s["text"])).alias("text"))
+    )
+    docs = assembled.select(F.xxhash64("conv_id").alias("doc_id"), "text",
+                            "conv_id")
+    ids = docs.select("doc_id", "conv_id")
+    sigs = docs.select("doc_id", "text").mapInPandas(
+        _minhash_sig_stage(), "doc_id long, sig array<long>").cache()
+    pairs = _lsh_candidate_pairs(_minhash_bands(sigs))
+    return (
+        pairs
+        .join(ids.withColumnRenamed("doc_id", "doc_a")
+              .withColumnRenamed("conv_id", "conv_a"), "doc_a")
+        .join(ids.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("conv_id", "conv_b"), "doc_b")
+        .select(F.least("conv_a", "conv_b").alias("conv_a"),
+                F.greatest("conv_a", "conv_b").alias("conv_b"),
+                "n_band_collisions")
+        .orderBy("conv_a", "conv_b")
+    )
+
+
 def extract_conversations_q(spark, sf_dir):
     """Conversation-level grouped extraction (pipeline/conversations.py):
     turns assembled per conv under stable ordering, extracted as one
@@ -468,6 +507,7 @@ QUERIES = {
     "extract_pdf_layout": (extract_pdf_layout_q, EXTRACT_PDF_SQL),
     "extract_quality_gate": (extract_quality_gate, EXTRACT_QUALITY_SQL),
     "extract_conversations": (extract_conversations_q, None),
+    "dd_conv_neardup": (dd_conv_neardup, None),
     "extract_documents": (extract_documents, None),
     "extract_synthetic": (extract_synthetic, None),
     "extract_ordered_spans": (extract_ordered_spans, None),

@@ -311,3 +311,42 @@ def test_lsh_topk_recall_and_lift(spark):
     assert recall >= 0.5, f"LSH recall {recall:.2f} below floor"
     assert recall >= 1.3 * probed, \
         f"no lift over random: recall {recall:.2f} vs probed {probed:.2f}"
+
+
+def test_conv_neardup_recovers_planted_duplicate_conversations(spark):
+    """Conversation-grain near-dup must pair conversations whose ASSEMBLED
+    text is a light mutation of another's, and not pair unrelated ones."""
+    from ocr_spark.operators.corpus import (_lsh_candidate_pairs,
+                                            _minhash_bands,
+                                            _minhash_sig_stage)
+    from pyspark.sql import functions as F
+
+    base_turns = [f"turn {i}: the quick brown fox jumps over the lazy dog "
+                  f"number {i} in the standard test conversation"
+                  for i in range(6)]
+    rows = []
+    for t_idx, txt in enumerate(base_turns):
+        rows.append(("conv-A", t_idx, txt))
+        # conv-B = conv-A with one word changed in one turn
+        rows.append(("conv-B", t_idx,
+                     txt.replace("lazy", "sleepy") if t_idx == 3 else txt))
+        rows.append(("conv-C", t_idx,
+                     f"turn {t_idx}: completely different content about "
+                     f"warehouse logistics and inventory rotation {t_idx * 9}"))
+    t = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+
+    assembled = (t.groupBy("conv_id")
+                 .agg(F.sort_array(F.collect_list(F.struct("turn_idx", "text")))
+                      .alias("turns"))
+                 .select("conv_id", F.concat_ws("\n", F.transform(
+                     F.col("turns"), lambda s: s["text"])).alias("text")))
+    docs = assembled.select(F.xxhash64("conv_id").alias("doc_id"), "text",
+                            "conv_id")
+    ids = {r.doc_id: r.conv_id for r in docs.select("doc_id", "conv_id").collect()}
+    sigs = docs.select("doc_id", "text").mapInPandas(
+        _minhash_sig_stage(), "doc_id long, sig array<long>")
+    pairs = {(ids[p.doc_a], ids[p.doc_b]) if ids[p.doc_a] < ids[p.doc_b]
+             else (ids[p.doc_b], ids[p.doc_a])
+             for p in _lsh_candidate_pairs(_minhash_bands(sigs)).collect()}
+    assert ("conv-A", "conv-B") in pairs, "near-dup conversations missed"
+    assert not any("conv-C" in p for p in pairs), "unrelated conv paired"
