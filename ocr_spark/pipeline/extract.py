@@ -285,8 +285,16 @@ def extract_turns(transcripts: DataFrame,
     together for Arrow-batch locality.
     """
     spark = transcripts.sparkSession
+    # null-key quarantine, JVM-side, BEFORE the Arrow stage: a malformed
+    # row with null conv_id/turn_idx otherwise kills its whole task
+    # (pandas IntCastingNaNError on the int32 columns) — at 100 TB one
+    # bad row must not kill a job. Such rows land in conv_id '' at turn
+    # -1, are extracted normally, and stay visible in lineage (rows in ==
+    # rows out holds).
     df = (transcripts
-          .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+          .select(F.coalesce(F.col("conv_id"), F.lit("")).alias("conv_id"),
+                  F.coalesce(F.col("turn_idx"), F.lit(-1)).alias("turn_idx"),
+                  "role", "text", "tool", "ts")
           .withColumn("bucket", bucket_expr(n_buckets)))
     if salt_partitions is None:
         salt_partitions = spark.sparkContext.defaultParallelism * 2

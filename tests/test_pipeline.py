@@ -289,3 +289,26 @@ def test_extraction_invariant_to_salting_and_parallelism(spark):
     assert len(base) == t.count()
     assert snapshot(4) == base
     assert snapshot(17) == base
+
+
+def test_malformed_rows_survive_extraction(spark):
+    """Null conv_id / turn_idx / text / tool must not kill the Arrow
+    stage (one bad row = one dead task = dead job at 100 TB). Nulls are
+    quarantined JVM-side (conv '' / turn -1) and the 1:1 lineage
+    invariant holds."""
+    rows = [
+        ("c1", 1, "tool", None, "markdown", None),   # null text
+        ("c1", 2, None, "", None, None),             # empty text, null role
+        (None, 3, "tool", "plain words", "", None),  # null conv_id
+        ("c2", None, "tool", "x", "", None),         # null turn_idx
+        ("c3", 5, "tool", "%PDF-1.4 garbage", None, None),
+        (None, None, None, None, None, None),        # everything null
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    out = extract_turns(t, salt_partitions=2).collect()
+    assert len(out) == len(rows)
+    quarantined = [r for r in out if r.conv_id == "" or r.turn_idx == -1]
+    assert len(quarantined) == 3
+    assert all(r.bucket is not None for r in out)
