@@ -28,11 +28,17 @@ from pyspark.sql.window import Window
 
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # null-key guard: a null doc_id would NaN-crash the int64 output of
+    # the Arrow signature stages (one bad row = dead task at scale);
+    # testdata has no nulls, so oracle SQL over the raw table matches
+    return (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .where(F.col("doc_id").isNotNull()))
 
 
 def _emb(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .where(F.col("vec_id").isNotNull()
+                   & F.col("embedding").isNotNull()))
 
 
 # ---------------------------------------------------------------------------
