@@ -84,6 +84,8 @@ def gen_code(name: Column) -> Column:
     semantics repo-wide."""
     slug = F.substring(F.upper(
         F.regexp_replace(name, r"[^A-Z0-9一-鿿]+", "_")), 1, 24)
+    # `substr(...) ?: 'ITEM'` — PHP's ?: treats '' AND '0' as falsy
+    slug = F.when(slug.isin("", "0"), "ITEM").otherwise(slug)
     return F.concat(slug, F.lit("_"), F.substring(F.md5(name), 1, 6))
 
 

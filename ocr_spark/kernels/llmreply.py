@@ -24,7 +24,24 @@ import json
 import re
 from typing import Any
 
-from .php import php_round, php_trim
+from .php import php_float, php_round, php_trim
+
+
+def _floatval(v) -> float:
+    """PHP ``(float)`` cast, total: never raises. Strings parse their
+    longest numeric prefix ('12.50 USD' → 12.5, 'n/a' → 0.0); bools are
+    1/0; arrays cast 1.0 when non-empty, 0.0 when empty; null → 0.0.
+    The reference casts every numeric field this way, so a messy reply
+    ({'total': '12.50 USD'}) must degrade, not kill the Arrow task."""
+    if isinstance(v, bool):
+        return 1.0
+    if isinstance(v, (int, float)):
+        return float(v)
+    if isinstance(v, str):
+        return php_float(v)
+    if isinstance(v, (list, dict)):
+        return 1.0 if v else 0.0
+    return 0.0
 
 _FENCE_RE = re.compile(r"```(?:json)?\s*\n?([\s\S]*?)\n?```")
 _BRACE_RE = re.compile(r"\{[\s\S]*\}")
@@ -64,7 +81,7 @@ def llm_calc_total(items: list) -> float:
     total = 0.0
     for it in items:
         if isinstance(it, dict):
-            total += float(it.get("total") or 0)
+            total += _floatval(it.get("total") or 0)
     return php_round(total, 2)
 
 
@@ -76,11 +93,11 @@ def llm_normalize_items(items: list) -> list[dict]:
             continue
         if not it.get("name") and not it.get("code"):
             continue
-        qty = float(it.get("qty", 1) or 0)
+        qty = _floatval(it.get("qty", 1) or 0)
         if qty <= 0:
             qty = 1.0
-        unit_price = float(it.get("unit_price", 0) or 0)
-        total = float(it.get("total", 0) or 0)
+        unit_price = _floatval(it.get("unit_price", 0) or 0)
+        total = _floatval(it.get("total", 0) or 0)
         if total <= 0 and unit_price > 0:
             total = qty * unit_price
         if unit_price <= 0 and total > 0:
@@ -117,7 +134,7 @@ def llm_parse_reply(reply: str, source_file: str) -> dict | None:
         "customer_name": get("customer_name") or "",
         "invoice_date": get("invoice_date"),
         "invoice_number": get("invoice_number"),
-        "declared_total": None if declared is None else float(declared),
+        "declared_total": None if declared is None else _floatval(declared),
         "calc_total": llm_calc_total(items),
         "currency": get("currency"),
         "items": llm_normalize_items(items),

@@ -88,8 +88,10 @@ class _TreeBuilder(HTMLParser):
         self._order = 0
         self._line_starts: list[int] = []
         self._skip_depth = 0
+        self._raw = ""
 
     def feed_document(self, html: str):
+        self._raw = html
         starts, pos = [0], 0
         while True:
             nl = html.find("\n", pos)
@@ -151,17 +153,26 @@ class _TreeBuilder(HTMLParser):
             return
         self._add_text(len(data), data)
 
+    def _add_ref(self, prefix_len: int, name: str):
+        """Entity/char refs may arrive WITHOUT a terminating ';' (the
+        parser dispatches them either way) — measure the raw source so
+        the span never overshoots into the next text run."""
+        from html import unescape
+        start = self._abs()
+        end = start + prefix_len + len(name)
+        if self._raw[end:end + 1] == ";":
+            end += 1
+        self._cur.texts.append((start, end, unescape(self._raw[start:end])))
+
     def handle_entityref(self, name):
         if self._skip_depth:
             return
-        from html import unescape
-        self._add_text(len(name) + 2, unescape(f"&{name};"))
+        self._add_ref(1, name)   # '&' + name [+ ';']
 
     def handle_charref(self, name):
         if self._skip_depth:
             return
-        from html import unescape
-        self._add_text(len(name) + 3, unescape(f"&#{name};"))
+        self._add_ref(2, name)   # '&#' + name [+ ';']
 
 
 def _walk(node: _Node):
@@ -171,10 +182,17 @@ def _walk(node: _Node):
 
 
 def _runs_of(node: _Node) -> list[tuple[int, int, str]]:
-    """All descendant text runs in document order."""
-    runs = list(node.texts)
-    for c in node.children:
-        runs.extend(_runs_of(c))
+    """All descendant text runs in document order — gathered in one walk
+    and sorted ONCE at the top (the per-recursion-level sort this used to
+    do was O(depth · n log n) per call, quadratic on div-heavy pages)."""
+    runs: list[tuple[int, int, str]] = []
+
+    def _gather(n: _Node):
+        runs.extend(n.texts)
+        for c in n.children:
+            _gather(c)
+
+    _gather(node)
     runs.sort(key=lambda r: r[0])
     return runs
 

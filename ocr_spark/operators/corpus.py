@@ -323,19 +323,36 @@ def _simhash_sig_stage():
 def dd_simhash(spark, sf_dir):
     """SimHash near-dup, the standard banded-Hamming pipeline: 64-bit
     signature per doc (Arrow stage) → 4 bands of 16 bits → band-bucket
-    groupBy (ONE keyed shuffle, same shape as MinHash banding; a pair
-    within hamming distance 3 must agree on ≥1 whole band, so banding
-    loses nothing under the threshold) → within-bucket pairs (star-cap
-    for degenerate buckets) → exact verify with bit_count(a XOR b) <=
-    SIMHASH_MAX_HAMMING, JVM-side. Rows-only oracle (hash family is
-    engine-specific); planted-mutation recovery pinned in pytest."""
+    groupBy keyed at the SIGNATURE level (docs sharing a signature are
+    one group member — the degenerate case of boilerplate/empty docs
+    collapsing to one signature shrinks the bucket instead of exploding
+    it) → within-bucket signature pairs (star-cap only past
+    MAX_LSH_BUCKET *distinct* signatures) → exact verify with
+    bit_count(a XOR b) <= SIMHASH_MAX_HAMMING, JVM-side, ONCE per
+    signature pair → expand verified signature pairs to doc pairs.
+
+    Expansion is pair-complete up to a per-pair fan-out bound: identical-
+    signature groups emit the star (hamming 0, so connectivity — what
+    dd_dup_clusters consumes — is exact), and a verified cross-signature
+    group pair emits the full |A|×|B| cross product while
+    |A|·|B| <= MAX_LSH_BUCKET², else the rep-bridge (repA×B ∪ A×repB,
+    linear, connectivity-exact since every member of a group shares its
+    signature and hence its verified hamming). Rows-only oracle (hash
+    family is engine-specific); planted-mutation recovery pinned in
+    pytest."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     sigs = docs.mapInPandas(_simhash_sig_stage(),
-                            "doc_id long, simhash long").cache()
+                            "doc_id long, simhash long")
+    # dedup to one row per distinct signature BEFORE banding: the member
+    # list rides along, so banding/pairing cost scales with distinct
+    # signatures, not documents
+    sig_groups = (sigs.groupBy("simhash")
+                  .agg(F.sort_array(F.collect_list("doc_id"))
+                       .alias("member_ids")).cache())
     bits_per_band = 64 // SIMHASH_BANDS
     mask = (1 << bits_per_band) - 1
-    bands = sigs.select(
-        "doc_id", "simhash",
+    bands = sig_groups.select(
+        "simhash", "member_ids",
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band"),
@@ -343,37 +360,65 @@ def dd_simhash(spark, sf_dir):
                 .bitwiseAND(F.lit(mask)).alias("band_bits"))
             for b in range(SIMHASH_BANDS)
         ])).alias("bh")
-    ).select("doc_id", "simhash", "bh.band", "bh.band_bits")
-    members = (
+    ).select("simhash", "member_ids", "bh.band", "bh.band_bits")
+    buckets = (
         bands.groupBy("band", "band_bits")
-        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "simhash")))
-             .alias("docs"))
-        .where(F.size("docs") >= 2)
+        .agg(F.sort_array(F.collect_list(F.struct("simhash", "member_ids")))
+             .alias("groups"))
+        .where(F.size("groups") >= 2)
     )
-    all_pairs = F.flatten(F.transform(
-        F.col("docs"),
+    all_sig_pairs = F.flatten(F.transform(
+        F.col("groups"),
         lambda a, i: F.transform(
-            F.slice(F.col("docs"), i + 2, F.size("docs")),
+            F.slice(F.col("groups"), i + 2, F.size("groups")),
             lambda b: F.struct(a.alias("a"), b.alias("b")))
     ))
-    star_pairs = F.transform(
-        F.slice(F.col("docs"), 2, F.size("docs")),
-        lambda b: F.struct(F.col("docs")[0].alias("a"), b.alias("b")))
-    pairs = (
-        members.select(
-            F.explode(F.when(F.size("docs") <= MAX_LSH_BUCKET, all_pairs)
-                      .otherwise(star_pairs)).alias("p"))
-        .select(F.col("p.a.doc_id").alias("doc_a"),
-                F.col("p.a.simhash").alias("sig_a"),
-                F.col("p.b.doc_id").alias("doc_b"),
-                F.col("p.b.simhash").alias("sig_b"))
-        .distinct()  # a pair can collide in several bands
-    )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
-        pairs.withColumn("hamming", hamming)
+    star_sig_pairs = F.transform(
+        F.slice(F.col("groups"), 2, F.size("groups")),
+        lambda b: F.struct(F.col("groups")[0].alias("a"), b.alias("b")))
+    hamming = F.bit_count(F.col("p.a.simhash")
+                          .bitwiseXOR(F.col("p.b.simhash")))
+    verified = (
+        buckets.select(
+            F.explode(F.when(F.size("groups") <= MAX_LSH_BUCKET,
+                             all_sig_pairs)
+                      .otherwise(star_sig_pairs)).alias("p"))
+        .withColumn("hamming", hamming)
         .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
-        .select("doc_a", "doc_b", "hamming")
+        .select(F.col("p.a.member_ids").alias("ms_a"),
+                F.col("p.b.member_ids").alias("ms_b"), "hamming")
+        .distinct()  # a signature pair can collide in several bands
+    )
+    bounded = F.size("ms_a") * F.size("ms_b") <= MAX_LSH_BUCKET ** 2
+    cross = F.flatten(F.transform(
+        F.col("ms_a"),
+        lambda a: F.transform(F.col("ms_b"),
+                              lambda b: F.struct(a.alias("x"),
+                                                 b.alias("y")))))
+    bridge = F.concat(
+        F.transform(F.col("ms_b"),
+                    lambda b: F.struct(F.col("ms_a")[0].alias("x"),
+                                       b.alias("y"))),
+        F.transform(F.slice(F.col("ms_a"), 2, F.size("ms_a")),
+                    lambda a: F.struct(a.alias("x"),
+                                       F.col("ms_b")[0].alias("y"))))
+    cross_pairs = (
+        verified.select(
+            F.explode(F.when(bounded, cross).otherwise(bridge)).alias("e"),
+            "hamming")
+        .select(F.least("e.x", "e.y").alias("doc_a"),
+                F.greatest("e.x", "e.y").alias("doc_b"), "hamming")
+    )
+    identity_pairs = (
+        sig_groups.where(F.size("member_ids") >= 2)
+        .select(F.explode(F.slice(F.col("member_ids"), 2,
+                                  F.size("member_ids"))).alias("doc_b"),
+                F.col("member_ids")[0].alias("doc_a"))
+        .select("doc_a", "doc_b", F.lit(0).alias("hamming"))
+    )
+    return (
+        cross_pairs.unionByName(identity_pairs)
+        .distinct()
         .orderBy("doc_a", "doc_b")
     )
 
@@ -1021,7 +1066,12 @@ def dd_dup_clusters(spark, sf_dir):
     labels = (edges.select(F.col("src").alias("doc_id")).distinct()
               .withColumn("label", F.col("doc_id")).persist())
     prev_sum = None
-    for _ in range(8):  # diameter bound; star-capped components are shallow
+    converged = False
+    # hard safety cap only — iterate to the FIXPOINT. In-bucket stars are
+    # shallow, but components CHAINED across different band buckets
+    # (A~B in bucket 1, B~C in bucket 2, ...) have unbounded diameter;
+    # stopping early would silently split one real cluster into several.
+    for _ in range(50):
         prop = (edges.join(labels, edges.src == labels.doc_id)
                 .groupBy(F.col("dst").alias("doc_id"))
                 .agg(F.min("label").alias("nbr_label")))
@@ -1037,9 +1087,15 @@ def dd_dup_clusters(spark, sf_dir):
         labels.unpersist()
         labels = new_labels
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
     edges.unpersist()
+    if not converged:
+        import warnings
+        warnings.warn("dd_dup_clusters: label propagation hit the 50-round "
+                      "safety cap before the fixpoint — clusters may be "
+                      "split; raise the cap for this corpus")
 
     return (
         labels.groupBy(F.col("label").alias("cluster_id"))

@@ -141,9 +141,15 @@ def _sale_transcripts_from_documents(spark, sf_dir):
         F.format_string("%d.00", ((F.col("doc_id") % 5) + 1) * 10),
         F.lit("\n"),
     )
+    # turn_idx = doc_id // 50 with conv = doc_id % 50: (conv, turn) is
+    # UNIQUE for every doc_id. The doc_id % 1000 scheme the other payload
+    # generators use collides at >= 7001 docs, and import_sales GROUPS BY
+    # (conv, turn, ...) — a collision would merge two invoices into one
+    # sales row while the oracle emits two (latent sf-scaling divergence;
+    # the per-row extraction queries don't group, so they keep % 1000).
     return docs.select(
         F.format_string("conv-%06d", F.col("doc_id") % 50).alias("conv_id"),
-        (F.col("doc_id") % 1000).cast("int").alias("turn_idx"),
+        (F.col("doc_id") / 50).cast("int").alias("turn_idx"),
         F.lit("tool").alias("role"),
         payload.alias("text"),
         F.lit("markdown").alias("tool"),
@@ -176,7 +182,7 @@ def import_sales(spark, sf_dir):
 IMPORT_SALES_SQL = """
 WITH d AS (
   SELECT printf('conv-%06d', doc_id % 50) AS conv_id,
-         CAST(doc_id % 1000 AS INTEGER) AS turn_idx,
+         CAST(doc_id // 50 AS INTEGER) AS turn_idx,
          '2025-03-' || printf('%02d', (doc_id % 28) + 1) AS invoice_date,
          'Customer ' || CAST(doc_id % 7 AS VARCHAR) || ' Trading Co' AS name,
          CAST((doc_id % 5) + 1 AS DOUBLE) AS qty

@@ -369,11 +369,12 @@ def w3_gap_sessionize(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # microsecond gap arithmetic: testdata ts is timestamp_ntz[us]; whole-
     # second truncation (unix_timestamp) would diverge from the oracle the
-    # moment two events straddle the gap by <1s. The cast to instant type
-    # is safe here: only differences are used, so the session-tz offset
-    # cancels.
-    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
-    gap_us = us(F.col("ts")) - us(F.lag("ts").over(w))
+    # moment two events straddle the gap by <1s. timestamp_diff stays in
+    # wall-clock (tz-free) arithmetic on the ntz values — an instant cast
+    # (unix_micros(ts.cast("timestamp"))) would shift by the session-tz
+    # DST offset when two events straddle a transition, while the oracle's
+    # epoch_us is tz-free.
+    gap_us = F.timestamp_diff("MICROSECOND", F.lag("ts").over(w), F.col("ts"))
     with_session = (
         ev.withColumn("new_session",
                       F.when(gap_us >= 300_000_000, 1)

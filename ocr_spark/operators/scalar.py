@@ -378,8 +378,11 @@ def t19_code_gen(spark, sf_dir):
 
 T19_SQL = """
 SELECT p_partkey,
-       substring(upper(regexp_replace(p_name, '[^A-Z0-9\\x{4e00}-\\x{9fff}]+',
-                                      '_', 'g')), 1, 24)
+       CASE WHEN substring(upper(regexp_replace(p_name,
+                 '[^A-Z0-9\\x{4e00}-\\x{9fff}]+', '_', 'g')), 1, 24)
+                 IN ('', '0') THEN 'ITEM'
+            ELSE substring(upper(regexp_replace(p_name,
+                 '[^A-Z0-9\\x{4e00}-\\x{9fff}]+', '_', 'g')), 1, 24) END
        || '_' || substring(md5(p_name), 1, 6) AS code
 FROM part WHERE p_partkey <= 2000 ORDER BY p_partkey
 """

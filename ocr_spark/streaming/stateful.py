@@ -120,26 +120,26 @@ def streaming_running_totals(extracted: DataFrame) -> DataFrame:
 
 NEARDUP_OUTPUT_SCHEMA = ("doc_id long, band int, band_hash int, "
                          "canonical_id long, is_first int")
-NEARDUP_STATE_SCHEMA = "members array<long>"
-
-MAX_NEARDUP_BUCKET_STATE = 64  # per-bucket member cap (state bound)
+NEARDUP_STATE_SCHEMA = "canonical long"
 
 
 def _neardup_fn(key, pdfs, state: GroupState):
     import pandas as pd
     band, band_hash = key
-    members = list(state.get[0]) if state.exists else []
+    # only the bucket's first-seen (canonical) member is ever referenced
+    # by the emitted edges, so that single long IS the whole state —
+    # O(1) per bucket across millions of buckets, set once, first-wins
+    canonical = state.get[0] if state.exists else None
     out = []
     for pdf in pdfs:
         # deterministic intra-batch order: lowest doc_id claims the bucket
         for doc_id in sorted(int(d) for d in pdf["doc_id"]):
-            if members:
-                out.append((doc_id, band, band_hash, members[0], 0))
+            if canonical is not None:
+                out.append((doc_id, band, band_hash, canonical, 0))
             else:
+                canonical = doc_id
                 out.append((doc_id, band, band_hash, doc_id, 1))
-            if len(members) < MAX_NEARDUP_BUCKET_STATE:
-                members.append(doc_id)
-    state.update((members,))
+    state.update((canonical,))
     yield pd.DataFrame(out, columns=["doc_id", "band", "band_hash",
                                      "canonical_id", "is_first"])
 
@@ -151,14 +151,15 @@ def streaming_minhash_neardup(docs: DataFrame) -> DataFrame:
     docs(doc_id, text) stream → minhash signatures (the batch kernel's
     numpy Arrow stage, unchanged) → band explode (shared _minhash_bands
     plan) → applyInPandasWithState keyed by (band, band_hash): each
-    bucket's state remembers up to MAX_NEARDUP_BUCKET_STATE member ids;
+    bucket's state is the canonical (first-seen) member id, set once;
     a document landing in a non-empty bucket emits a candidate edge to
-    the bucket's canonical (first) member — including when the canonical
-    arrived in an EARLIER micro-batch, which no per-batch self-join can
-    see. Emits one row per (doc, band): filter is_first == 0 for the
-    candidate view, dedup (doc_id, canonical_id) downstream exactly like
-    the batch pair aggregation. State per bucket is O(cap); the shuffle
-    is the same keyed (band, band_hash) exchange as the batch plan."""
+    that canonical — including when the canonical arrived in an EARLIER
+    micro-batch, which no per-batch self-join can see. Emits one row per
+    (doc, band): filter is_first == 0 for the candidate view, dedup
+    (doc_id, canonical_id) downstream exactly like the batch pair
+    aggregation. State per bucket is ONE long across millions of
+    buckets; the shuffle is the same keyed (band, band_hash) exchange
+    as the batch plan."""
     from ..operators.corpus import _minhash_bands, _minhash_sig_stage
     sigs = docs.mapInPandas(_minhash_sig_stage(),
                             "doc_id long, sig array<long>")

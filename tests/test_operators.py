@@ -294,6 +294,35 @@ def test_simhash_recovers_planted_mutations(spark):
         "unrelated docs must not pair"
 
 
+def test_simhash_degenerate_bucket_pair_complete(spark):
+    """Signature-collapse regression: 100 byte-identical docs blow past
+    MAX_LSH_BUCKET members per band bucket, but because grouping is at
+    the signature level the bucket holds ONE group — identity pairs come
+    out as the (first, other) star and the near-mutation still cross-
+    pairs against EVERY member (old member-level star-cap emitted only
+    docs[0] edges and silently dropped the rest)."""
+    from ocr_spark.operators import corpus as C
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    rows = [(i, base) for i in range(100)]
+    rows.append((500, base.replace("tok7", "changed")))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    import os
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        out = C.dd_simhash(spark, d).collect()
+    pairs = {(p.doc_a, p.doc_b): p.hamming for p in out}
+    for i in range(1, 100):
+        assert pairs.get((0, i)) == 0, f"identity star edge (0,{i}) missing"
+    cross = {p for p in pairs if p[1] == 500}
+    if cross:  # mutation within hamming<=3 of the base signature
+        assert cross == {(i, 500) for i in range(100)}, \
+            "verified cross-signature pair must expand to every member"
+        assert len({pairs[p] for p in cross}) == 1
+
+
 def test_lsh_topk_recall_and_lift(spark):
     """Multiprobe LSH ANN on the near-uniform testdata (angular-LSH worst
     case): recall must clear 0.5 AND beat random sampling of the same
