@@ -61,9 +61,88 @@ _P_CLOSERS = {"p", "div", "table", "ul", "ol", "blockquote", "pre",
               "footer", "header", "nav", "aside", "main", "form"}
 
 
+# ---------------------------------------------------------------------------
+# Subtree text statistics, computed in ONE bottom-up pass.
+#
+# Scoring needs, per node: len(php_trim(collapse_ws(subtree_text))) for
+# paragraph votes and candidate text length, the comma count of that text,
+# and per-anchor len(php_trim(subtree_text)) sums for link density. The
+# naive way (re-concatenate each candidate's subtree text) is quadratic on
+# nested-div pages — the normal shape of scraped web chrome — so both
+# lengths are folded as monoids over the document-ordered run sequence,
+# exact to the character (differential-fuzzed against the naive fold in
+# tests/test_properties.py).
+#
+# Display monoid (cl, lead, trail, all_tr, first_c, last_c, empty) models
+# collapse_ws (runs of [ \t\n\r\f\v] -> one space) THEN php_trim (strip
+# edge runs of {' ', '\0'} — post-collapse only spaces and \0 remain
+# strippable): cl = collapsed length, lead/trail = strippable edge-run
+# lengths, first_c/last_c = whether the segment's raw edge chars are in
+# the collapse class (a C..C boundary between segments merges into one
+# space: cl(a+b) = cl(a)+cl(b)-1).
+# ---------------------------------------------------------------------------
+
+_C_CHARS = frozenset(" \t\n\r\f\v")
+_DISP_EMPTY = (0, 0, 0, True, False, False, True)
+_TRIM_EMPTY = (0, 0, 0, True, True)
+_PHP_TRIM_CHARS = " \t\n\r\0\x0b"
+
+
+def _disp_base(s: str):
+    c = collapse_ws(s)
+    n = len(c)
+    if n == 0:
+        return _DISP_EMPTY
+    lead = n - len(c.lstrip(" \0"))
+    trail = n - len(c.rstrip(" \0"))
+    return (n, lead, trail, lead == n, s[0] in _C_CHARS, s[-1] in _C_CHARS,
+            False)
+
+
+def _disp_merge(a, b):
+    if a[6]:
+        return b
+    if b[6]:
+        return a
+    m = 1 if (a[5] and b[4]) else 0
+    return (a[0] + b[0] - m,
+            (a[0] + b[1] - m) if a[3] else a[1],
+            (b[0] + a[2] - m) if b[3] else b[2],
+            a[3] and b[3], a[4], b[5], False)
+
+
+def _disp_len(d) -> int:
+    return 0 if d[3] else d[0] - d[1] - d[2]
+
+
+def _trim_base(s: str):
+    """php_trim-length monoid: (raw, lead, trail, all_t, empty)."""
+    n = len(s)
+    if n == 0:
+        return _TRIM_EMPTY
+    lead = n - len(s.lstrip(_PHP_TRIM_CHARS))
+    trail = n - len(s.rstrip(_PHP_TRIM_CHARS))
+    return (n, lead, trail, lead == n, False)
+
+
+def _trim_merge(a, b):
+    if a[4]:
+        return b
+    if b[4]:
+        return a
+    return (a[0] + b[0],
+            (a[0] + b[1]) if a[3] else a[1],
+            (b[0] + a[2]) if b[3] else b[2],
+            a[3] and b[3], False)
+
+
+def _trim_len(t) -> int:
+    return 0 if t[3] else t[0] - t[1] - t[2]
+
+
 class _Node:
     __slots__ = ("tag", "attrs", "parent", "children", "texts", "score",
-                 "order")
+                 "order", "disp", "trim", "commas", "link_acc", "min_off")
 
     def __init__(self, tag, attrs, parent, order):
         self.tag = tag
@@ -74,6 +153,12 @@ class _Node:
         self.texts: list[tuple[int, int, str]] = []
         self.score: float = 0.0
         self.order = order
+        # filled by _annotate (one bottom-up pass): subtree text statistics
+        self.disp = _DISP_EMPTY     # display-length monoid
+        self.trim = _TRIM_EMPTY     # trim-length monoid
+        self.commas = 0             # ','/'，' count in subtree text
+        self.link_acc = 0           # Σ trimmed text len over anchor descs
+        self.min_off = None         # first raw offset in subtree (doc order)
 
 
 class _TreeBuilder(HTMLParser):
@@ -176,9 +261,13 @@ class _TreeBuilder(HTMLParser):
 
 
 def _walk(node: _Node):
-    yield node
-    for c in node.children:
-        yield from _walk(c)
+    # explicit stack: recursion blows Python's limit on ~1000-deep nesting
+    # (adversarial but real in scraped HTML), killing the whole Arrow batch
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        yield n
+        stack.extend(reversed(n.children))
 
 
 def _runs_of(node: _Node) -> list[tuple[int, int, str]]:
@@ -186,13 +275,8 @@ def _runs_of(node: _Node) -> list[tuple[int, int, str]]:
     and sorted ONCE at the top (the per-recursion-level sort this used to
     do was O(depth · n log n) per call, quadratic on div-heavy pages)."""
     runs: list[tuple[int, int, str]] = []
-
-    def _gather(n: _Node):
+    for n in _walk(node):
         runs.extend(n.texts)
-        for c in n.children:
-            _gather(c)
-
-    _gather(node)
     runs.sort(key=lambda r: r[0])
     return runs
 
@@ -207,6 +291,38 @@ def _link_len_of(node: _Node) -> int:
         if n.tag == "a":
             total += len(php_trim(_text_of(n)))
     return total
+
+
+def _annotate(root: _Node) -> None:
+    """One bottom-up pass filling disp/trim/commas/link_acc/min_off on
+    every node: O(total nodes + total text) for the whole tree, where the
+    naive per-candidate subtree concatenation is quadratic on nested
+    containers. Each node folds its direct runs and its children's
+    pre-folded summaries in document (offset) order."""
+    order = []
+    stack = [root]
+    while stack:
+        n = stack.pop()
+        order.append(n)
+        stack.extend(n.children)
+    for node in reversed(order):  # children always precede their parent
+        items = [(s, _disp_base(t), _trim_base(t),
+                  t.count(",") + t.count("，"))
+                 for (s, _e, t) in node.texts]
+        items += [(c.min_off, c.disp, c.trim, c.commas)
+                  for c in node.children if c.min_off is not None]
+        items.sort(key=lambda it: it[0])
+        disp, trim, commas = _DISP_EMPTY, _TRIM_EMPTY, 0
+        for _, d, t, cm in items:
+            disp = _disp_merge(disp, d)
+            trim = _trim_merge(trim, t)
+            commas += cm
+        node.disp, node.trim, node.commas = disp, trim, commas
+        node.min_off = items[0][0] if items else None
+        link = sum(c.link_acc for c in node.children)
+        if node.tag == "a":
+            link += _trim_len(trim)
+        node.link_acc = link
 
 
 def _class_weight(node: _Node) -> float:
@@ -227,6 +343,7 @@ def extract_main_content(html: str) -> dict:
     equivalent) when nothing scores — e.g. a page with no paragraphs."""
     tree = _TreeBuilder()
     tree.feed_document(html)
+    _annotate(tree.root)
 
     candidates: dict[int, _Node] = {}
 
@@ -239,11 +356,10 @@ def extract_main_content(html: str) -> dict:
     for node in _walk(tree.root):
         if node.tag not in _PARAGRAPH_TAGS:
             continue
-        text = php_trim(collapse_ws(_text_of(node)))
-        if len(text) < 25:
+        tlen = _disp_len(node.disp)
+        if tlen < 25:
             continue
-        votes = (1 + text.count(",") + text.count("，")
-                 + min(len(text) // 100, 3))
+        votes = 1 + node.commas + min(tlen // 100, 3)
         parent = node.parent
         if parent is not None and parent.tag != "#root":
             _ensure(parent)
@@ -256,10 +372,10 @@ def extract_main_content(html: str) -> dict:
     best, best_score, best_ld = None, 0.0, 0.0
     for order in sorted(candidates):
         node = candidates[order]
-        text_len = len(php_trim(collapse_ws(_text_of(node))))
+        text_len = _disp_len(node.disp)
         if text_len == 0:
             continue
-        ld = min(1.0, _link_len_of(node) / text_len)
+        ld = min(1.0, node.link_acc / text_len)
         final = node.score * (1.0 - ld)
         if best is None or final > best_score:
             best, best_score, best_ld = node, final, ld

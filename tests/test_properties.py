@@ -190,6 +190,35 @@ def test_readability_never_crashes_and_spans_valid(bits):
         assert html[s:e].strip() != "" or "&" in html[s:e]
 
 
+_stat_bits = st.sampled_from([
+    "<div>", "</div>", "<p>", "</p>", "<a href='/x'>", "</a>", "<span>",
+    "</span>", "words, here", " \t\n", "&amp;", "&#32;", "&nbsp;", "x",
+    "\x0c", "\x0b", ",", "，", "名", "   ", "a longer, comma-bearing "
+    "sentence fragment used to exercise every whitespace boundary case",
+])
+
+
+@settings(max_examples=250, deadline=None)
+@given(st.lists(_stat_bits, max_size=30))
+def test_readability_stats_match_naive_fold(bits):
+    """The O(N) bottom-up monoid stats (_annotate) must agree with the
+    naive subtree-concatenation they replace — for EVERY node: display
+    length len(php_trim(collapse_ws(text))), comma count, and the
+    per-anchor trimmed link length sum. Scoring identity follows."""
+    from ocr_spark.kernels.php import collapse_ws, php_trim
+    from ocr_spark.kernels.readability import (
+        _annotate, _disp_len, _link_len_of, _text_of, _TreeBuilder, _walk)
+    html = "".join(bits)
+    tree = _TreeBuilder()
+    tree.feed_document(html)
+    _annotate(tree.root)
+    for node in _walk(tree.root):
+        naive = php_trim(collapse_ws(_text_of(node)))
+        assert _disp_len(node.disp) == len(naive), (node.tag, naive)
+        assert node.commas == naive.count(",") + naive.count("，")
+        assert node.link_acc == _link_len_of(node), (node.tag, naive)
+
+
 # -- fuzz: pdf kernel total robustness --------------------------------------
 
 _pdf_bits = st.sampled_from([
