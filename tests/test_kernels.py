@@ -414,6 +414,19 @@ class TestReadability:
         assert res["clean_text"].startswith("The Article Title")
         assert all(f == "content" for (f, _, _) in res["spans"])
 
+    def test_deep_nesting_no_recursion_error(self):
+        """2000-deep nested divs (adversarial but real in scraped HTML)
+        must not blow Python's recursion limit — a RecursionError here
+        kills the whole Arrow batch, not one row."""
+        n = 2000
+        page = ("".join(
+            f'<div class="c{i}"><p>Deep paragraph, with commas, and '
+            'enough filler text to clear the voting bar.</p>'
+            for i in range(n)) + "</div>" * n)
+        r = self._x(page)
+        assert r["tag"] == "div"
+        assert "Deep paragraph" in r["text"]
+
 
 class TestPdfLayout:
     """North-star PDF byte-stream extraction (kernels/pdftext.py):
