@@ -905,6 +905,7 @@ def sim_lsh_topk(spark, sf_dir):
 N_IVF_CELLS = 16
 N_IVF_PROBE = 4
 N_IVF_ITERS = 2
+IVF_TRAIN_CAP = 65536  # quantizer-training sample bound (rows)
 
 
 def _ivf_centroids(emb: DataFrame, k: int, iters: int):
@@ -916,11 +917,27 @@ def _ivf_centroids(emb: DataFrame, k: int, iters: int):
     shape: centroids broadcast in the closure, nothing but the k × dim
     matrix ever crosses the driver. Empty cells keep their previous
     centroid. Assignment tie-break = argmin first index = lowest
-    cell_id, matching the query-side min_by(struct(d2, cell_id))."""
+    cell_id, matching the query-side min_by(struct(d2, cell_id)).
+
+    The quantizer trains on a bounded deterministic sample (standard IVF
+    practice): past IVF_TRAIN_CAP rows, a hash-modulo filter thins the
+    training set so each Lloyd pass costs O(cap), not O(corpus) — at
+    100 TB the iterations would otherwise re-scan the full table. The
+    sample is cached across iterations. Below the cap (every test SF)
+    behavior is byte-identical to training on everything."""
     import numpy as np
     import pandas as pd
 
-    seed = (emb.where(F.col("vec_id") < k)
+    n = emb.count()
+    if n > IVF_TRAIN_CAP:
+        mod = (n + IVF_TRAIN_CAP - 1) // IVF_TRAIN_CAP
+        train = emb.where(
+            (F.pmod(F.xxhash64(F.col("vec_id")), F.lit(mod)) == 0)
+            | (F.col("vec_id") < k))  # keep the seed rows regardless
+    else:
+        train = emb
+    train = train.cache()
+    seed = (train.where(F.col("vec_id") < k)
             .select("vec_id", "vec").collect())
     C = np.stack([np.asarray(r["vec"], dtype=np.float64)
                   for r in sorted(seed, key=lambda r: r["vec_id"])])
@@ -942,7 +959,7 @@ def _ivf_centroids(emb: DataFrame, k: int, iters: int):
                 yield pd.DataFrame(rows,
                                    columns=["cell_id", "cnt", "vecsum"])
 
-        parts = emb.select("vec").mapInPandas(
+        parts = train.select("vec").mapInPandas(
             _partials, "cell_id int, cnt long, vecsum array<double>").collect()
         sums: dict = {}
         cnts: dict = {}
@@ -952,6 +969,7 @@ def _ivf_centroids(emb: DataFrame, k: int, iters: int):
             cnts[r["cell_id"]] = cnts.get(r["cell_id"], 0) + r["cnt"]
         for c, cnt in cnts.items():
             C[c] = sums[c] / cnt
+    train.unpersist()
     return C
 
 
