@@ -24,24 +24,28 @@ import json
 import re
 from typing import Any
 
-from .php import php_float, php_round, php_trim
+from .php import php_floatval, php_round, php_str, php_trim
+
+_floatval = php_floatval  # (float) cast for every numeric reply field
 
 
-def _floatval(v) -> float:
-    """PHP ``(float)`` cast, total: never raises. Strings parse their
-    longest numeric prefix ('12.50 USD' → 12.5, 'n/a' → 0.0); bools are
-    1/0; arrays cast 1.0 when non-empty, 0.0 when empty; null → 0.0.
-    The reference casts every numeric field this way, so a messy reply
-    ({'total': '12.50 USD'}) must degrade, not kill the Arrow task."""
+def _php_empty(v) -> bool:
+    """PHP ``empty()``: null, false, 0, 0.0, '', '0', and empty arrays
+    are empty — notably the STRING '0', which Python truthiness keeps."""
+    if v is None or v is False:
+        return True
     if isinstance(v, bool):
-        return 1.0
+        return not v
     if isinstance(v, (int, float)):
-        return float(v)
+        return v == 0
     if isinstance(v, str):
-        return php_float(v)
+        return v in ("", "0")
     if isinstance(v, (list, dict)):
-        return 1.0 if v else 0.0
-    return 0.0
+        return not v
+    return False
+
+
+_strval = php_str  # (string) cast used for every item text field
 
 _FENCE_RE = re.compile(r"```(?:json)?\s*\n?([\s\S]*?)\n?```")
 _BRACE_RE = re.compile(r"\{[\s\S]*\}")
@@ -91,23 +95,25 @@ def llm_normalize_items(items: list) -> list[dict]:
     for it in items:
         if not isinstance(it, dict):
             continue
-        if not it.get("name") and not it.get("code"):
+        # empty($name) && empty($code) — PHP empty, so '0' skips too
+        if _php_empty(it.get("name")) and _php_empty(it.get("code")):
             continue
-        qty = _floatval(it.get("qty", 1) or 0)
+        # ?? is NULL-coalescing only; the (float) cast handles falsiness
+        qty = _floatval(it.get("qty") if it.get("qty") is not None else 1)
         if qty <= 0:
             qty = 1.0
-        unit_price = _floatval(it.get("unit_price", 0) or 0)
-        total = _floatval(it.get("total", 0) or 0)
+        unit_price = _floatval(it.get("unit_price") or 0)
+        total = _floatval(it.get("total") or 0)
         if total <= 0 and unit_price > 0:
             total = qty * unit_price
         if unit_price <= 0 and total > 0:
             unit_price = total / qty
         out.append({
-            "code": str(it.get("code", "") or ""),
-            "name": str(it.get("name", "") or ""),
-            "description": str(it.get("description", "") or ""),
+            "code": _strval(it.get("code")),
+            "name": _strval(it.get("name")),
+            "description": _strval(it.get("description")),
             "qty": php_round(qty, 4),
-            "unit": str(it.get("unit", "") or ""),
+            "unit": _strval(it.get("unit")),
             "unit_price": php_round(unit_price, 4),
             "total": php_round(total, 2),
             "metadata": {},
@@ -128,10 +134,13 @@ def llm_parse_reply(reply: str, source_file: str) -> dict | None:
     if not isinstance(items, list):
         items = []
     declared = get("declared_total")
+    sup, cus = get("supplier_name"), get("customer_name")
     return {
         "source_file": source_file,
-        "supplier_name": get("supplier_name") or "",
-        "customer_name": get("customer_name") or "",
+        # ?? '' is null-coalescing only: '0'/0/false survive to the
+        # normalizeInvoice string cast instead of flattening to ''
+        "supplier_name": "" if sup is None else sup,
+        "customer_name": "" if cus is None else cus,
         "invoice_date": get("invoice_date"),
         "invoice_number": get("invoice_number"),
         "declared_total": None if declared is None else _floatval(declared),

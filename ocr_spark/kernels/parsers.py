@@ -72,22 +72,27 @@ def _blocks_of(root: Any) -> list:
 
 
 def normalize_item(item: dict) -> dict:
-    """AbstractParser::normalizeItem (:108-133)."""
-    qty = float(item.get("qty", 1) or 0)
+    """AbstractParser::normalizeItem (:108-133). Numeric fields go
+    through the total (float) cast (a payload item with qty '2 pcs'
+    degrades instead of raising) and text fields through the (string)
+    cast (0 → '0', false → '' — Python truthiness would flatten '0')."""
+    from .php import php_floatval, php_str
+    qty = php_floatval(item.get("qty") if item.get("qty") is not None
+                       else 1)
     if qty <= 0:
         qty = 1.0
-    unit_price = float(item.get("unit_price", 0) or 0)
-    total = float(item.get("total", 0) or 0)
+    unit_price = php_floatval(item.get("unit_price") or 0)
+    total = php_floatval(item.get("total") or 0)
     if total <= 0 and qty > 0 and unit_price > 0:
         total = qty * unit_price
     if unit_price <= 0 and qty > 0 and total > 0:
         unit_price = total / qty
     return {
-        "code": clean_string(str(item.get("code", "") or "")),
-        "name": clean_string(str(item.get("name", "") or "")),
-        "description": clean_string(str(item.get("description", "") or "")),
+        "code": clean_string(php_str(item.get("code"))),
+        "name": clean_string(php_str(item.get("name"))),
+        "description": clean_string(php_str(item.get("description"))),
         "qty": php_round(qty, 4),
-        "unit": clean_string(str(item.get("unit", "") or "")),
+        "unit": clean_string(php_str(item.get("unit"))),
         "unit_price": php_round(unit_price, 4),
         "total": php_round(total, 2),
         "metadata": item.get("metadata") or {},
@@ -108,15 +113,16 @@ def normalize_amount(amount) -> float | None:
 def normalize_invoice(data: dict, parser_id: str) -> dict:
     """AbstractParser::normalizeInvoice (:89-103). calc_total is computed
     from the *pre-normalization* item totals, exactly as the reference does."""
+    from .php import php_floatval, php_str
     return {
         "source_file": data.get("source_file", "unknown"),
         "format_detected": parser_id,
-        "supplier_name": clean_string(data.get("supplier_name") or ""),
-        "customer_name": clean_string(data.get("customer_name") or ""),
+        "supplier_name": clean_string(php_str(data.get("supplier_name"))),
+        "customer_name": clean_string(php_str(data.get("customer_name"))),
         "invoice_date": normalize_date(data.get("invoice_date")),
         "invoice_number": data.get("invoice_number"),
         "declared_total": normalize_amount(data.get("declared_total")),
-        "calc_total": php_round(float(data.get("calc_total", 0) or 0), 2),
+        "calc_total": php_round(php_floatval(data.get("calc_total") or 0), 2),
         "currency": data.get("currency"),
         "items": [normalize_item(i) for i in (data.get("items") or [])],
         "metadata": data.get("metadata") or {},

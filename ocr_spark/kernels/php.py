@@ -103,6 +103,38 @@ def php_round(x: float, precision: int = 0) -> float:
     return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
 
 
+def php_floatval(v) -> float:
+    """PHP ``(float)`` cast over ANY json value, total: never raises.
+    Strings parse their longest numeric prefix ('12.50 USD' → 12.5,
+    'n/a' → 0.0); true → 1.0, false → 0.0; arrays → 1.0 non-empty else
+    0.0; null → 0.0. Kernel float fields use this so one messy value
+    degrades instead of killing the Arrow task."""
+    if isinstance(v, bool):
+        return 1.0 if v else 0.0
+    if isinstance(v, (int, float)):
+        return float(v)
+    if isinstance(v, str):
+        return php_float(v)
+    if isinstance(v, (list, dict)):
+        return 1.0 if v else 0.0
+    return 0.0
+
+
+def php_str(v) -> str:
+    """PHP ``(string)`` cast: null/false → '', true → '1', integral
+    floats drop the '.0' (php_number_str), strings pass through.
+    Python's str() would render False as 'False' and 0.0 as '0.0' —
+    both wrong for parity with (string)-hinted reference params like
+    cleanString(?string $str)."""
+    if v is None:
+        return ""
+    if isinstance(v, bool):
+        return "1" if v else ""
+    if isinstance(v, float):
+        return php_number_str(v)
+    return str(v)
+
+
 def php_number_str(x: float) -> str:
     """PHP float→string cast (precision=14): integral floats print without
     '.0' ('2' not '2.0'). Used for order-insensitive dedup keys

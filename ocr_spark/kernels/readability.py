@@ -28,7 +28,7 @@ from __future__ import annotations
 import re
 from html.parser import HTMLParser
 
-from .php import collapse_ws, php_trim
+from .php import PHP_TRIM_CHARS, collapse_ws, php_trim
 
 _POSITIVE_RE = re.compile(
     r"article|body|content|entry|main|page|post|story|text|blog", re.I)
@@ -85,7 +85,6 @@ _P_CLOSERS = {"p", "div", "table", "ul", "ol", "blockquote", "pre",
 _C_CHARS = frozenset(" \t\n\r\f\v")
 _DISP_EMPTY = (0, 0, 0, True, False, False, True)
 _TRIM_EMPTY = (0, 0, 0, True, True)
-_PHP_TRIM_CHARS = " \t\n\r\0\x0b"
 
 
 def _disp_base(s: str):
@@ -120,8 +119,8 @@ def _trim_base(s: str):
     n = len(s)
     if n == 0:
         return _TRIM_EMPTY
-    lead = n - len(s.lstrip(_PHP_TRIM_CHARS))
-    trail = n - len(s.rstrip(_PHP_TRIM_CHARS))
+    lead = n - len(s.lstrip(PHP_TRIM_CHARS))
+    trail = n - len(s.rstrip(PHP_TRIM_CHARS))
     return (n, lead, trail, lead == n, False)
 
 
@@ -383,9 +382,10 @@ def extract_main_content(html: str) -> dict:
     if best is None:
         best, best_score, best_ld = tree.root, 0.0, 0.0
 
-    runs = [(s, e, t) for (s, e, t) in _runs_of(best) if php_trim(t)]
+    all_runs = _runs_of(best)
+    runs = [(s, e, t) for (s, e, t) in all_runs if php_trim(t)]
     return {
-        "text": php_trim(collapse_ws("".join(r[2] for r in _runs_of(best)))),
+        "text": php_trim(collapse_ws("".join(r[2] for r in all_runs))),
         "spans": [("content", s, e) for (s, e, _) in runs],
         "score": best_score,
         "tag": best.tag,

@@ -332,9 +332,10 @@ def dd_simhash(spark, sf_dir):
     signature pair → expand verified signature pairs to doc pairs.
 
     Expansion is pair-complete up to a per-pair fan-out bound: identical-
-    signature groups emit the star (hamming 0, so connectivity — what
-    dd_dup_clusters consumes — is exact), and a verified cross-signature
-    group pair emits the full |A|×|B| cross product while
+    signature groups emit all pairs up to MAX_LSH_BUCKET members, then
+    the (first, other) star (hamming 0 is transitive, so connectivity —
+    what dd_dup_clusters consumes — stays exact); a verified cross-
+    signature group pair emits the full |A|×|B| cross product while
     |A|·|B| <= MAX_LSH_BUCKET², else the rep-bridge (repA×B ∪ A×repB,
     linear, connectivity-exact since every member of a group shares its
     signature and hence its verified hamming). Rows-only oracle (hash
@@ -389,7 +390,11 @@ def dd_simhash(spark, sf_dir):
                 F.col("p.b.member_ids").alias("ms_b"), "hamming")
         .distinct()  # a signature pair can collide in several bands
     )
-    bounded = F.size("ms_a") * F.size("ms_b") <= MAX_LSH_BUCKET ** 2
+    # long arithmetic: two ~50k-member groups overflow int32 under ANSI
+    # (ARITHMETIC_OVERFLOW kills the job) — exactly the degenerate case
+    # this bound exists to survive
+    bounded = (F.size("ms_a").cast("long") * F.size("ms_b").cast("long")
+               <= MAX_LSH_BUCKET ** 2)
     cross = F.flatten(F.transform(
         F.col("ms_a"),
         lambda a: F.transform(F.col("ms_b"),
@@ -409,12 +414,26 @@ def dd_simhash(spark, sf_dir):
         .select(F.least("e.x", "e.y").alias("doc_a"),
                 F.greatest("e.x", "e.y").alias("doc_b"), "hamming")
     )
+    # identical-signature groups: all pairs up to the cap (pair-complete,
+    # as the pre-signature-level pipeline was for small buckets), star
+    # beyond it (linear; hamming 0 is transitive so cluster connectivity
+    # stays exact)
+    id_all = F.flatten(F.transform(
+        F.col("member_ids"),
+        lambda a, i: F.transform(
+            F.slice(F.col("member_ids"), i + 2, F.size("member_ids")),
+            lambda b: F.struct(a.alias("x"), b.alias("y")))))
+    id_star = F.transform(
+        F.slice(F.col("member_ids"), 2, F.size("member_ids")),
+        lambda b: F.struct(F.col("member_ids")[0].alias("x"),
+                           b.alias("y")))
     identity_pairs = (
         sig_groups.where(F.size("member_ids") >= 2)
-        .select(F.explode(F.slice(F.col("member_ids"), 2,
-                                  F.size("member_ids"))).alias("doc_b"),
-                F.col("member_ids")[0].alias("doc_a"))
-        .select("doc_a", "doc_b", F.lit(0).alias("hamming"))
+        .select(F.explode(
+            F.when(F.size("member_ids") <= MAX_LSH_BUCKET, id_all)
+            .otherwise(id_star)).alias("e"))
+        .select(F.col("e.x").alias("doc_a"), F.col("e.y").alias("doc_b"),
+                F.lit(0).alias("hamming"))
     )
     return (
         cross_pairs.unionByName(identity_pairs)
@@ -928,14 +947,15 @@ def _ivf_centroids(emb: DataFrame, k: int, iters: int):
     import numpy as np
     import pandas as pd
 
+    # row count to size the sampling modulus: column-pruned to a
+    # metadata-only parquet count, not a data pass
     n = emb.count()
+    train = emb.select("vec_id", "vec")
     if n > IVF_TRAIN_CAP:
         mod = (n + IVF_TRAIN_CAP - 1) // IVF_TRAIN_CAP
-        train = emb.where(
+        train = train.where(
             (F.pmod(F.xxhash64(F.col("vec_id")), F.lit(mod)) == 0)
             | (F.col("vec_id") < k))  # keep the seed rows regardless
-    else:
-        train = emb
     train = train.cache()
     seed = (train.where(F.col("vec_id") < k)
             .select("vec_id", "vec").collect())

@@ -120,6 +120,10 @@ def streaming_running_totals(extracted: DataFrame) -> DataFrame:
 
 NEARDUP_OUTPUT_SCHEMA = ("doc_id long, band int, band_hash int, "
                          "canonical_id long, is_first int")
+# NOTE: state-schema change (was `members array<long>`) — a stream
+# resuming from a checkpoint written under the old schema cannot decode
+# its state store; deploys crossing this change need a fresh checkpoint
+# location (state schema is part of the checkpoint contract).
 NEARDUP_STATE_SCHEMA = "canonical long"
 
 

@@ -318,6 +318,37 @@ class TestT26LlmReplyCascade:
         assert llm_parse_reply("42", "f.json") is None
         assert llm_parse_reply("plain prose", "f.json") is None
 
+    def test_php_cast_semantics(self):
+        """PHP-falsiness parity pins: (float)false = 0.0, empty('0') is
+        true (item with name '0' and no code is dropped), and the
+        (string) cast keeps numeric 0 as '0'."""
+        import json
+        from ocr_spark.kernels.llmreply import llm_parse_reply
+        from ocr_spark.kernels.php import php_floatval, php_str
+        assert php_floatval(False) == 0.0
+        assert php_floatval(True) == 1.0
+        assert php_floatval("12.50 USD") == 12.5
+        assert php_floatval("n/a") == 0.0
+        assert (php_str(0), php_str(2.0), php_str(False), php_str(None),
+                php_str(True)) == ("0", "2", "", "", "1")
+        rec = llm_parse_reply(json.dumps({
+            "declared_total": False,
+            "items": [{"name": "0", "total": 5},          # empty('0') skips
+                      {"name": "x", "code": 0, "total": "3.5 EUR"}],
+        }), "f.json")
+        assert rec["declared_total"] == 0.0
+        assert len(rec["items"]) == 1
+        assert rec["items"][0]["code"] == "0"
+        assert rec["items"][0]["total"] == 3.5
+
+    def test_messy_numeric_fields_never_crash(self):
+        """A single item with non-numeric qty must degrade like PHP's
+        (float) cast, not raise and kill the Arrow batch."""
+        from ocr_spark.kernels.parsers import normalize_item
+        it = normalize_item({"name": "x", "qty": "2 pcs",
+                             "unit_price": "1.5ish", "total": None})
+        assert (it["qty"], it["unit_price"], it["total"]) == (2.0, 1.5, 3.0)
+
 
 class TestReadability:
     """North-star boilerplate strip (kernels/readability.py): Arc90-style
