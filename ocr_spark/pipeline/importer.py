@@ -297,11 +297,20 @@ def write_import(extracted: DataFrame, out_dir: str,
                  draft_type: str = "purchase") -> dict[str, int]:
     """Materialize the import: one atomic parquet write per table (the
     PDO-transaction analog; each table commits via tmp+rename semantics of
-    the parquet committer). Returns row counts (A10 manifest)."""
-    tables = plan_draft_import(extracted, draft_type)
-    counts = {}
-    for name, df in tables.items():
-        path = os.path.join(out_dir, name)
-        df.write.mode("overwrite").parquet(path)
-        counts[name] = df.sparkSession.read.parquet(path).count()
-    return counts
+    the parquet committer). Returns row counts (A10 manifest).
+
+    The extracted input is persisted for the duration: all five tables
+    derive from it, and without the pipeline break each write would
+    re-run the Arrow extraction stage — the dominant cost — once per
+    table."""
+    extracted = extracted.persist()
+    try:
+        tables = plan_draft_import(extracted, draft_type)
+        counts = {}
+        for name, df in tables.items():
+            path = os.path.join(out_dir, name)
+            df.write.mode("overwrite").parquet(path)
+            counts[name] = df.sparkSession.read.parquet(path).count()
+        return counts
+    finally:
+        extracted.unpersist()
