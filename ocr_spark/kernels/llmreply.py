@@ -53,12 +53,19 @@ _BRACE_RE = re.compile(r"\{[\s\S]*\}")
 _MISSING = object()
 
 
+def _reject_constant(name: str):
+    # PHP json_decode rejects bare Infinity/NaN/-Infinity outright;
+    # Python's json accepts them by default — that would let values PHP
+    # never produces into the parity surface
+    raise ValueError(f"non-JSON constant {name}")
+
+
 def _decode(text: str) -> Any:
     """json_decode semantics: parse failure AND a literal ``null`` both
     come back as _MISSING (PHP cannot tell them apart either — both
-    continue the cascade)."""
+    continue the cascade). Bare Infinity/NaN fail the parse like PHP."""
     try:
-        v = json.loads(text)
+        v = json.loads(text, parse_constant=_reject_constant)
     except (ValueError, RecursionError):
         return _MISSING
     return _MISSING if v is None else v
@@ -131,6 +138,11 @@ def llm_parse_reply(reply: str, source_file: str) -> dict | None:
         return None
     get = j.get if isinstance(j, dict) else (lambda k, d=None: d)
     items = get("items") or []
+    if isinstance(items, dict):
+        # a JSON object decodes to a PHP associative array, which the
+        # reference's array-hinted normalizeItems iterates; values in
+        # insertion order match PHP's assoc iteration
+        items = list(items.values())
     if not isinstance(items, list):
         items = []
     declared = get("declared_total")

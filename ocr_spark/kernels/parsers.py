@@ -28,8 +28,8 @@ from . import items as K_items
 from . import tables as K_tables
 from . import textitems as K_text
 from .dates import normalize_date
-from .php import (clean_string, collapse_ws, compile_php, php_round,
-                  php_strip_tags, php_strlen, php_trim)
+from .php import (clean_string, collapse_ws, compile_php, php_floatval,
+                  php_round, php_str, php_strip_tags, php_strlen, php_trim)
 
 MIN_CONFIDENCE = 0.3  # ParserRegistry.php:18
 
@@ -41,11 +41,18 @@ _TEXTBLOCK_LABELS = ("text", "paragraph", "title", "list", "")
 # shared helpers
 # ---------------------------------------------------------------------------
 
+def _reject_constant(name: str):
+    # PHP json_decode rejects bare Infinity/NaN; Python's json accepts
+    # them by default, which would admit values PHP never produces
+    raise ValueError(f"non-JSON constant {name}")
+
+
 def decode_json(text: str) -> Any | None:
     """json_decode(assoc) → dict/list or None (Util.php:21-27 tolerance:
-    the engine counts nulls instead of throwing)."""
+    the engine counts nulls instead of throwing). Bare Infinity/NaN fail
+    the parse like PHP."""
     try:
-        v = json.loads(text)
+        v = json.loads(text, parse_constant=_reject_constant)
     except (ValueError, RecursionError):
         return None
     return v if isinstance(v, (dict, list)) else None
@@ -76,9 +83,8 @@ def normalize_item(item: dict) -> dict:
     through the total (float) cast (a payload item with qty '2 pcs'
     degrades instead of raising) and text fields through the (string)
     cast (0 → '0', false → '' — Python truthiness would flatten '0')."""
-    from .php import php_floatval, php_str
-    qty = php_floatval(item.get("qty") if item.get("qty") is not None
-                       else 1)
+    qty0 = item.get("qty")
+    qty = php_floatval(qty0 if qty0 is not None else 1)
     if qty <= 0:
         qty = 1.0
     unit_price = php_floatval(item.get("unit_price") or 0)
@@ -113,7 +119,9 @@ def normalize_amount(amount) -> float | None:
 def normalize_invoice(data: dict, parser_id: str) -> dict:
     """AbstractParser::normalizeInvoice (:89-103). calc_total is computed
     from the *pre-normalization* item totals, exactly as the reference does."""
-    from .php import php_floatval, php_str
+    items = data.get("items") or []
+    if isinstance(items, dict):
+        items = list(items.values())  # JSON object ≙ PHP assoc array
     return {
         "source_file": data.get("source_file", "unknown"),
         "format_detected": parser_id,
@@ -124,7 +132,7 @@ def normalize_invoice(data: dict, parser_id: str) -> dict:
         "declared_total": normalize_amount(data.get("declared_total")),
         "calc_total": php_round(php_floatval(data.get("calc_total") or 0), 2),
         "currency": data.get("currency"),
-        "items": [normalize_item(i) for i in (data.get("items") or [])],
+        "items": [normalize_item(i) for i in items if isinstance(i, dict)],
         "metadata": data.get("metadata") or {},
     }
 

@@ -18,6 +18,7 @@ Reference citations (paths under /root/reference):
 
 from __future__ import annotations
 
+import math
 import re
 from decimal import ROUND_HALF_UP, Decimal
 
@@ -136,12 +137,31 @@ def php_str(v) -> str:
 
 
 def php_number_str(x: float) -> str:
-    """PHP float→string cast (precision=14): integral floats print without
-    '.0' ('2' not '2.0'). Used for order-insensitive dedup keys
-    (TextBlockParsing.php:437)."""
+    """PHP float→string cast (precision=14): integral floats print
+    without '.0' ('2' not '2.0'), non-finite values render PHP's
+    'INF'/'-INF'/'NAN' (total — int(inf) would raise and kill the Arrow
+    batch), negative zero keeps its sign, and exponent form follows
+    PHP's shape ('1.5E-7', '1.0E+20' — uppercase E, no zero-padded
+    exponent, mantissa keeps one decimal). Used for order-insensitive
+    dedup keys (TextBlockParsing.php:437) and the php_str text-field
+    cast."""
+    if math.isnan(x):
+        return "NAN"
+    if math.isinf(x):
+        return "INF" if x > 0 else "-INF"
     if x == int(x) and abs(x) < 1e15:
+        if x == 0 and math.copysign(1.0, x) < 0:
+            return "-0"
         return str(int(x))
-    return repr(float(f"{x:.14g}"))
+    s = f"{x:.14G}"
+    if "E" in s:
+        mant, exp = s.split("E")
+        if "." not in mant:
+            mant += ".0"
+        sign = "-" if exp[0] == "-" else "+"
+        digits = exp.lstrip("+-").lstrip("0") or "0"
+        return f"{mant}E{sign}{digits}"
+    return s
 
 
 _TAG_RE = re.compile(r"<[^>]*>", re.DOTALL)

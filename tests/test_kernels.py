@@ -349,6 +349,26 @@ class TestT26LlmReplyCascade:
                              "unit_price": "1.5ish", "total": None})
         assert (it["qty"], it["unit_price"], it["total"]) == (2.0, 1.5, 3.0)
 
+    def test_json_constants_and_assoc_items(self):
+        """PHP json_decode rejects bare Infinity/NaN (the cascade moves
+        on), a JSON-object items map iterates like a PHP assoc array,
+        and non-finite floats render PHP's INF/NAN instead of raising."""
+        from ocr_spark.kernels.llmreply import llm_parse_reply
+        from ocr_spark.kernels.parsers import decode_json, normalize_item
+        from ocr_spark.kernels.php import php_number_str, php_str
+        assert decode_json('{"a": Infinity}') is None
+        assert llm_parse_reply('{"declared_total": NaN}', "f.json") is None
+        rec = llm_parse_reply(
+            '{"items": {"0": {"name": "x", "total": 5}}}', "f.json")
+        assert rec["calc_total"] == 5.0 and len(rec["items"]) == 1
+        # inf can still arrive via (float)'1e999' — must not crash
+        it = normalize_item({"name": "x", "code": float("inf"),
+                             "qty": "1e999"})
+        assert it["code"] == "INF"
+        assert (php_str(float("nan")), php_str(-0.0)) == ("NAN", "-0")
+        assert php_number_str(1.5e-7) == "1.5E-7"
+        assert php_number_str(1e20) == "1.0E+20"
+
 
 class TestReadability:
     """North-star boilerplate strip (kernels/readability.py): Arc90-style
