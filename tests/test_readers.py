@@ -64,3 +64,84 @@ def test_corrupt_rows_counted_not_thrown(spark, tmp_path):
     good = read_transcripts(spark, path, "json", drop_corrupt=True)
     assert all_rows.count() == 3
     assert good.count() == 2  # the corrupt row is COUNTED out, not thrown
+
+
+# ---------------------------------------------------------------------------
+# S3/S4 — file / ZIP ingest at the table edge (sources/ingest.py)
+# ---------------------------------------------------------------------------
+
+_MD_INVOICE = (
+    "## Supplier ACME Ltd\ninvoice no: INV-1001\ndate: 2025-02-03\n\n"
+    "| code | name | qty | unit price | total |\n"
+    "|---|---|---|---|---|\n"
+    "| A-1 | Widget | 2 | 5.00 | 10.00 |\n\n合计：10.00\n")
+
+
+def _make_upload_dir(root):
+    import os
+    d = os.path.join(root, "run_a", "sub")
+    os.makedirs(d)
+    with open(os.path.join(d, "b_doc.md"), "w") as f:
+        f.write(_MD_INVOICE)
+    with open(os.path.join(d, "a_doc.md"), "w") as f:
+        f.write(_MD_INVOICE.replace("INV-1001", "INV-1000"))
+    with open(os.path.join(d, ".hidden.md"), "w") as f:
+        f.write("junk")
+    with open(os.path.join(d, "Thumbs.db"), "w") as f:
+        f.write("junk")
+    with open(os.path.join(d, "notes.txt"), "w") as f:
+        f.write("wrong extension")
+    return d
+
+
+def test_ingest_files_filters_and_decodes(spark, tmp_path):
+    """Directory ingest (S3 analog): FileScanner's ignore patterns +
+    extension whitelist, distributed binaryFile decode."""
+    from ocr_spark.sources.ingest import ingest_files
+    _make_upload_dir(str(tmp_path))
+    rows = ingest_files(spark, str(tmp_path)).orderBy("name").collect()
+    assert [r.name for r in rows] == ["a_doc.md", "b_doc.md"]
+    assert rows[0].ext == "md" and rows[0].source == "sub"
+    assert "合计：10.00" in rows[0].content  # UTF-8 decode survives
+    assert rows[1].size == len(_MD_INVOICE.encode())
+
+
+def test_ingest_zip_members_safety_and_e2e(spark, tmp_path):
+    """ZIP ingest (S4 analog): member explode with directory-entry skip,
+    path-traversal rejection, junk/extension filters, and a size cap —
+    then the ingested transcripts run the normal extraction pipeline."""
+    import os
+    import zipfile
+
+    from ocr_spark.pipeline.extract import extract_turns
+    from ocr_spark.sources.ingest import files_to_transcripts, ingest_zip
+
+    zdir = str(tmp_path / "zips")
+    os.makedirs(zdir)
+    with zipfile.ZipFile(os.path.join(zdir, "upload_1.zip"), "w") as z:
+        z.writestr("docs/", "")                       # directory entry
+        z.writestr("docs/inv2.md", _MD_INVOICE)
+        z.writestr("docs/inv1.md",
+                   _MD_INVOICE.replace("INV-1001", "INV-0999"))
+        z.writestr("../evil.md", _MD_INVOICE)         # traversal
+        z.writestr("docs/.DS_Store", "junk")
+        z.writestr("docs/readme.txt", "wrong ext")
+        z.writestr("docs/huge.md", "x" * 2048)        # over the test cap
+
+    files = ingest_zip(spark, zdir, max_member_bytes=1024)
+    rows = files.orderBy("name").collect()
+    assert [r.name for r in rows] == ["inv1.md", "inv2.md"]
+    assert all(r.source == "upload_1" for r in rows)
+
+    t = files_to_transcripts(files)
+    trows = {r.turn_idx: r for r in t.collect()}
+    assert sorted(trows) == [0, 1]                    # name-sorted rank
+    assert trows[0].conv_id == "upload_1"
+    assert trows[0].tool == "markdown"
+
+    ex = extract_turns(t, salt_partitions=0).collect()
+    assert len(ex) == 2
+    by_turn = {r.turn_idx: r for r in ex}
+    assert by_turn[0].records[0].invoice_number == "INV-0999"
+    assert by_turn[1].records[0].invoice_number == "INV-1001"
+    assert by_turn[0].records[0].calc_total == 10.0
