@@ -145,3 +145,23 @@ def test_ingest_zip_members_safety_and_e2e(spark, tmp_path):
     assert by_turn[0].records[0].invoice_number == "INV-0999"
     assert by_turn[1].records[0].invoice_number == "INV-1001"
     assert by_turn[0].records[0].calc_total == 10.0
+
+
+def test_ingest_zip_corrupt_archive_skipped(spark, tmp_path):
+    """Garbage bytes with a .zip name must yield zero rows, not a crash
+    (one bad archive in a bulk upload cannot kill the batch); a good
+    archive beside it still ingests."""
+    import os
+    import zipfile
+
+    from ocr_spark.sources.ingest import ingest_zip
+
+    zdir = str(tmp_path / "zips")
+    os.makedirs(zdir)
+    with open(os.path.join(zdir, "broken.zip"), "wb") as f:
+        f.write(b"\x00\x01not a zip at all\xff" * 100)
+    with zipfile.ZipFile(os.path.join(zdir, "ok.zip"), "w") as z:
+        z.writestr("a.md", _MD_INVOICE)
+
+    rows = ingest_zip(spark, zdir).collect()
+    assert [(r.source, r.name) for r in rows] == [("ok", "a.md")]
