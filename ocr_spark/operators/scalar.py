@@ -810,7 +810,8 @@ SELECT user_id,
        MIN(ts) AS session_start,
        MAX(ts) + INTERVAL 30 MINUTE AS session_end,
        COUNT(*) AS n_events,
-       ROUND(SUM(value), 2) AS total_value
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         / 100.0 AS total_value
 FROM s GROUP BY user_id, sid
 ORDER BY user_id, session_start
 """

@@ -42,22 +42,31 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
     union + window: right rows sort before left rows at equal ts
     (side 0 < 1) so an exact-ts right row IS visible to that left row —
     matching merge_asof/DuckDB ASOF (<=) semantics. ONE shuffle (the
-    per-key window); neither side needs to fit in memory."""
-    rt = right.select(
-        F.col(by), F.col(on), F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols])
+    per-key window); neither side needs to fit in memory.
+
+    The right payload travels as ONE struct so the carried match is a
+    whole row — carrying columns independently with last(ignorenulls)
+    would mix columns from different right rows whenever a payload
+    column is null. Right rows with a null key or null ts are dropped
+    first: SQL equality/inequality never matches NULL (a null-ts right
+    row would otherwise sort first and leak into early left rows)."""
+    rt = (right
+          .where(F.col(by).isNotNull() & F.col(on).isNotNull())
+          .select(F.col(by), F.col(on), F.lit(0).alias("_side"),
+                  F.struct(*[F.col(c) for c in right_cols]).alias("_r")))
     lt = left.withColumn("_side", F.lit(1))
     # allowMissingColumns: left payload columns are null on right rows
-    # (filtered out at the end); _r_* are null on left rows until the
-    # window carries the last non-null right value forward
+    # (filtered out at the end); _r is null on left rows until the
+    # window carries the last right ROW forward
     unioned = lt.unionByName(rt, allowMissingColumns=True)
     w = (Window.partitionBy(by).orderBy(on, "_side")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = (unioned
+           .withColumn("_asof", F.last("_r", ignorenulls=True).over(w))
+           .where(F.col("_side") == 1))
     for c in right_cols:
-        unioned = unioned.withColumn(
-            f"asof_{c}", F.last(f"_r_{c}", ignorenulls=True).over(w))
-    return (unioned.where(F.col("_side") == 1)
-            .drop("_side", *[f"_r_{c}" for c in right_cols]))
+        out = out.withColumn(f"asof_{c}", F.col(f"_asof.{c}"))
+    return out.drop("_side", "_r", "_asof")
 
 
 def qr_asof_join(spark, sf_dir):
@@ -111,7 +120,10 @@ def qr_range_join(spark, sf_dir):
         .where((F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")))
         .groupBy("band_id")
         .agg(F.count("*").alias("n_events"),
-             F.round(F.sum("value"), 2).alias("sum_value"))
+             # integer-cents invariant (CLAUDE.md): summing doubles then
+             # rounding is summation-order-dependent at edges
+             (F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))
+                    .cast("long")) / 100.0).alias("sum_value"))
         .orderBy("band_id")
     )
 
@@ -122,7 +134,9 @@ WITH bands AS (
          (band_id + 1) * {BUCKET_WIDTH} AS hi
   FROM (SELECT unnest(range(0, 6)) AS band_id)
 )
-SELECT band_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+SELECT band_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         / 100.0 AS sum_value
 FROM events JOIN bands
   ON value >= lo AND value < hi
 GROUP BY band_id ORDER BY band_id

@@ -15,13 +15,27 @@ def formatted_plan(df: DataFrame, mode: str = "formatted") -> str:
 
 
 def pushed_filters(df: DataFrame) -> list[str]:
-    """PushedFilters entries across all scans in the plan."""
+    """PushedFilters entries across all scans in the plan. Split is
+    bracket-aware: `In(mode, [MAIL,SHIP])` is one entry, not three (a
+    naive comma split truncates at the first ']')."""
     plan = formatted_plan(df)
     out: list[str] = []
-    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
+    for m in re.finditer(r"PushedFilters: \[(.*?)\](?:,|$|\n)", plan):
         body = m.group(1).strip()
-        if body:
-            out.extend(p.strip() for p in body.split(","))
+        depth, cur = 0, []
+        for ch in body:
+            if ch == "," and depth == 0:
+                if "".join(cur).strip():
+                    out.append("".join(cur).strip())
+                cur = []
+                continue
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            cur.append(ch)
+        if "".join(cur).strip():
+            out.append("".join(cur).strip())
     return out
 
 
@@ -54,14 +68,18 @@ def codegen_stage_count(df: DataFrame) -> int:
     """Distinct whole-stage-codegen spans ('*(stage_id)' markers).
 
     AQE's AdaptiveSparkPlan wrapper hides codegen stage ids until
-    execution, so the audit plans a fresh copy of the query with AQE off
-    (physical planning is lazy — the conf is read at first explain).
-    Call this on a freshly-built DataFrame, not one already explained."""
+    execution, so the audit plans with AQE off — on a DEFENSIVE COPY
+    (selectExpr('*') makes a fresh Dataset with its own QueryExecution;
+    the trivial projection is pruned in planning). Planning the caller's
+    DataFrame directly would cache the AQE-off physical plan on it, and
+    a later collect()/audit on the same object would silently run and
+    report the non-adaptive plan."""
     spark = df.sparkSession
+    copy = df.selectExpr("*")
     old = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        plan = formatted_plan(df, mode="simple")
+        plan = formatted_plan(copy, mode="simple")
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", old)
     return len(set(re.findall(r"\*\((\d+)\)", plan)))

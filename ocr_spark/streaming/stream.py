@@ -82,11 +82,20 @@ def run_stream_extract(spark: SparkSession, input_dir: str,
          .trigger(availableNow=True)
          .outputMode("append")
          .start())
-    q.awaitTermination(timeout_sec)
+    finished = q.awaitTermination(timeout_sec)
+    if not finished:
+        # returning partial metrics while the query keeps appending (and
+        # holding the checkpoint) would hand the caller a live race
+        q.stop()
+        raise TimeoutError(
+            f"AvailableNow pass exceeded {timeout_sec}s; query stopped")
     progress = q.lastProgress
     return {
         "batches": q.recentProgress and len(q.recentProgress) or 0,
-        "rows_out": sum(int(p["numInputRows"]) for p in (q.recentProgress or [])),
+        # source-side count (numInputRows); the extraction stage is 1:1
+        # today but sink-row counts must come from the output, not here
+        "rows_in": sum(int(p["numInputRows"])
+                       for p in (q.recentProgress or [])),
         "last_progress": dict(progress) if progress else {},
     }
 
@@ -109,7 +118,11 @@ def sessionize_by_gap(events: DataFrame, gap: str = "30 minutes",
         events.groupBy(F.session_window(F.col(ts_col), gap).alias("session"),
                        F.col(key_col))
         .agg(F.count("*").alias("n_events"),
-             F.round(F.sum("value"), 2).alias("total_value"))
+             # integer cents (CLAUDE.md money invariant): streaming
+             # partial/state-store aggregation adds in a different order
+             # than batch — ROUND of a double sum can flip a cent
+             (F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))
+                    .cast("long")) / 100.0).alias("total_value"))
         .select(F.col(key_col),
                 F.col("session.start").alias("session_start"),
                 F.col("session.end").alias("session_end"),

@@ -165,3 +165,18 @@ def test_ingest_zip_corrupt_archive_skipped(spark, tmp_path):
 
     rows = ingest_zip(spark, zdir).collect()
     assert [(r.source, r.name) for r in rows] == [("ok", "a.md")]
+
+
+def test_synthetic_sizing_matches_n_turns_for(spark):
+    """The skeleton's hot-conv F.when expression and the Python
+    n_turns_for helper implement one sizing rule — pin them together so
+    a change to either shape cannot silently desynchronize tests that
+    size expectations via n_turns_for."""
+    from ocr_spark.sources.synthetic import (n_turns_for,
+                                             synthesize_transcripts)
+    df = synthesize_transcripts(spark, n_convs=205)
+    counts = {r.conv_id: r.n for r in
+              df.groupBy("conv_id").agg(F.count("*").alias("n")).collect()}
+    assert len(counts) == 205
+    for i in (0, 1, 99, 100, 101, 200, 204):
+        assert counts[f"conv-{i:06d}"] == n_turns_for(i), i

@@ -65,7 +65,7 @@ def test_stream_resume_processes_only_new_files(spark, tmp_path):
     assert got.count() == n1 + n2, "resume must append exactly the new rows"
     # exactly-once per turn: no duplicates across the two passes
     assert got.select("conv_id", "turn_idx").distinct().count() == n1 + n2
-    assert metrics["rows_out"] <= n2 + 1  # only the delta entered pass 2
+    assert metrics["rows_in"] <= n2 + 1  # only the delta entered pass 2
 
 
 def test_session_window_stream_equals_batch(spark, tmp_path):
