@@ -78,7 +78,17 @@ def _tokenize(src: str):
                         out.append(chr(int(m.group(0), 8)))
                         i += 1 + len(m.group(0))
                         continue
-                    i += 2  # line continuation / unknown escape: drop
+                    if nxt in "\r\n":
+                        # \<EOL> line continuation: consume the EOL
+                        # (a \r\n pair counts as ONE end-of-line)
+                        i += 2
+                        if nxt == "\r" and i < n and src[i] == "\n":
+                            i += 1
+                        continue
+                    # unknown escape (PDF 32000-1 §7.3.4.2): the
+                    # backslash alone is ignored, the char is KEPT
+                    out.append(nxt)
+                    i += 2
                     continue
                 if ch == "(":
                     depth += 1

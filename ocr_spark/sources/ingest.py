@@ -30,11 +30,16 @@ import re
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-# FileScanner.php:12-19, applied to the file NAME
+# FileScanner.php:12-19, applied to the file NAME — the canonical junk
+# rules for every ingest edge (readers.py derives its path-level variant
+# from here; keep them in one module)
 _IGNORE_CS = r"^\.|^__|\.pyc$"                       # case-sensitive
 _IGNORE_CI = r"^thumbs\.db$|^desktop\.ini$|^\.ds_store$"
 _IGNORE_RE_CS = re.compile(_IGNORE_CS)
 _IGNORE_RE_CI = re.compile(_IGNORE_CI, re.IGNORECASE)
+
+# path-level, case-blind variant for input_file_name() filters
+JUNK_PATH = r"(^|/)(\.|__|thumbs\.db$|desktop\.ini$|\.ds_store$)"
 
 DEFAULT_EXTENSIONS = ("json", "md")                  # FileScanner.php:20
 MAX_MEMBER_BYTES = 64 * 1024 * 1024                  # zip-member cap
@@ -53,8 +58,16 @@ def ingest_files(spark: SparkSession, path: str,
     """Recursive directory ingest: one row per accepted file, decoded
     UTF-8 (invalid bytes replaced, like treating file_get_contents
     output as text). Filters and name/ext derivation match FileScanner;
-    `source` is the file's parent directory name (the upload-run analog
-    of the extracted-zip dir)."""
+    `source` is the file's full parent-directory path (unique per
+    upload dir — using only the last segment would merge same-named
+    dirs from different uploads into one conversation).
+
+    Known divergence from FileScanner: Spark's file index hides files
+    whose name starts with '_' or '.' at LISTING time (it treats them
+    as metadata files), so a single-underscore file like _summary.json
+    never reaches the filters here even though the reference only
+    ignores the '__' prefix. The ZIP path lists every member itself and
+    keeps such names."""
     exts = tuple(e.lower() for e in extensions)
     raw = (spark.read.format("binaryFile")
            .option("recursiveFileLookup", "true")
@@ -67,7 +80,7 @@ def ingest_files(spark: SparkSession, path: str,
             .withColumn("name", name)
             .withColumn("ext", ext)
             .where(~junk & ext.isin(*exts))
-            .select(F.element_at(F.split(F.col("path"), "/"), -2)
+            .select(F.regexp_replace(F.col("path"), r"/[^/]+$", "")
                     .alias("source"),
                     F.col("path").alias("member_path"),
                     "name", "ext",
@@ -88,8 +101,10 @@ def _zip_explode_stage(extensions: tuple[str, ...], max_member_bytes: int):
         for pdf in batches:
             rows = []
             for zpath, blob in zip(pdf["path"], pdf["content"]):
-                stem = zpath.rsplit("/", 1)[-1]
-                stem = stem[:-4] if stem.lower().endswith(".zip") else stem
+                # full path sans extension: unique per archive (the stem
+                # alone would merge same-named zips from different dirs)
+                source = (zpath[:-4] if zpath.lower().endswith(".zip")
+                          else zpath)
                 try:
                     zf = zipfile.ZipFile(io.BytesIO(blob))
                 except Exception:
@@ -98,10 +113,14 @@ def _zip_explode_stage(extensions: tuple[str, ...], max_member_bytes: int):
                     if info.is_dir():
                         continue
                     mp = info.filename
-                    norm = posixpath.normpath(mp)
-                    if norm.startswith("../") or norm.startswith("/"):
+                    # traversal guard: also catch backslash separators
+                    # and drive-letter prefixes zipfile passes through
+                    norm = posixpath.normpath(mp.replace("\\", "/"))
+                    if (norm == ".." or norm.startswith("../")
+                            or norm.startswith("/")
+                            or re.match(r"^[A-Za-z]:", norm)):
                         continue  # path traversal — reject the member
-                    mname = mp.rsplit("/", 1)[-1]
+                    mname = norm.rsplit("/", 1)[-1]
                     if _name_is_junk(mname):
                         continue
                     mext = (mname.rsplit(".", 1)[-1].lower()
@@ -114,8 +133,13 @@ def _zip_explode_stage(extensions: tuple[str, ...], max_member_bytes: int):
                         data = zf.read(info)
                     except Exception:
                         continue  # one corrupt member must not kill
-                    ts = datetime.datetime(*info.date_time)
-                    rows.append((stem, mp, mname, mext, info.file_size,
+                    try:
+                        ts = datetime.datetime(*info.date_time)
+                    except ValueError:
+                        # zeroed DOS date fields ((1980,0,0,...)) are
+                        # common in tool-generated zips — never fatal
+                        ts = datetime.datetime(1980, 1, 1)
+                    rows.append((source, mp, mname, mext, info.file_size,
                                  data.decode("utf-8", "replace"), ts))
             yield pd.DataFrame(rows, columns=[
                 "source", "member_path", "name", "ext", "size",
@@ -133,7 +157,9 @@ def ingest_zip(spark: SparkSession, path: str,
     exts = tuple(e.lower() for e in extensions)
     zips = (spark.read.format("binaryFile")
             .option("recursiveFileLookup", "true")
-            .option("pathGlobFilter", "*.zip")
+            # char-class glob: pathGlobFilter is case-sensitive and
+            # Windows tooling commonly produces .ZIP
+            .option("pathGlobFilter", "*.[zZ][iI][pP]")
             .load(path))
     return zips.mapInPandas(_zip_explode_stage(exts, max_member_bytes),
                             schema=INGESTED_SCHEMA)

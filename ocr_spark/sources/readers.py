@@ -17,8 +17,9 @@ from pyspark.sql import functions as F
 
 from ..streaming.stream import TRANSCRIPT_SCHEMA
 
-# FileScanner.php:12-19 ignore patterns, re-expressed for file paths
-_JUNK_PATH = r"(^|/)(\.|__|thumbs\.db$|desktop\.ini$|\.ds_store$)"
+# FileScanner.php:12-19 ignore patterns, path-level variant — one
+# source of truth in sources/ingest.py beside the name-level originals
+from .ingest import JUNK_PATH as _JUNK_PATH  # noqa: E402
 
 
 def read_transcripts(spark: SparkSession, path: str,

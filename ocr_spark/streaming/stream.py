@@ -110,9 +110,12 @@ def sessionize_by_gap(events: DataFrame, gap: str = "30 minutes",
     the explicit late-data contract the reference never needed, being
     single-process); in batch the same expression aggregates directly,
     which is how the test proves stream ≡ batch."""
-    # watermarks require an instant-typed event time (NTZ sources cast up)
-    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     if events.isStreaming:
+        # watermarks require an instant-typed event time (NTZ casts up);
+        # batch keeps the ntz column as-is — the instant cast would
+        # shift session bounds by the session-tz DST offset while the
+        # tz-free oracle (W3B_SQL) does wall-clock arithmetic
+        events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         events = events.withWatermark(ts_col, watermark)
     return (
         events.groupBy(F.session_window(F.col(ts_col), gap).alias("session"),

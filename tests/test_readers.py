@@ -101,7 +101,7 @@ def test_ingest_files_filters_and_decodes(spark, tmp_path):
     _make_upload_dir(str(tmp_path))
     rows = ingest_files(spark, str(tmp_path)).orderBy("name").collect()
     assert [r.name for r in rows] == ["a_doc.md", "b_doc.md"]
-    assert rows[0].ext == "md" and rows[0].source == "sub"
+    assert rows[0].ext == "md" and rows[0].source.endswith("/run_a/sub")
     assert "合计：10.00" in rows[0].content  # UTF-8 decode survives
     assert rows[1].size == len(_MD_INVOICE.encode())
 
@@ -131,12 +131,12 @@ def test_ingest_zip_members_safety_and_e2e(spark, tmp_path):
     files = ingest_zip(spark, zdir, max_member_bytes=1024)
     rows = files.orderBy("name").collect()
     assert [r.name for r in rows] == ["inv1.md", "inv2.md"]
-    assert all(r.source == "upload_1" for r in rows)
+    assert all(r.source.endswith("/zips/upload_1") for r in rows)
 
     t = files_to_transcripts(files)
     trows = {r.turn_idx: r for r in t.collect()}
     assert sorted(trows) == [0, 1]                    # name-sorted rank
-    assert trows[0].conv_id == "upload_1"
+    assert trows[0].conv_id.endswith("/zips/upload_1")
     assert trows[0].tool == "markdown"
 
     ex = extract_turns(t, salt_partitions=0).collect()
@@ -164,7 +164,7 @@ def test_ingest_zip_corrupt_archive_skipped(spark, tmp_path):
         z.writestr("a.md", _MD_INVOICE)
 
     rows = ingest_zip(spark, zdir).collect()
-    assert [(r.source, r.name) for r in rows] == [("ok", "a.md")]
+    assert [(r.source.rsplit("/", 1)[-1], r.name) for r in rows] == [("ok", "a.md")]
 
 
 def test_synthetic_sizing_matches_n_turns_for(spark):
@@ -180,3 +180,25 @@ def test_synthetic_sizing_matches_n_turns_for(spark):
     assert len(counts) == 205
     for i in (0, 1, 99, 100, 101, 200, 204):
         assert counts[f"conv-{i:06d}"] == n_turns_for(i), i
+
+
+def test_ingest_zip_hostile_members(spark, tmp_path):
+    """Zeroed DOS dates must not crash the task; backslash traversal and
+    uppercase .ZIP archives are handled."""
+    import os
+    import zipfile
+
+    from ocr_spark.sources.ingest import ingest_zip
+
+    zdir = str(tmp_path / "zips")
+    os.makedirs(zdir)
+    with zipfile.ZipFile(os.path.join(zdir, "UP.ZIP"), "w") as z:
+        zi = zipfile.ZipInfo("ok.md")          # date_time defaults to
+        zi.date_time = (1980, 0, 0, 0, 0, 0)   # a zeroed DOS date
+        z.writestr(zi, _MD_INVOICE)
+        z.writestr("..\\..\\evil.md", _MD_INVOICE)
+        z.writestr("C:\\win\\abs.md", _MD_INVOICE)
+
+    rows = ingest_zip(spark, zdir).collect()
+    assert [r.name for r in rows] == ["ok.md"]
+    assert rows[0].ts.year == 1980  # fallback epoch, not a crash
