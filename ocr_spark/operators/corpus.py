@@ -177,24 +177,35 @@ N_BANDS = 4  # 4 rows per band
 MAX_LSH_BUCKET = 64  # all-pairs above this degrades to the star pattern
 
 
+MINHASH_P = (1 << 61) - 1
+# fixed universal-hash coefficients, shared verbatim by the numpy stage
+# and the generated oracle SQL (VALUES literals)
+MINHASH_A = [(2 * k + 1) * 0x9E3779B97F4A7C15 % MINHASH_P
+             for k in range(N_MINHASH)]
+MINHASH_B = [(k * 0xC2B2AE3D27D4EB4F + 1) % MINHASH_P
+             for k in range(N_MINHASH)]
+
+
 def _minhash_sig_stage():
-    """MinHash signatures in one Arrow batch stage: crc32 per shingle,
-    then K universal-hash permutations h_k(x) = (a_k·x + b_k) mod p
-    vectorized over the whole shingle array with numpy (the expression-
-    tree version — nested transform + xxhash64 per (shingle, k) — is
-    interpreted, not codegen'd, and ~6x slower). Deterministic: fixed
+    """MinHash signatures in one Arrow batch stage: md5-first-8-bytes per
+    shingle (engine-agnostic — DuckDB reproduces it as
+    ('0x'||substr(md5(s),1,16))::UBIGINT, which makes the whole operator
+    oracle-checkable), then K universal-hash permutations
+    h_k(x) = ((a_k·x + b_k) mod 2^64) mod p vectorized over the whole
+    shingle array with numpy (the expression-tree version — nested
+    transform per (shingle, k) — is interpreted, not codegen'd, and ~6x
+    slower). The mod-2^64 is numpy's native uint64 wraparound, mirrored
+    explicitly in HUGEINT on the oracle side. Deterministic: fixed
     (a_k, b_k) derived from k."""
     import numpy as np
     import pandas as pd
 
-    P = (1 << 61) - 1
-    A = np.array([(2 * k + 1) * 0x9E3779B97F4A7C15 % P
-                  for k in range(N_MINHASH)], dtype=np.uint64)
-    B = np.array([(k * 0xC2B2AE3D27D4EB4F + 1) % P
-                  for k in range(N_MINHASH)], dtype=np.uint64)
+    P = MINHASH_P
+    A = np.array(MINHASH_A, dtype=np.uint64)
+    B = np.array(MINHASH_B, dtype=np.uint64)
 
     def _sigs(batches):
-        import zlib
+        import hashlib
         for pdf in batches:
             out_ids, out_sigs = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
@@ -204,9 +215,11 @@ def _minhash_sig_stage():
                 shingles = {" ".join(words[i:i + 3])
                             for i in range(len(words) - 2)}
                 h = np.fromiter(
-                    (zlib.crc32(s.encode()) for s in shingles),
+                    (int.from_bytes(hashlib.md5(s.encode()).digest()[:8],
+                                    "big") for s in shingles),
                     dtype=np.uint64, count=len(shingles))
-                # (K, n) permuted values via broadcasting; min per row
+                # (K, n) permuted values via broadcasting (uint64 wraps
+                # mod 2^64 before the mod-p); min per row
                 sig = ((A[:, None] * h[None, :] + B[:, None]) % P).min(axis=1)
                 out_ids.append(int(doc_id))
                 out_sigs.append(sig.astype(np.int64).tolist())
@@ -215,26 +228,44 @@ def _minhash_sig_stage():
     return _sigs
 
 
+def _md5_long(col):
+    """First 8 bytes of md5(col) as a signed int64 — the engine-agnostic
+    64-bit hash: DuckDB writes the identical value as
+    CAST(('0x'||substr(md5(x),1,16))::UBIGINT AS HUGEINT) - 2^63."""
+    # 2^63 exceeds a Java long, so it rides over py4j as a string literal
+    return (F.conv(F.substring(F.md5(col), 1, 16), 16, 10)
+            .cast("decimal(20,0)")
+            - F.lit("9223372036854775808").cast("decimal(20,0)")
+            ).cast("long")
+
+
 def _minhash_bands(sigs: DataFrame) -> DataFrame:
     """Explode K-value signatures into (doc_id, band, band_hash) rows —
     shared by the batch candidate generator and the streaming near-dedup
-    operator (streaming/stateful.py)."""
+    operator (streaming/stateful.py). The band hash is md5 over the
+    comma-joined band values folded to a signed long (compact 8-byte
+    shuffle key at 100 TB, vs a 32-char hex string), engine-agnostic so
+    the DuckDB oracle reproduces the buckets exactly."""
     rows_per_band = N_MINHASH // N_BANDS
     return sigs.select(
         "doc_id",
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band"),
-                F.hash(*[F.col("sig")[b * rows_per_band + r]
-                         for r in range(rows_per_band)]).alias("band_hash"))
+                _md5_long(F.concat_ws(",", *[
+                    F.col("sig")[b * rows_per_band + r].cast("string")
+                    for r in range(rows_per_band)])).alias("band_hash"))
             for b in range(N_BANDS)
         ])).alias("bh")
     ).select("doc_id", "bh.band", "bh.band_hash")
 
 
 def dd_minhash_lsh(spark, sf_dir):
-    """MinHash + LSH banding near-dup candidates (rows-only oracle: the
-    hash family is engine-specific).
+    """MinHash + LSH banding near-dup candidates, fully oracle-checked:
+    every hash in the pipeline (md5 shingle hash, universal-hash
+    permutations with explicit mod-2^64 wraparound, md5 band hash) is
+    engine-agnostic, so DuckDB reproduces the exact candidate set —
+    including the degenerate-bucket star cap — not just the row count.
 
     shingle → K minhashes (numpy Arrow stage) → B bands of K/B values →
     band-hash buckets → within-bucket pair explode. The only shuffle is
@@ -284,6 +315,100 @@ def _lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n_band_collisions"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---- generated oracle SQL for the MinHash/LSH family -----------------------
+# The (k, a, b) coefficients are embedded as VALUES literals from the same
+# Python constants the numpy stage uses; every hash step is reproduced
+# exactly (md5-first-8-bytes shingle hash, HUGEINT mod-2^64 wraparound for
+# the universal-hash permutations, md5 band hash, star cap on degenerate
+# buckets).
+
+_MINHASH_ROWS_PER_BAND = N_MINHASH // N_BANDS
+_MINHASH_KS_VALUES = ", ".join(
+    f"({k}, {MINHASH_A[k]}::HUGEINT, {MINHASH_B[k]}::HUGEINT)"
+    for k in range(N_MINHASH))
+
+# CTE chain from a (doc_id, text) source named {src} to cand_pairs
+_MINHASH_CTES = f"""
+shingled AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+    FROM (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+      FROM {{src}}
+    ), UNNEST(range(1, len(words) - 1)) AS t(i)
+    WHERE len(words) >= 3
+  )
+),
+hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 16))::UBIGINT::HUGEINT AS h
+  FROM shingled
+),
+ks(k, a, b) AS (VALUES {_MINHASH_KS_VALUES}),
+sigs AS (
+  SELECT doc_id, k,
+         MIN(CAST(((a * h + b) % 18446744073709551616) % {MINHASH_P} AS BIGINT)) AS sigv
+  FROM hashed CROSS JOIN ks
+  GROUP BY doc_id, k
+),
+bands AS (
+  SELECT doc_id, band,
+         CAST(('0x' || substr(md5(string_agg(CAST(sigv AS VARCHAR), ',' ORDER BY k)), 1, 16))::UBIGINT::HUGEINT
+              - 9223372036854775808 AS BIGINT) AS band_hash
+  FROM (SELECT doc_id, k, sigv, CAST(k // {_MINHASH_ROWS_PER_BAND} AS INT) AS band FROM sigs)
+  GROUP BY doc_id, band
+),
+bsz AS (
+  SELECT band, band_hash, COUNT(*) AS n, MIN(doc_id) AS mind
+  FROM bands GROUP BY 1, 2
+),
+cand_pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
+  JOIN bsz s ON s.band = a.band AND s.band_hash = a.band_hash
+  WHERE s.n <= {MAX_LSH_BUCKET} OR a.doc_id = s.mind
+)"""
+
+DD_MINHASH_SQL = f"""
+WITH {_MINHASH_CTES.format(src="documents")}
+SELECT doc_a, doc_b, COUNT(*) AS n_band_collisions
+FROM cand_pairs GROUP BY 1, 2 ORDER BY doc_a, doc_b
+"""
+
+DD_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_MINHASH_CTES.format(src="documents")},
+lsh_pairs AS (SELECT DISTINCT doc_a, doc_b FROM cand_pairs),
+exact_pairs AS (
+  SELECT keep AS doc_a, doc_id AS doc_b FROM (
+    SELECT doc_id,
+           MIN(doc_id) OVER (
+             PARTITION BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+           ) AS keep
+    FROM documents
+  ) WHERE doc_id != keep
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+  UNION SELECT doc_b, doc_a FROM lsh_pairs
+  UNION SELECT doc_a, doc_b FROM exact_pairs
+  UNION SELECT doc_b, doc_a FROM exact_pairs
+),
+verts AS (SELECT DISTINCT src AS doc_id FROM edges),
+reach AS (
+  SELECT doc_id, doc_id AS label FROM verts
+  UNION
+  SELECT e.dst AS doc_id, r.label FROM reach r JOIN edges e ON e.src = r.doc_id
+),
+lab AS (SELECT doc_id, MIN(label) AS label FROM reach GROUP BY doc_id)
+SELECT label AS cluster_id, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+FROM lab GROUP BY label HAVING COUNT(*) >= 2 ORDER BY cluster_id
+"""
 
 
 SIMHASH_BANDS = 4        # 16 bits per band: hamming<=3 pairs always collide
@@ -338,9 +463,10 @@ def dd_simhash(spark, sf_dir):
     signature group pair emits the full |A|×|B| cross product while
     |A|·|B| <= MAX_LSH_BUCKET², else the rep-bridge (repA×B ∪ A×repB,
     linear, connectivity-exact since every member of a group shares its
-    signature and hence its verified hamming). Rows-only oracle (hash
-    family is engine-specific); planted-mutation recovery pinned in
-    pytest."""
+    signature and hence its verified hamming). Oracle-checked: the md5
+    token hashes, bit votes, banding, star cap, and member expansion are
+    all replayed in DuckDB (DD_SIMHASH_SQL); planted-mutation recovery
+    additionally pinned in pytest."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     sigs = docs.mapInPandas(_simhash_sig_stage(),
                             "doc_id long, simhash long")
@@ -442,6 +568,101 @@ def dd_simhash(spark, sf_dir):
     )
 
 
+def _dd_simhash_sql() -> str:
+    """Oracle for dd_simhash: replays the full banded-Hamming pipeline in
+    DuckDB — md5-first-8-bytes token hashes, per-bit ±1 votes over a
+    literal bit-weight table, banding via unsigned floor-division
+    (identical to Spark's arithmetic-shift-then-mask on the signed
+    signature), signature-level buckets with the same star cap, hamming
+    verification with bit_count(xor), and the same bounded cross /
+    rep-bridge member expansion."""
+    two63 = 1 << 63
+    bit_weights = ", ".join(f"({i}, {1 << i}::HUGEINT)" for i in range(64))
+    bits_per_band = 64 // SIMHASH_BANDS
+    band_divs = ", ".join(
+        f"({b}, {1 << (b * bits_per_band)}::HUGEINT)"
+        for b in range(SIMHASH_BANDS))
+    band_mask = (1 << bits_per_band)
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, t AS tok FROM (
+    SELECT doc_id,
+           UNNEST(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+')) AS t
+    FROM documents
+  ) WHERE t != ''
+),
+tokh AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks
+),
+bw(i, w) AS (VALUES {bit_weights}),
+votes AS (
+  SELECT doc_id, i, w,
+         SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM tokh CROSS JOIN bw
+  GROUP BY doc_id, i, w
+),
+sigs AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN vote > 0 THEN w ELSE 0::HUGEINT END)
+              - {two63} AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+),
+allsigs AS (
+  SELECT d.doc_id,
+         COALESCE(s.simhash, (-9223372036854775807 - 1)) AS simhash
+  FROM documents d LEFT JOIN sigs s USING (doc_id)
+),
+grp AS (
+  SELECT simhash, list_sort(list(doc_id)) AS member_ids,
+         COUNT(*) AS n_members, MIN(doc_id) AS m0
+  FROM allsigs GROUP BY simhash
+),
+bd(band, div) AS (VALUES {band_divs}),
+bands AS (
+  SELECT g.simhash, g.member_ids, g.n_members, g.m0, bd.band,
+         ((g.simhash::HUGEINT + {two63}) // bd.div) % {band_mask} AS band_bits
+  FROM grp g CROSS JOIN bd
+),
+bsz AS (
+  SELECT band, band_bits, COUNT(*) AS n, MIN(simhash) AS minsig
+  FROM bands GROUP BY 1, 2
+),
+sig_pairs AS (
+  SELECT DISTINCT
+         a.member_ids AS ms_a, a.n_members AS na, a.m0 AS a0,
+         b.member_ids AS ms_b, b.n_members AS nb, b.m0 AS b0,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_bits = b.band_bits
+              AND a.simhash < b.simhash
+  JOIN bsz s ON s.band = a.band AND s.band_bits = a.band_bits
+  WHERE (s.n <= {MAX_LSH_BUCKET} OR a.simhash = s.minsig)
+    AND bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+),
+cross_pairs AS (
+  SELECT least(ua.x, ub.y) AS doc_a, greatest(ua.x, ub.y) AS doc_b,
+         CAST(p.hamming AS INT) AS hamming
+  FROM sig_pairs p, UNNEST(p.ms_a) AS ua(x), UNNEST(p.ms_b) AS ub(y)
+  WHERE (p.na * p.nb <= {MAX_LSH_BUCKET ** 2})
+     OR (ua.x = p.a0 OR ub.y = p.b0)
+),
+id_pairs AS (
+  SELECT ua.x AS doc_a, ub.y AS doc_b, 0 AS hamming
+  FROM grp g, UNNEST(g.member_ids) AS ua(x), UNNEST(g.member_ids) AS ub(y)
+  WHERE g.n_members >= 2 AND ua.x < ub.y
+    AND (g.n_members <= {MAX_LSH_BUCKET} OR ua.x = g.m0)
+)
+SELECT DISTINCT doc_a, doc_b, hamming FROM (
+  SELECT doc_a, doc_b, hamming FROM cross_pairs
+  UNION ALL
+  SELECT doc_a, doc_b, hamming FROM id_pairs
+) ORDER BY doc_a, doc_b
+"""
+
+
+DD_SIMHASH_SQL = _dd_simhash_sql()
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -498,18 +719,49 @@ SELECT query_id, rank, cand_id, cosine FROM (
 
 
 N_HYPERPLANES = 12
+EMB_DIM = 64
 
 
-def _hyperplane_bucket(vec, dim: int, n_planes: int):
-    """Deterministic random-hyperplane LSH bucket id: sign bit of the dot
-    product against n_planes hyperplanes whose coefficients derive from
-    xxhash64 (no RNG state — identical on every run and cluster size).
-    Same-direction vectors (any positive scaling) land in the same bucket,
-    which is what cosine blocking needs."""
-    bits = [F.when(_dot(vec, F.array(*[
-        (F.xxhash64(F.lit(p * dim + j)) % 2000) / F.lit(1000.0)
-        for j in range(dim)])) >= 0, 1).otherwise(0)
-        for p in range(n_planes)]
+def _det_plane_coeffs(tag: str, n_planes: int, dim: int):
+    """Deterministic hyperplane coefficients in [-1, 1), derived from
+    md5(tag:p:j) — plain Python floats embedded as LITERALS into both the
+    Spark expression tree and the generated oracle SQL, so the two
+    engines evaluate the identical dot products (no RNG state, no
+    engine-specific hash at query time; identical on every run and
+    cluster size)."""
+    import hashlib
+    return [[(int(hashlib.md5(f"{tag}:{p}:{j}".encode()).hexdigest()[:8], 16)
+              % 2000 - 1000) / 1000.0
+             for j in range(dim)]
+            for p in range(n_planes)]
+
+
+def _plane_dot(vec, coeffs):
+    """Strictly left-to-right dot-product chain vec[0]*c0 + vec[1]*c1 + …
+    — same fp association as the SQL `+` chain the oracle generator
+    emits, so sign bits agree bit-for-bit between engines."""
+    d = None
+    for j, c in enumerate(coeffs):
+        term = vec[j] * F.lit(c)
+        d = term if d is None else d + term
+    return d
+
+
+def _plane_dot_sql(expr: str, coeffs) -> str:
+    return " + ".join(f"{expr}[{j + 1}] * {c!r}"
+                      for j, c in enumerate(coeffs))
+
+
+_SIM_BUCKET_PLANES = _det_plane_coeffs("simlsh", N_HYPERPLANES, EMB_DIM)
+
+
+def _hyperplane_bucket(vec, planes):
+    """Random-hyperplane LSH bucket id: sign bit of the dot product
+    against each plane, packed little-endian. Same-direction vectors (any
+    positive scaling) land in the same bucket, which is what cosine
+    blocking needs."""
+    bits = [F.when(_plane_dot(vec, coeffs) >= 0, 1).otherwise(0)
+            for coeffs in planes]
     bucket = None
     for i, b in enumerate(bits):
         term = b * (2 ** i)
@@ -519,19 +771,32 @@ def _hyperplane_bucket(vec, dim: int, n_planes: int):
 
 def sim_lsh_buckets(spark, sf_dir):
     """Random-hyperplane LSH (scale path for ANN): sign bits against
-    deterministic pseudo-random hyperplanes (hash-derived coefficients, no
-    RNG state) → bucket id → bucket sizes. Candidate generation then joins
-    within buckets only: shuffle keyed by bucket, corpus-size-proportional.
-    Rows-only oracle (hash family is engine-specific)."""
+    deterministic pseudo-random hyperplanes (md5-derived literal
+    coefficients shared with the oracle SQL) → bucket id → bucket sizes.
+    Candidate generation then joins within buckets only: shuffle keyed by
+    bucket, corpus-size-proportional. Oracle-checked exactly: both
+    engines evaluate the same literal dot-product chains."""
     emb = _emb(spark, sf_dir)
     vec = F.col("embedding").cast("array<double>")
     return (
-        emb.withColumn("bucket", _hyperplane_bucket(vec, 64, N_HYPERPLANES))
+        emb.withColumn("bucket", _hyperplane_bucket(vec, _SIM_BUCKET_PLANES))
         .groupBy("bucket")
         .agg(F.count("*").alias("n_vectors"),
              F.min("vec_id").alias("min_vec_id"))
         .orderBy("bucket")
     )
+
+
+SIM_LSH_BUCKETS_SQL = f"""
+SELECT bucket, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id FROM (
+  SELECT vec_id,
+         {" + ".join(f"(CASE WHEN ({_plane_dot_sql('e', coeffs)}) >= 0 THEN 1 ELSE 0 END) * {1 << i}"
+                     for i, coeffs in enumerate(_SIM_BUCKET_PLANES))} AS bucket
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)
+)
+GROUP BY bucket ORDER BY bucket
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -677,22 +942,28 @@ FROM documents ORDER BY doc_id
 """
 
 
+WINNOW_K, WINNOW_W = 5, 4
+
+
 def mm_winnow_fingerprint(spark, sf_dir):
-    """Winnowing fingerprint (rolling-hash k-grams, window-min selection) in
-    a pandas stage — the classic plagiarism/near-dup fingerprint
-    (Schleimer et al., SIGMOD'03). Rows-only oracle."""
+    """Winnowing fingerprint (k-gram hashes, window-min selection) in a
+    pandas stage — the classic plagiarism/near-dup fingerprint (Schleimer
+    et al., SIGMOD'03). The gram hash is md5-first-4-bytes (engine-
+    agnostic), so the DuckDB oracle replays the identical selection with
+    a windowed MIN + COUNT(DISTINCT)."""
     import pandas as pd
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    K, W = 5, 4
+    K, W = WINNOW_K, WINNOW_W
 
     def _winnow(batches):
-        import zlib
+        import hashlib
         for pdf in batches:
             fps = []
             for text in pdf["text"]:
                 s = " ".join((text or "").lower().split())
-                hashes = [zlib.crc32(s[i:i + K].encode())
-                          for i in range(max(0, len(s) - K + 1))]
+                hashes = [int.from_bytes(
+                    hashlib.md5(s[i:i + K].encode()).digest()[:4], "big")
+                    for i in range(max(0, len(s) - K + 1))]
                 sel = set()
                 for i in range(max(0, len(hashes) - W + 1)):
                     window = hashes[i:i + W]
@@ -705,6 +976,34 @@ def mm_winnow_fingerprint(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+MM_WINNOW_SQL = f"""
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')) AS s
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i,
+         ('0x' || substr(md5(substr(s, CAST(i AS INT), {WINNOW_K})), 1, 8))::UINTEGER AS h
+  FROM norm, UNNEST(range(1, length(s) - {WINNOW_K} + 2)) AS t(i)
+),
+wins AS (
+  SELECT doc_id, i,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS wmin,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_hashes
+  FROM grams
+),
+sel AS (
+  SELECT doc_id, COUNT(DISTINCT wmin) AS n_fp
+  FROM wins WHERE i <= n_hashes - {WINNOW_W - 1}
+  GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(s.n_fp, 0) AS INT) AS n_fingerprints
+FROM documents d LEFT JOIN sel s USING (doc_id) ORDER BY d.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal column plumbing (decode stubbed; Spark plumbing real)
 # ---------------------------------------------------------------------------
@@ -714,7 +1013,8 @@ def mm_binary_features(spark, sf_dir):
     column with typed metadata; 'decode' is a deterministic fake (first-8-
     bytes hex + byte stats) in a pandas stage — the real image/audio decode
     would slot into the same mapInPandas signature (libs not in this
-    container; see ocr_spark.operators docs). Rows-only oracle."""
+    container; see ocr_spark.operators docs). Oracle-checked: the fake
+    decode is hex(first 8 bytes) + octet_length, both SQL-expressible."""
     import pandas as pd
     docs = _docs(spark, sf_dir).select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("blob"),
@@ -735,6 +1035,14 @@ def mm_binary_features(spark, sf_dir):
     return (docs.mapInPandas(
         _decode, "doc_id long, mime string, head_hex string, n_bytes int")
         .orderBy("doc_id"))
+
+
+MM_BINARY_SQL = """
+SELECT doc_id, 'text/plain' AS mime,
+       lower(left(hex(encode(coalesce(text, ''))), 16)) AS head_hex,
+       CAST(octet_length(encode(coalesce(text, ''))) AS INT) AS n_bytes
+FROM documents ORDER BY doc_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -850,6 +1158,14 @@ N_LSH_TOPK_PLANES = 6   # 64 buckets
 N_LSH_MULTIPROBE = 2    # probe all codes within hamming<=2 (22/64 buckets)
 
 
+def _lsh_topk_planes():
+    """The 64 × N_LSH_TOPK_PLANES hyperplane matrix for sim_lsh_topk —
+    fixed-seed PCG64, shared by the numpy code stage and (as repr-exact
+    float literals) the generated oracle SQL."""
+    import numpy as np
+    return np.random.default_rng(7).standard_normal((64, N_LSH_TOPK_PLANES))
+
+
 def sim_lsh_topk(spark, sf_dir):
     """LSH-bucketed ANN top-k — the second scale path beside IVF
     (task brief: "an IVF or LSH-bucketed variant"): corpus vectors get a
@@ -869,7 +1185,13 @@ def sim_lsh_topk(spark, sf_dir):
     recall ≥ 0.5 AND lift ≥ 1.3× so the structure-exploitation claim
     stays honest. On real (clustered) corpora the same probe fraction
     yields far higher recall; IVF (sim_ivf_topk, recall 0.84 probing
-    25%) is the stronger variant on this testdata. Rows-only check."""
+    25%) is the stronger variant on this testdata.
+
+    Oracle-checked exactly: the PCG64 plane values are embedded as
+    literals into the generated SQL, and the numpy code stage accumulates
+    the dot products dimension-by-dimension (strict left-to-right fold,
+    vectorized over rows) so the sign bits match the SQL `+` chain
+    bit-for-bit."""
     import numpy as np
     import pandas as pd
 
@@ -877,7 +1199,7 @@ def sim_lsh_topk(spark, sf_dir):
            .select("vec_id", F.col("embedding").cast("array<double>").alias("vec"))
            .withColumn("norm", F.sqrt(_dot(F.col("vec"), F.col("vec")))))
 
-    planes = np.random.default_rng(7).standard_normal((64, N_LSH_TOPK_PLANES))
+    planes = _lsh_topk_planes()
     weights = (1 << np.arange(N_LSH_TOPK_PLANES)).astype(np.int64)
 
     def _code_stage(batches):
@@ -886,7 +1208,13 @@ def sim_lsh_topk(spark, sf_dir):
                 continue
             m = np.stack([np.asarray(v, dtype=np.float64)
                           for v in pdf["vec"]])
-            code = ((m @ planes) >= 0) @ weights
+            # dimension-sequential accumulation == the SQL chain's fp
+            # association (BLAS m @ planes pairwise-sums in a different
+            # order, which could flip a sign bit at |dot| ~ 1e-13)
+            acc = np.zeros((m.shape[0], N_LSH_TOPK_PLANES))
+            for j in range(m.shape[1]):
+                acc += m[:, j:j + 1] * planes[j]
+            code = (acc >= 0) @ weights
             yield pd.DataFrame({"vec_id": pdf["vec_id"], "code": code,
                                 "vec": pdf["vec"], "norm": pdf["norm"]})
 
@@ -919,6 +1247,56 @@ def sim_lsh_topk(spark, sf_dir):
         .select("query_id", "rank", "cand_id", "cosine")
         .orderBy("query_id", "rank")
     )
+
+
+def _sim_lsh_topk_sql() -> str:
+    """Oracle for sim_lsh_topk: the same PCG64 plane values as repr-exact
+    double literals, dot products as strict left-to-right `+` chains
+    (matching both the numpy code stage's dimension-sequential
+    accumulation and the JVM aggregate-fold used for norms/cosines)."""
+    planes = _lsh_topk_planes()
+    code_expr = " + ".join(
+        "(CASE WHEN ("
+        + " + ".join(f"e[{j + 1}] * {float(planes[j][p])!r}"
+                     for j in range(EMB_DIM))
+        + f") >= 0 THEN 1 ELSE 0 END) * {1 << p}"
+        for p in range(N_LSH_TOPK_PLANES))
+    sq_chain = " + ".join(f"e[{j + 1}] * e[{j + 1}]" for j in range(EMB_DIM))
+    dot_chain = " + ".join(f"p.qe[{j + 1}] * c.e[{j + 1}]"
+                           for j in range(EMB_DIM))
+    masks = ", ".join(str(m) for m in range(1 << N_LSH_TOPK_PLANES)
+                      if bin(m).count("1") <= N_LSH_MULTIPROBE)
+    return f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+),
+coded AS (
+  SELECT vec_id, e, CAST({code_expr} AS BIGINT) AS code,
+         sqrt({sq_chain}) AS norm
+  FROM base
+),
+probes AS (
+  SELECT q.vec_id AS query_id, q.e AS qe, q.norm AS qnorm,
+         xor(q.code, m.mask::BIGINT) AS code
+  FROM coded q, (SELECT UNNEST([{masks}]) AS mask) m
+  WHERE q.vec_id < 5
+),
+cands AS (
+  SELECT p.query_id, c.vec_id AS cand_id,
+         ROUND(({dot_chain}) / (p.qnorm * c.norm), 4) AS cosine
+  FROM probes p JOIN coded c ON c.code = p.code AND c.vec_id != p.query_id
+)
+SELECT query_id, rank, cand_id, cosine FROM (
+  SELECT query_id, cand_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, cand_id) AS rank
+  FROM cands
+) WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
+SIM_LSH_TOPK_SQL = _sim_lsh_topk_sql()
 
 
 N_IVF_CELLS = 16
@@ -1082,8 +1460,10 @@ def dd_dup_clusters(spark, sf_dir):
     edges (both directions) — one keyed shuffle per iteration, label
     frame persisted between rounds, terminating when no label changed
     (counted with one action). The LSH star-pattern cap bounds component
-    diameter, so convergence is 2-3 rounds, not O(n). Genuinely
-    iterative → rows-only driver check; pytest verifies against a
+    diameter, so convergence is 2-3 rounds, not O(n). Oracle-checked:
+    the fixpoint equals per-vertex MIN over the transitive closure, which
+    DuckDB computes with a WITH RECURSIVE reachability CTE over the same
+    (md5-reproducible) edge set; pytest additionally verifies against a
     driver-side union-find at test scale."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     norm = F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
@@ -1155,13 +1535,13 @@ QUERIES = {
     "dd_exact_dup": (dd_exact_dup, DD_EXACT_SQL),
     "sim_cosine_topk": (sim_cosine_topk, SIM_COSINE_SQL),
     "dd_embedding_neardup": (dd_embedding_neardup, DD_EMB_SQL),
-    "sim_lsh_buckets": (sim_lsh_buckets, None),
-    "sim_lsh_topk": (sim_lsh_topk, None),
-    "mm_winnow_fingerprint": (mm_winnow_fingerprint, None),
-    "mm_binary_features": (mm_binary_features, None),
-    "dd_simhash": (dd_simhash, None),
+    "sim_lsh_buckets": (sim_lsh_buckets, SIM_LSH_BUCKETS_SQL),
+    "sim_lsh_topk": (sim_lsh_topk, SIM_LSH_TOPK_SQL),
+    "mm_winnow_fingerprint": (mm_winnow_fingerprint, MM_WINNOW_SQL),
+    "mm_binary_features": (mm_binary_features, MM_BINARY_SQL),
+    "dd_simhash": (dd_simhash, DD_SIMHASH_SQL),
     "sim_ivf_topk": (sim_ivf_topk, None),
     "dd_ngram_jaccard": (dd_ngram_jaccard, DD_NGRAM_SQL),
-    "dd_minhash_lsh": (dd_minhash_lsh, None),
-    "dd_dup_clusters": (dd_dup_clusters, None),
+    "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
+    "dd_dup_clusters": (dd_dup_clusters, DD_CLUSTERS_SQL),
 }

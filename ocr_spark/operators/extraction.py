@@ -428,9 +428,9 @@ def conv_assemble(spark, sf_dir):
 
 
 # the oracle re-synthesizes the same payloads the Spark side builds in
-# _transcripts_from_documents, then aggregates under the same ordering
-CONV_ASSEMBLE_SQL = """
-WITH t AS (
+# _transcripts_from_documents; shared by every oracle that starts from the
+# synthesized transcripts table
+_TRANSCRIPTS_CTE = """
   SELECT printf('conv-%06d', doc_id % 50) AS conv_id,
          CAST(doc_id % 1000 AS INTEGER) AS turn_idx,
          '## Supplier ' || source || ' Ltd' || chr(10) ||
@@ -444,7 +444,10 @@ WITH t AS (
          '合计：' || printf('%d.00', ((doc_id % 5) + 1) * 10) || chr(10) ||
          'remark: ' || substring(text, 1, 120) || chr(10) AS text
   FROM documents
-)
+"""
+
+CONV_ASSEMBLE_SQL = f"""
+WITH t AS ({_TRANSCRIPTS_CTE})
 SELECT conv_id, COUNT(*) AS n_turns,
        md5(string_agg(text, chr(10) ORDER BY turn_idx, text)) AS doc_md5
 FROM t GROUP BY conv_id ORDER BY conv_id
@@ -456,12 +459,13 @@ def dd_conv_neardup(spark, sf_dir):
     dedups: assemble each conversation's turns under stable ordering into
     one document, then MinHash-LSH over the assembled text (the corpus
     layer's signature stage + banding + bounded bucket pairs, reused
-    verbatim). Surrogate doc ids are xxhash64(conv_id); the candidate
-    pairs join back to conv ids on both sides (keyed joins on the
-    surrogate — no broadcast assumption, works at any conv count).
-    Rows-only check; planted-duplicate recovery pinned in pytest."""
-    from ..operators.corpus import (_lsh_candidate_pairs, _minhash_bands,
-                                    _minhash_sig_stage)
+    verbatim). Surrogate doc ids are md5-derived longs (engine-agnostic,
+    so the DuckDB oracle replays the identical pipeline end to end); the
+    candidate pairs join back to conv ids on both sides (keyed joins on
+    the surrogate — no broadcast assumption, works at any conv count).
+    Planted-duplicate recovery additionally pinned in pytest."""
+    from ..operators.corpus import (_lsh_candidate_pairs, _md5_long,
+                                    _minhash_bands, _minhash_sig_stage)
     t = _transcripts_from_documents(spark, sf_dir)
     assembled = (
         t.groupBy("conv_id")
@@ -471,8 +475,8 @@ def dd_conv_neardup(spark, sf_dir):
                 F.concat_ws("\n", F.transform(
                     F.col("turns"), lambda s: s["text"])).alias("text"))
     )
-    docs = assembled.select(F.xxhash64("conv_id").alias("doc_id"), "text",
-                            "conv_id")
+    docs = assembled.select(_md5_long(F.col("conv_id")).alias("doc_id"),
+                            "text", "conv_id")
     ids = docs.select("doc_id", "conv_id")
     sigs = docs.select("doc_id", "text").mapInPandas(
         _minhash_sig_stage(), "doc_id long, sig array<long>").cache()
@@ -488,6 +492,37 @@ def dd_conv_neardup(spark, sf_dir):
                 "n_band_collisions")
         .orderBy("conv_a", "conv_b")
     )
+
+
+def _dd_conv_neardup_sql() -> str:
+    """Oracle for dd_conv_neardup: the conv_assemble transcripts CTE →
+    stable-order assembly → md5-long surrogate ids → the shared MinHash
+    CTE chain (corpus._MINHASH_CTES) → pairs mapped back to conv ids."""
+    from ..operators.corpus import _MINHASH_CTES
+    return f"""
+WITH t AS ({_TRANSCRIPTS_CTE}),
+assembled AS (
+  SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx, text) AS text
+  FROM t GROUP BY conv_id
+),
+ids AS (
+  SELECT conv_id, text,
+         CAST(('0x' || substr(md5(conv_id), 1, 16))::UBIGINT::HUGEINT
+              - 9223372036854775808 AS BIGINT) AS doc_id
+  FROM assembled
+),
+{_MINHASH_CTES.format(src="ids")}
+SELECT least(ia.conv_id, ib.conv_id) AS conv_a,
+       greatest(ia.conv_id, ib.conv_id) AS conv_b,
+       COUNT(*) AS n_band_collisions
+FROM cand_pairs p
+JOIN ids ia ON ia.doc_id = p.doc_a
+JOIN ids ib ON ib.doc_id = p.doc_b
+GROUP BY 1, 2 ORDER BY conv_a, conv_b
+"""
+
+
+DD_CONV_NEARDUP_SQL = _dd_conv_neardup_sql()
 
 
 def extract_conversations_q(spark, sf_dir):
@@ -513,7 +548,7 @@ QUERIES = {
     "extract_pdf_layout": (extract_pdf_layout_q, EXTRACT_PDF_SQL),
     "extract_quality_gate": (extract_quality_gate, EXTRACT_QUALITY_SQL),
     "extract_conversations": (extract_conversations_q, None),
-    "dd_conv_neardup": (dd_conv_neardup, None),
+    "dd_conv_neardup": (dd_conv_neardup, DD_CONV_NEARDUP_SQL),
     "extract_documents": (extract_documents, None),
     "extract_synthetic": (extract_synthetic, None),
     "extract_ordered_spans": (extract_ordered_spans, None),

@@ -67,21 +67,29 @@ def _decode_audio(blob: bytes, sample_rate: int):
 def mm_image_resize(spark, sf_dir):
     """Image path: decode (stubbed) → 'resize' to a 64x36 thumbnail plan —
     emits per-image stats + target dims + a deterministic content
-    checksum. Map-only pandas stage; rows-only check."""
+    checksum. Map-only pandas stage. Oracle-checked: the fake decode is
+    byte statistics (replayed in DuckDB by exploding the blob's hex
+    pairs), the checksum is md5-first-8-bytes, and the mean rounds
+    half-up to match SQL ROUND."""
+    import math
+
     import pandas as pd
     assets = _assets(spark, sf_dir).where(F.col("mime") == "image/png")
 
     def _resize(batches):
-        import zlib
+        import hashlib
         for pdf in batches:
             rows = []
             for doc_id, blob, meta in zip(pdf["doc_id"], pdf["blob"],
                                           pdf["meta"]):
                 w, h = int(meta["width"]), int(meta["height"])
                 mean, lo, hi = _decode_image(blob, w, h)
+                checksum = int.from_bytes(
+                    hashlib.md5(bytes(blob or b"")).digest()[:8],
+                    "big") - (1 << 63)
                 rows.append((int(doc_id), w, h, 64, 36,
-                             round(float(mean), 3),
-                             zlib.crc32(bytes(blob or b""))))
+                             math.floor(float(mean) * 1000 + 0.5) / 1000,
+                             checksum))
             yield pd.DataFrame(rows, columns=[
                 "doc_id", "src_w", "src_h", "dst_w", "dst_h",
                 "mean_byte", "checksum"])
@@ -91,9 +99,41 @@ def mm_image_resize(spark, sf_dir):
         " mean_byte double, checksum long").orderBy("doc_id"))
 
 
+# the blob is the utf-8 encoding of `text`, so hex(encode(text)) exposes
+# its bytes to SQL: two hex chars per byte, exploded over a range
+_MM_BYTES_CTE = """
+bytes AS (
+  SELECT doc_id, p, ('0x' || substr(hx, CAST(2 * p + 1 AS INT), 2))::INT AS byte
+  FROM (SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx
+        FROM documents WHERE doc_id % 3 = {residue}),
+       UNNEST(range(0, length(hx) // 2)) AS t(p)
+)"""
+
+MM_IMAGE_SQL = f"""
+WITH {_MM_BYTES_CTE.format(residue=0)},
+stats AS (
+  SELECT doc_id, COUNT(*) AS n_bytes, SUM(byte) AS sum_bytes
+  FROM bytes GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST((d.doc_id % 8 + 1) * 160 AS INT) AS src_w,
+       CAST((d.doc_id % 8 + 1) * 90 AS INT) AS src_h,
+       64 AS dst_w, 36 AS dst_h,
+       ROUND(CAST(COALESCE(s.sum_bytes, 0) AS DOUBLE)
+             / GREATEST(COALESCE(s.n_bytes, 0), 1), 3) AS mean_byte,
+       CAST(('0x' || substr(md5(coalesce(d.text, '')), 1, 16))::UBIGINT::HUGEINT
+            - 9223372036854775808 AS BIGINT) AS checksum
+FROM documents d LEFT JOIN stats s USING (doc_id)
+WHERE d.doc_id % 3 = 0
+ORDER BY d.doc_id
+"""
+
+
 def mm_audio_features(spark, sf_dir):
     """Audio path: decode (stubbed) → windowed energy features; emits
-    n_windows + first energies. Map-only pandas stage; rows-only check."""
+    n_windows + first energies. Map-only pandas stage. Oracle-checked:
+    the fake per-window byte-energy is replayed in DuckDB by grouping
+    the blob's exploded hex pairs into sample_rate/100-byte windows."""
     import pandas as pd
     assets = _assets(spark, sf_dir).where(F.col("mime") == "audio/wav")
 
@@ -110,6 +150,30 @@ def mm_audio_features(spark, sf_dir):
     return (assets.mapInPandas(
         _feat, "doc_id long, n_windows int, head_energy array<int>")
         .orderBy("doc_id"))
+
+
+# sample_rate is fixed at 16000 → window = 160 bytes, capped at 10 windows
+_AUDIO_WIN = 16000 // 100
+
+MM_AUDIO_SQL = f"""
+WITH {_MM_BYTES_CTE.format(residue=1)},
+wins AS (
+  SELECT doc_id, p // {_AUDIO_WIN} AS win,
+         CAST(SUM(byte) % 997 AS INT) AS energy
+  FROM bytes WHERE p < {10 * _AUDIO_WIN}
+  GROUP BY doc_id, p // {_AUDIO_WIN}
+),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_windows,
+         list_slice(list(energy ORDER BY win), 1, 4) AS head_energy
+  FROM wins GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(a.n_windows, 0) AS n_windows,
+       COALESCE(a.head_energy, []) AS head_energy
+FROM documents d LEFT JOIN agg a USING (doc_id)
+WHERE d.doc_id % 3 = 1
+ORDER BY d.doc_id
+"""
 
 
 def mm_frame_plan(spark, sf_dir):
@@ -148,7 +212,7 @@ ORDER BY doc_id, frame_idx
 
 
 QUERIES = {
-    "mm_image_resize": (mm_image_resize, None),
-    "mm_audio_features": (mm_audio_features, None),
+    "mm_image_resize": (mm_image_resize, MM_IMAGE_SQL),
+    "mm_audio_features": (mm_audio_features, MM_AUDIO_SQL),
     "mm_frame_plan": (mm_frame_plan, MM_FRAME_SQL),
 }

@@ -118,7 +118,7 @@ def streaming_running_totals(extracted: DataFrame) -> DataFrame:
 # Cross-micro-batch near-duplicate detection (streaming MinHash-LSH)
 # ---------------------------------------------------------------------------
 
-NEARDUP_OUTPUT_SCHEMA = ("doc_id long, band int, band_hash int, "
+NEARDUP_OUTPUT_SCHEMA = ("doc_id long, band int, band_hash long, "
                          "canonical_id long, is_first int")
 # NOTE: state-schema change (was `members array<long>`) — a stream
 # resuming from a checkpoint written under the old schema cannot decode
