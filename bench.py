@@ -89,10 +89,18 @@ def main_bench() -> None:
     from ocr_spark.pipeline.session import build_session
     spark = build_session(app_name="ocr-spark-bench", cores=cpus)
     try:
-        # warm-up: JVM codegen + file-index caches, so q1's timing is the
-        # query, not session startup
+        # warm-up: JVM codegen + file-index caches + the Python worker
+        # pool (each worker imports the kernel tree once — several
+        # seconds across 32 workers that would otherwise land on the
+        # first Arrow-stage query), so each timing is the query, not
+        # session startup
         spark.range(1_000_000).selectExpr("sum(id)").collect()
         spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+        from ocr_spark.pipeline.extract import extract_turns
+        from ocr_spark.sources.synthetic import synthesize_transcripts
+        extract_turns(synthesize_transcripts(spark, n_convs=64)
+                      .repartition(cpus),  # one task per worker slot
+                      salt_partitions=None).count()
         timings = _run_queries(spark, sf_dir)
         # extraction throughput at a turn count scaled to sf
         n_convs = max(200, int(20000 * sf))

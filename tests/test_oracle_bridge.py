@@ -1,0 +1,146 @@
+"""Differential fuzz of the engine-agnostic oracle bridges (no Spark).
+
+The corpus oracles work because every hash step is reproducible in
+DuckDB: md5-first-8-bytes as the shared 64-bit hash, HUGEINT mod-2^64
+mirroring numpy uint64 wraparound, windowed-MIN winnowing, banding and
+star caps as plain SQL. These tests replay the generated oracle SQL in
+DuckDB against pure-Python references (the same arithmetic the Arrow
+stages run) over adversarial synthesized documents — catching bridge
+drift in milliseconds, without a SparkSession.
+
+Alphabet note: two documented engine boundaries are excluded on purpose
+because the testdata generator never emits them and every shipped
+oracle shares the same convention: (1) non-ASCII *whitespace* (\xa0,
+ , …) — Python str.split() treats unicode spaces as separators
+while RE2's \\s is ASCII-only; (2) unicode with FULL case mappings
+(e.g. İ U+0130, which Python lower()s to TWO codepoints while DuckDB's
+simple mapping keeps one — found by this very fuzz before scoping).
+ASCII case-folding and CJK (no case) are fair game and covered.
+"""
+
+import hashlib
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ocr_spark.operators.corpus import (DD_MINHASH_SQL, MINHASH_A, MINHASH_B,
+                                        MINHASH_P, MM_WINNOW_SQL, N_MINHASH,
+                                        WINNOW_K, WINNOW_W)
+
+_WORD = st.text(
+    alphabet=("abcdefghijklmnopqrstuvwxyz"
+              "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+              ".,;:!?-%$()汉字配料表供應商發票"),
+    min_size=1, max_size=8)
+_TEXT = st.lists(_WORD, min_size=0, max_size=40).map(" ".join)
+
+
+def _con(texts):
+    con = duckdb.connect()
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    con.register("documents", df)
+    return con
+
+
+def _md5_u64(b: bytes) -> int:
+    return int.from_bytes(hashlib.md5(b).digest()[:8], "big")
+
+
+@given(st.lists(_TEXT, min_size=1, max_size=12))
+@settings(max_examples=50, deadline=None)
+def test_winnow_sql_matches_python(texts):
+    """MM_WINNOW_SQL == the Arrow stage's per-doc Python winnowing."""
+    expected = []
+    for doc_id, text in enumerate(texts):
+        s = " ".join((text or "").lower().split())
+        hashes = [int.from_bytes(
+            hashlib.md5(s[i:i + WINNOW_K].encode()).digest()[:4], "big")
+            for i in range(max(0, len(s) - WINNOW_K + 1))]
+        sel = {min(hashes[i:i + WINNOW_W])
+               for i in range(max(0, len(hashes) - WINNOW_W + 1))}
+        expected.append((doc_id, len(sel)))
+    got = _con(texts).execute(MM_WINNOW_SQL).fetchall()
+    assert got == expected
+
+
+def _py_minhash_pairs(texts):
+    """Pure-Python replay of the MinHash-LSH candidate pipeline (the
+    same arithmetic as corpus._minhash_sig_stage + _minhash_bands +
+    _lsh_candidate_pairs, without numpy/Spark)."""
+    sigs = {}
+    for doc_id, text in enumerate(texts):
+        words = " ".join((text or "").lower().split()).split(" ")
+        if len(words) < 3:
+            continue
+        shingles = {" ".join(words[i:i + 3]) for i in range(len(words) - 2)}
+        hs = [_md5_u64(s.encode()) for s in shingles]
+        sigs[doc_id] = [
+            min(((MINHASH_A[k] * h + MINHASH_B[k]) % (1 << 64)) % MINHASH_P
+                for h in hs)
+            for k in range(N_MINHASH)]
+    buckets = {}
+    rpb = N_MINHASH // 4
+    for doc_id, sig in sigs.items():
+        for b in range(4):
+            key = ",".join(str(v) for v in sig[b * rpb:(b + 1) * rpb])
+            bh = _md5_u64(key.encode()) - (1 << 63)
+            buckets.setdefault((b, bh), []).append(doc_id)
+    pairs = {}
+    for docs in buckets.values():
+        docs = sorted(docs)
+        if len(docs) < 2:
+            continue
+        if len(docs) <= 64:
+            combos = [(a, b) for i, a in enumerate(docs)
+                      for b in docs[i + 1:]]
+        else:
+            combos = [(docs[0], d) for d in docs[1:]]
+        for p in combos:
+            pairs[p] = pairs.get(p, 0) + 1
+    return sorted((a, b, n) for (a, b), n in pairs.items())
+
+
+@given(st.lists(_TEXT, min_size=1, max_size=10), st.data())
+@settings(max_examples=25, deadline=None)
+def test_minhash_sql_matches_python(texts, data):
+    """DD_MINHASH_SQL == the signature/banding/cap arithmetic, including
+    planted exact duplicates (which must always pair)."""
+    if len(texts) >= 2:
+        # plant a duplicate of a random doc to exercise the pair path
+        src = data.draw(st.integers(0, len(texts) - 1))
+        texts = texts + [texts[src]]
+    got = _con(texts).execute(DD_MINHASH_SQL).fetchall()
+    assert got == _py_minhash_pairs(texts)
+
+
+def test_md5_long_bridge_exact():
+    """The shared 64-bit hash: python int.from_bytes(md5[:8]) ==
+    DuckDB ('0x'||substr(md5,1,16))::UBIGINT, signed via -2^63."""
+    con = duckdb.connect()
+    for s in ["", "a", "hello world", "汉字", "x" * 1000, "conv-000042"]:
+        duck = con.execute(
+            "SELECT CAST(('0x' || substr(md5(?), 1, 16))::UBIGINT::HUGEINT"
+            " - 9223372036854775808 AS BIGINT)", [s]).fetchone()[0]
+        assert duck == _md5_u64(s.encode()) - (1 << 63)
+
+
+@pytest.mark.parametrize("n_dups", [3, 70])
+def test_minhash_sql_star_cap(n_dups):
+    """Above MAX_LSH_BUCKET identical docs, the oracle must emit the
+    star pattern (min-doc paired with every other), not all pairs —
+    same degradation the Spark side applies."""
+    texts = [f"unique filler document number {i} with words" for i in range(3)]
+    texts += ["the very same duplicated text body here"] * n_dups
+    got = _con(texts).execute(DD_MINHASH_SQL).fetchall()
+    assert got == _py_minhash_pairs(texts)
+    dup_ids = list(range(3, 3 + n_dups))
+    if n_dups <= 64:
+        expect_pairs = {(a, b) for i, a in enumerate(dup_ids)
+                        for b in dup_ids[i + 1:]}
+    else:
+        expect_pairs = {(dup_ids[0], d) for d in dup_ids[1:]}
+    assert {(a, b) for a, b, _n in got
+            if a in dup_ids and b in dup_ids} == expect_pairs
