@@ -16,6 +16,7 @@ the golden fixtures depend on this.
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 
 from .php import compile_php, php_float, php_strlen, php_trim
 
@@ -102,8 +103,14 @@ def fuzzy_match_column(header: str) -> str | None:
     return None
 
 
+@lru_cache(maxsize=4096)
 def smart_map_column(header: str) -> str | None:
-    """SmartFieldMapping::smartMapColumn (:81-102)."""
+    """SmartFieldMapping::smartMapColumn (:81-102).
+
+    Pure function of the header string, memoized: real corpora repeat a
+    handful of table layouts across millions of turns, and the
+    FIELD_PATTERNS regex cascade dominates per-cell cost without the
+    cache. Bounded per worker process."""
     header = php_trim(header)
     header = _BRACKET_RE.sub("", header)
     header = php_trim(header)

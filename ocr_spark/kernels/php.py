@@ -97,11 +97,29 @@ def php_round(x: float, precision: int = 0) -> float:
     PHP rounds the shortest decimal representation (so round(2.675, 2) == 2.68
     even though 2.675 is stored as 2.67499…). Decimal(repr(x)) gives exactly
     that shortest representation.
-    """
+
+    Fast path: binary and shortest-decimal rounding can only disagree
+    when the scaled value sits within float-repr error of a .5 boundary
+    (|x·10^p| < 1e12 keeps the scaled ulp ≤ ~1.2e-4, so the 1e-3 guard
+    band is conservative by ~10x even at the cap). Outside the band,
+    floor(|scaled|+0.5) IS half-away-from-zero of the decimal value; the
+    Decimal slow path handles the band and big magnitudes. Hot: runs
+    per item row per turn (differential-tested against the Decimal
+    semantics in the kernel suite)."""
     if x != x or x in (float("inf"), float("-inf")):  # NaN/Inf pass through
         return x
+    if 0 <= precision <= 6:
+        scaled = abs(x) * _POW10[precision]
+        if scaled < 1e12:
+            frac = scaled - math.floor(scaled)
+            if not (0.499 < frac < 0.501):
+                r = math.floor(scaled + 0.5) / _POW10[precision]
+                return -r if x < 0 else r
     q = Decimal(1).scaleb(-precision)
     return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
+
+
+_POW10 = (1.0, 10.0, 100.0, 1000.0, 10000.0, 100000.0, 1000000.0)
 
 
 def php_floatval(v) -> float:

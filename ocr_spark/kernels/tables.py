@@ -146,9 +146,12 @@ def _fast_feed(p: _TableHTMLParser, html: str) -> bool:
     """Tokenize with regex and replay through p's handlers. Returns False
     (caller falls back to html.parser) if any '<' is not a clean tag."""
     pos = 0
-    lt_positions = [i for i, ch in enumerate(html) if ch == "<"]
     matches = list(_FAST_TAG.finditer(html))
-    if [m.start() for m in matches] != lt_positions:
+    # every match consumes exactly one leading '<' (interior '<' can only
+    # sit inside quoted attrs, where it still counts), so count equality
+    # ⟺ every '<' is a clean tag start — same predicate as comparing the
+    # position lists, without the per-character Python scan
+    if html.count("<") != len(matches):
         return False  # some '<' is data or malformed — slow path decides
     for m in matches:
         if m.start() > pos:

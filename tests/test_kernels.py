@@ -26,6 +26,35 @@ class TestPhpPrimitives:
         assert P.php_round(1234.5678, 2) == 1234.57
         assert P.php_round(1.00005, 4) == 1.0001
 
+    def test_round_fast_path_matches_decimal_semantics(self):
+        """php_round's guarded binary fast path must be byte-identical to
+        the Decimal(repr).quantize(HALF_UP) definition everywhere —
+        including half-cent boundaries, the guard band, negative values,
+        and magnitudes beyond the 1e12 fast-path cap."""
+        import random
+        from decimal import ROUND_HALF_UP, Decimal
+
+        def slow(x, p):
+            q = Decimal(1).scaleb(-p)
+            return float(Decimal(repr(float(x))).quantize(
+                q, rounding=ROUND_HALF_UP))
+
+        rng = random.Random(7)
+        for _ in range(20000):
+            p = rng.randint(0, 6)
+            kind = rng.random()
+            if kind < 0.4:
+                x = rng.randint(-10 ** 6, 10 ** 6) / 100 + rng.choice(
+                    [0, 0.005, -0.005, 0.0049999, 0.0050001, 0.00499,
+                     0.00501])
+            elif kind < 0.7:
+                x = round(rng.uniform(-1000, 1000), rng.randint(0, 8))
+            elif kind < 0.9:
+                x = rng.uniform(-1e9, 1e9)
+            else:
+                x = rng.uniform(-1e15, 1e15)  # beyond the fast-path cap
+            assert P.php_round(x, p) == slow(x, p), (x, p)
+
     def test_float_cast_prefix(self):
         assert P.php_float("1.2.3") == 1.2
         assert P.php_float("12abc") == 12.0

@@ -26,9 +26,11 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from ocr_spark.operators.corpus import (DD_MINHASH_SQL, MINHASH_A, MINHASH_B,
+from ocr_spark.operators.corpus import (DD_MINHASH_SQL, DD_SIMHASH_SQL,
+                                        MAX_LSH_BUCKET, MINHASH_A, MINHASH_B,
                                         MINHASH_P, MM_WINNOW_SQL, N_MINHASH,
-                                        WINNOW_K, WINNOW_W)
+                                        SIMHASH_MAX_HAMMING, WINNOW_K,
+                                        WINNOW_W)
 
 _WORD = st.text(
     alphabet=("abcdefghijklmnopqrstuvwxyz"
@@ -114,6 +116,78 @@ def test_minhash_sql_matches_python(texts, data):
         texts = texts + [texts[src]]
     got = _con(texts).execute(DD_MINHASH_SQL).fetchall()
     assert got == _py_minhash_pairs(texts)
+
+
+def _py_simhash_pairs(texts):
+    """Pure-Python replay of the banded-Hamming SimHash pipeline (the
+    same arithmetic as corpus._simhash_sig_stage + dd_simhash's
+    signature-level bucketing/verification/expansion, without numpy)."""
+    sigs = []
+    for text in texts:
+        toks = set((text or "").lower().split())
+        if not toks:
+            sigs.append(-(1 << 63))
+            continue
+        votes = [0] * 64
+        for t in toks:
+            h = _md5_u64(t.encode())
+            for i in range(64):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        sig = sum(1 << i for i in range(64) if votes[i] > 0)
+        sigs.append(sig - (1 << 63))
+    groups = {}
+    for doc_id, s in enumerate(sigs):
+        groups.setdefault(s, []).append(doc_id)
+    buckets = {}
+    for s in groups:
+        u = s + (1 << 63)
+        for b in range(4):
+            buckets.setdefault((b, (u >> (16 * b)) & 0xFFFF), []).append(s)
+    sig_pairs = set()
+    for sl in buckets.values():
+        sl = sorted(sl)
+        if len(sl) < 2:
+            continue
+        combos = ([(a, b) for i, a in enumerate(sl) for b in sl[i + 1:]]
+                  if len(sl) <= MAX_LSH_BUCKET
+                  else [(sl[0], s) for s in sl[1:]])
+        for a, b in combos:
+            h = bin((a ^ b) & ((1 << 64) - 1)).count("1")
+            if h <= SIMHASH_MAX_HAMMING:
+                sig_pairs.add((a, b, h))
+    out = set()
+    for a, b, h in sig_pairs:
+        A, B = groups[a], groups[b]
+        if len(A) * len(B) <= MAX_LSH_BUCKET ** 2:
+            pairs = [(x, y) for x in A for y in B]
+        else:
+            pairs = ([(A[0], y) for y in B]
+                     + [(x, B[0]) for x in A[1:]])
+        for x, y in pairs:
+            out.add((min(x, y), max(x, y), h))
+    for members in groups.values():
+        members = sorted(members)
+        if len(members) < 2:
+            continue
+        combos = ([(x, y) for i, x in enumerate(members)
+                   for y in members[i + 1:]]
+                  if len(members) <= MAX_LSH_BUCKET
+                  else [(members[0], y) for y in members[1:]])
+        for x, y in combos:
+            out.add((x, y, 0))
+    return sorted(out)
+
+
+@given(st.lists(_TEXT, min_size=1, max_size=8), st.data())
+@settings(max_examples=25, deadline=None)
+def test_simhash_sql_matches_python(texts, data):
+    """DD_SIMHASH_SQL == the signature/banding/verify/expansion
+    arithmetic, with a planted exact duplicate (hamming 0) and a planted
+    near-duplicate (one extra token) to exercise both pair paths."""
+    if texts and texts[0]:
+        texts = texts + [texts[0], texts[0] + " extraword"]
+    got = _con(texts).execute(DD_SIMHASH_SQL).fetchall()
+    assert got == _py_simhash_pairs(texts)
 
 
 def test_md5_long_bridge_exact():
