@@ -81,6 +81,66 @@ def _extraction_bench(spark, n_convs: int, salt_partitions=None) -> dict:
     }
 
 
+UPLOADS = "/root/reference/storage/uploads"
+# the reference runs whose draft.json matches current-parser semantics
+# (FIXTURES.md §2e; same list as tests/test_golden_fixtures.py)
+GOLDEN_RUNS = [
+    "20260119_024012_1332136f",
+    "20260119_051129_444e1c22",
+    "20260119_050713_b3505b7a",
+    "20260119_024439_c9a1e3c5",
+    "20260119_050627_655afba4",
+]
+
+
+def _canon_invoice(inv: dict) -> tuple:
+    """Canonical comparable projection of one invoice record — every
+    scalar field plus per-item tuples. metadata maps are excluded here
+    (our Arrow schema stringifies their values; byte-exact metadata
+    parity is pinned separately by tests/test_golden_fixtures.py)."""
+    items = tuple(
+        (it.get("code"), it.get("name"), it.get("description"),
+         float(it.get("qty") or 0.0), it.get("unit"),
+         float(it.get("unit_price") or 0.0), float(it.get("total") or 0.0))
+        for it in (inv.get("items") or []))
+    dt = inv.get("declared_total")
+    return (inv.get("format_detected"), inv.get("supplier_name"),
+            inv.get("customer_name"), inv.get("invoice_date"),
+            inv.get("invoice_number"),
+            None if dt is None else float(dt),
+            float(inv.get("calc_total") or 0.0), inv.get("currency"), items)
+
+
+def _golden_parity(spark) -> dict | None:
+    """Per-record exact-match rate vs the reference's OWN draft.json
+    outputs (the north-star 'per-turn text exact-match rate' evidence),
+    measured through the FULL distributed path: binaryFile dir ingest →
+    transcripts shape → mapInPandas extraction — not the bare kernel.
+    Multiset compare, so file naming inside the pipeline is irrelevant."""
+    if not os.path.isdir(UPLOADS):
+        return None
+    from collections import Counter
+
+    from ocr_spark.pipeline.extract import extract_turns
+    from ocr_spark.sources.ingest import files_to_transcripts, ingest_files
+
+    expected = matched = 0
+    for run in GOLDEN_RUNS:
+        golden = json.load(
+            open(os.path.join(UPLOADS, run, "draft.json")))["invoices"]
+        files = ingest_files(spark, os.path.join(UPLOADS, run + "_files"))
+        rows = (extract_turns(files_to_transcripts(files), salt_partitions=0)
+                .selectExpr("explode(records) AS r").collect())
+        produced = Counter(
+            _canon_invoice(r.r.asDict(recursive=True)) for r in rows)
+        want = Counter(_canon_invoice(g) for g in golden)
+        expected += sum(want.values())
+        matched += sum(min(produced[k], c) for k, c in want.items())
+    return {"runs": len(GOLDEN_RUNS), "invoices_expected": expected,
+            "invoices_matched": matched,
+            "rate": round(matched / expected, 4) if expected else None}
+
+
 def main_bench() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -105,6 +165,9 @@ def main_bench() -> None:
         # extraction throughput at a turn count scaled to sf
         n_convs = max(200, int(20000 * sf))
         ext = _extraction_bench(spark, n_convs=n_convs)
+        parity = _golden_parity(spark)
+        if parity:
+            print(f"  golden parity: {parity}", file=sys.stderr)
         total = round(sum(timings.values()) + ext["wall_sec"], 3)
         result = {
             "metric": "headline queries + extraction wall time",
@@ -113,6 +176,7 @@ def main_bench() -> None:
             "queries": {**timings, "extract_synthetic_bench": ext["wall_sec"]},
             "sf": sf,
             "extraction": ext,
+            "golden_parity": parity,
             "cpus": cpus,
         }
         print(json.dumps(result))
