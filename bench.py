@@ -41,6 +41,8 @@ HEADLINE = [
     "conv_assemble", "extract_documents", "import_star_schema",
     "import_sales", "extract_html_readability", "extract_pdf_layout",
     "extract_quality_gate", "t26_llm_json_cascade",
+    "txt_repetition", "txt_pii_scrub", "txt_contamination",
+    "smp_stratified", "smp_token_budget", "dd_chunk_dup",
 ]
 
 

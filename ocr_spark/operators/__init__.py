@@ -12,14 +12,17 @@ sorts columns by name before hashing values.
 from .corpus import QUERIES as CORPUS_QUERIES
 from .extraction import QUERIES as EXTRACTION_QUERIES
 from .multimodal import QUERIES as MM_QUERIES
+from .quality import QUERIES as QUALITY_QUERIES
 from .relational import QUERIES as REL_QUERIES
 from .scalar import QUERIES as SCALAR_QUERIES
 from .temporal import QUERIES as TEMPORAL_QUERIES
 
 # merge order = driver check order (it walks the registry in order with a
 # bounded budget): cheap oracle-paired relational/scalar/temporal first,
-# then extraction + multimodal, the heavy corpus dedup queries last
+# then extraction + multimodal + corpus-quality, the heavy corpus dedup
+# queries last
 ALL_QUERIES = {}
 for _q in (REL_QUERIES, SCALAR_QUERIES, TEMPORAL_QUERIES,
-           EXTRACTION_QUERIES, MM_QUERIES, CORPUS_QUERIES):
+           EXTRACTION_QUERIES, MM_QUERIES, QUALITY_QUERIES,
+           CORPUS_QUERIES):
     ALL_QUERIES.update(_q)

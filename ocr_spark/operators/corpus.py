@@ -1307,23 +1307,21 @@ IVF_TRAIN_CAP = 65536  # quantizer-training sample bound (rows)
 
 def _ivf_centroids(emb: DataFrame, k: int, iters: int):
     """Lloyd-refined centroids from the deterministic seed (first k
-    vectors), as a numpy k × dim matrix. Each iteration is ONE map-only
-    Arrow stage emitting per-partition partial sums (cell, count,
-    vec-sum via one BLAS distance product) and a driver-side reduce over
-    ≤ partitions × k partial rows — the classic distributed-k-means
-    shape: centroids broadcast in the closure, nothing but the k × dim
-    matrix ever crosses the driver. Empty cells keep their previous
-    centroid. Assignment tie-break = argmin first index = lowest
-    cell_id, matching the query-side min_by(struct(d2, cell_id)).
+    vectors), as a numpy k × dim matrix.
 
     The quantizer trains on a bounded deterministic sample (standard IVF
     practice): past IVF_TRAIN_CAP rows, a hash-modulo filter thins the
-    training set so each Lloyd pass costs O(cap), not O(corpus) — at
-    100 TB the iterations would otherwise re-scan the full table. The
-    sample is cached across iterations. Below the cap (every test SF)
-    behavior is byte-identical to training on everything."""
+    training set — at 100 TB the filter is pushed into the scan and the
+    sample stays ≤ cap × dim doubles (32 MB at the default cap), which
+    fits any driver BY CONSTRUCTION. So the sample is collected ONCE and
+    every Lloyd iteration runs locally in numpy: one cluster pass total,
+    instead of one distributed pass per iteration (each a full Python-
+    worker round trip; profiling showed the per-iteration job overhead,
+    not the math, dominated). Rows arrive sorted by vec_id so the mean's
+    fp summation order is partition-layout-independent. Empty cells keep
+    their previous centroid. Assignment tie-break = argmin first index =
+    lowest cell_id, matching the query-side min_by(struct(d2, cell_id))."""
     import numpy as np
-    import pandas as pd
 
     # row count to size the sampling modulus: column-pruned to a
     # metadata-only parquet count, not a data pass
@@ -1334,40 +1332,19 @@ def _ivf_centroids(emb: DataFrame, k: int, iters: int):
         train = train.where(
             (F.pmod(F.xxhash64(F.col("vec_id")), F.lit(mod)) == 0)
             | (F.col("vec_id") < k))  # keep the seed rows regardless
-    train = train.cache()
-    seed = (train.where(F.col("vec_id") < k)
-            .select("vec_id", "vec").collect())
-    C = np.stack([np.asarray(r["vec"], dtype=np.float64)
-                  for r in sorted(seed, key=lambda r: r["vec_id"])])
+    rows = train.collect()  # bounded by IVF_TRAIN_CAP
+    ids = np.fromiter((r["vec_id"] for r in rows), dtype=np.int64,
+                      count=len(rows))
+    m = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in rows])
+    order = np.argsort(ids, kind="stable")  # driver-side sort, no Spark
+    ids, m = ids[order], m[order]           # range-partition job
+    C = m[ids < k].copy()
     for _ in range(iters):
-        C_b = C.copy()
-
-        def _partials(batches, C_b=C_b):
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                m = np.stack([np.asarray(v, dtype=np.float64)
-                              for v in pdf["vec"]])
-                d2 = ((m * m).sum(1)[:, None] + (C_b * C_b).sum(1)[None, :]
-                      - 2.0 * (m @ C_b.T))
-                cell = d2.argmin(1)
-                rows = [(int(c), int((cell == c).sum()),
-                         m[cell == c].sum(0).tolist())
-                        for c in np.unique(cell)]
-                yield pd.DataFrame(rows,
-                                   columns=["cell_id", "cnt", "vecsum"])
-
-        parts = train.select("vec").mapInPandas(
-            _partials, "cell_id int, cnt long, vecsum array<double>").collect()
-        sums: dict = {}
-        cnts: dict = {}
-        for r in sorted(parts, key=lambda r: (r["cell_id"], r["cnt"])):
-            sums[r["cell_id"]] = (sums.get(r["cell_id"], 0)
-                                  + np.asarray(r["vecsum"]))
-            cnts[r["cell_id"]] = cnts.get(r["cell_id"], 0) + r["cnt"]
-        for c, cnt in cnts.items():
-            C[c] = sums[c] / cnt
-    train.unpersist()
+        d2 = ((m * m).sum(1)[:, None] + (C * C).sum(1)[None, :]
+              - 2.0 * (m @ C.T))
+        cell = d2.argmin(1)
+        for c in np.unique(cell):
+            C[c] = m[cell == c].mean(0)
     return C
 
 

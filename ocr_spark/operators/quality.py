@@ -1,0 +1,402 @@
+"""Corpus quality / curation operators for a training-data pipeline.
+
+The second half of the corpus layer (first half: ocr_spark/operators/
+corpus.py — dedup, similarity, text stats): the curation passes a 100 TB
+pretraining pipeline runs between extraction and training. Everything here
+is pure Spark column expressions + keyed aggregations — no Python in the
+hot path — and every operator is oracle-paired (the fractions are emitted
+as floor(x*1e4) basis points so both engines derive the identical IEEE
+double before an engine-neutral floor; no ROUND-of-double edge class).
+
+Scale notes:
+- repetition / chunk-dup explode token n-grams but aggregate them keyed by
+  (doc_id, gram) with map-side combine, so the shuffle carries one row per
+  distinct gram per doc per partition — never the raw token stream;
+- chunk-dup's corpus-wide stats shuffle on the chunk HASH (8-byte md5
+  fold), the standard C4 line-dedup shape; the join back to docs is on the
+  same key, so AQE can co-locate the two sides;
+- contamination broadcasts the benchmark shingle set (benchmarks are tiny
+  next to the corpus) — no shuffle touches the 100 TB side beyond the
+  per-doc count;
+- stratified sampling and token-budget capping are map-only / one window:
+  the md5-bridge keeps the sampling decision deterministic and
+  engine-reproducible (same trick as corpus._md5_long).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+from .corpus import _docs, _md5_long
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality filters)
+# ---------------------------------------------------------------------------
+
+_TOKENS = "split(lower(text), '\\\\s+')"
+
+
+def txt_repetition(spark, sf_dir):
+    """Per-doc repetition signals a Gopher-style quality filter gates on:
+    most-frequent-token share, most-frequent-bigram share, and the share
+    of bigram instances whose bigram repeats within the doc. Emitted as
+    floor(frac*1e4) basis points (engine-neutral: both engines floor the
+    identical IEEE quotient). Two keyed aggregations (doc_id×gram, then
+    doc_id) + one co-keyed join — the explode never crosses docs, so the
+    shuffle volume is bounded by distinct grams per doc."""
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id", f"{_TOKENS} AS t").where("size(t) >= 2")
+    uni = (docs.select("doc_id", F.explode("t").alias("g"))
+           .groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+           .groupBy("doc_id")
+           .agg(F.max("c").alias("max_tok"),
+                F.sum("c").alias("n_tok")))
+    bg = (docs.selectExpr(
+            "doc_id",
+            "explode(transform(sequence(0, size(t) - 2),"
+            " i -> concat(t[i], ' ', t[i + 1]))) AS g")
+          .groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+          .groupBy("doc_id")
+          .agg(F.max("c").alias("max_bg"),
+               F.sum("c").alias("n_bg"),
+               F.sum(F.when(F.col("c") >= 2, F.col("c"))
+                     .otherwise(F.lit(0))).alias("dup_bg")))
+
+    def _bp(a, b):
+        return F.floor(F.col(a).cast("double") / F.col(b) * 10000)
+
+    return (uni.join(bg, "doc_id")
+            .select("doc_id",
+                    F.col("n_tok").cast("long").alias("n_tokens_b"),
+                    _bp("max_tok", "n_tok").alias("top_token_bp"),
+                    _bp("max_bg", "n_bg").alias("top_bigram_bp"),
+                    _bp("dup_bg", "n_bg").alias("dup_bigram_bp"))
+            .orderBy("doc_id"))
+
+
+TXT_REPETITION_SQL = """
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+  FROM documents WHERE doc_id IS NOT NULL AND len(string_split_regex(lower(text), '\\s+')) >= 2
+),
+uni AS (
+  SELECT doc_id, MAX(c) AS max_tok, CAST(SUM(c) AS BIGINT) AS n_tok FROM (
+    SELECT doc_id, g, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(t) AS g FROM tok) GROUP BY 1, 2)
+  GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id, MAX(c) AS max_bg, CAST(SUM(c) AS BIGINT) AS n_bg,
+         CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_bg
+  FROM (
+    SELECT doc_id, g, COUNT(*) AS c
+    FROM (SELECT doc_id,
+                 unnest(list_transform(range(1, len(t)),
+                        i -> t[i] || ' ' || t[i + 1])) AS g
+          FROM tok) GROUP BY 1, 2)
+  GROUP BY doc_id
+)
+SELECT uni.doc_id, n_tok AS n_tokens_b,
+       CAST(FLOOR(CAST(max_tok AS DOUBLE) / n_tok * 10000) AS BIGINT) AS top_token_bp,
+       CAST(FLOOR(CAST(max_bg AS DOUBLE) / n_bg * 10000) AS BIGINT) AS top_bigram_bp,
+       CAST(FLOOR(CAST(dup_bg AS DOUBLE) / n_bg * 10000) AS BIGINT) AS dup_bigram_bp
+FROM uni JOIN bg ON uni.doc_id = bg.doc_id
+ORDER BY uni.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cross-doc duplicate chunks (C4 line-level dedup analog)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 10
+
+
+def dd_chunk_dup(spark, sf_dir):
+    """C4-style line-level dedup signal on token chunks (the transcripts
+    have no newlines, so sequential 10-token chunks stand in for lines):
+    per doc, the share of chunks that also appear in at least one OTHER
+    doc. Chunks shuffle on their 8-byte md5 fold — one keyed corpus-wide
+    aggregation + one same-key join back, the scalable line-dedup shape."""
+    chunks = (
+        _docs(spark, sf_dir).selectExpr("doc_id", f"{_TOKENS} AS t")
+        .selectExpr(
+            "doc_id",
+            f"explode(transform("
+            f" sequence(0, cast(ceil(size(t) / {CHUNK_TOKENS}.0) AS int) - 1),"
+            f" i -> array_join(slice(t, i * {CHUNK_TOKENS} + 1,"
+            f" {CHUNK_TOKENS}), ' '))) AS chunk")
+        .select("doc_id", _md5_long(F.col("chunk")).alias("chunk_hash")))
+    stats = (chunks.groupBy("chunk_hash")
+             .agg(F.countDistinct("doc_id").alias("n_docs")))
+    return (chunks.join(stats, "chunk_hash")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_chunks"),
+                 F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+                 .cast("long").alias("n_shared"))
+            .select("doc_id", "n_chunks", "n_shared",
+                    F.floor(F.col("n_shared").cast("double")
+                            / F.col("n_chunks") * 10000).alias("shared_bp"))
+            .orderBy("doc_id"))
+
+
+DD_CHUNK_SQL = f"""
+WITH ch AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(chunk), 1, 16))::UBIGINT AS HUGEINT)
+           - 9223372036854775808 AS chunk_hash
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(0, cast(ceil(len(t) / {CHUNK_TOKENS}.0) AS int)),
+             i -> array_to_string(t[i * {CHUNK_TOKENS} + 1
+                                    : i * {CHUNK_TOKENS} + {CHUNK_TOKENS}],
+                                  ' '))) AS chunk
+    FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+          FROM documents WHERE doc_id IS NOT NULL))
+),
+stats AS (
+  SELECT chunk_hash, COUNT(DISTINCT doc_id) AS n_docs
+  FROM ch GROUP BY chunk_hash
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       CAST(FLOOR(CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                  / COUNT(*) * 10000) AS BIGINT) AS shared_bp
+FROM ch JOIN stats USING (chunk_hash)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination (n-gram overlap against a held-out set)
+# ---------------------------------------------------------------------------
+
+BENCH_MOD = 97        # doc_id % 97 == 0 plays the benchmark/eval set
+CONTAM_NGRAM = 5
+
+
+def txt_contamination(spark, sf_dir):
+    """Decontamination check: corpus docs sharing any 5-token shingle with
+    the 'benchmark' set (stand-in: doc_id % 97 == 0). The benchmark
+    shingle set is tiny next to the corpus, so it is broadcast — the
+    corpus side is scanned once, map-side joined, and aggregated per doc;
+    no corpus-wide shuffle of shingles."""
+    n = CONTAM_NGRAM
+    sh = (
+        _docs(spark, sf_dir).selectExpr("doc_id", f"{_TOKENS} AS t")
+        .where(f"size(t) >= {n}")
+        .selectExpr(
+            "doc_id",
+            f"explode(array_distinct(transform(sequence(0, size(t) - {n}),"
+            f" i -> concat_ws(' ', {', '.join(f't[i + {j}]' for j in range(n))}"
+            f")))) AS s"))
+    bench = (sh.where(F.col("doc_id") % BENCH_MOD == 0)
+             .select("s").distinct())
+    return (sh.where(F.col("doc_id") % BENCH_MOD != 0)
+            .join(broadcast(bench), "s")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_hits"))
+            .orderBy("doc_id"))
+
+
+TXT_CONTAM_SQL = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) - {CONTAM_NGRAM - 2}),
+                  i -> {" || ' ' || ".join(f"t[i + {j}]" for j in range(CONTAM_NGRAM))})) AS s
+    FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+          FROM documents
+          WHERE doc_id IS NOT NULL
+            AND len(string_split_regex(lower(text), '\\s+')) >= {CONTAM_NGRAM}))
+)
+SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM sh c JOIN (SELECT DISTINCT s FROM sh WHERE doc_id % {BENCH_MOD} = 0) b
+  USING (s)
+WHERE c.doc_id % {BENCH_MOD} <> 0
+GROUP BY c.doc_id ORDER BY c.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# RE2-safe (no lookaround) AND Java-regex-identical patterns
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+_PII_IP = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def txt_pii_scrub(spark, sf_dir):
+    """PII scrub: count + redact emails / phone numbers / IPv4s. The
+    testdata transcripts carry no PII, so a deterministic payload derived
+    from doc_id is appended on BOTH engines (same expression) — the regex
+    extraction and redaction are then exercised against real matches and
+    checked end-to-end via the md5 of the redacted text. Map-only; at
+    100 TB this is one codegen'd projection, no shuffle."""
+    docs = _docs(spark, sf_dir)
+    payload = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@mail.example.com"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(" call +1-555-"),
+                        F.lpad((F.col("doc_id") % 10000).cast("string"),
+                               4, "0"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit(" from 10.0."),
+                        (F.col("doc_id") % 256).cast("string"),
+                        F.lit("."),
+                        ((F.col("doc_id") * 7) % 256).cast("string")))
+        .otherwise(F.lit("")))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(payload, _PII_EMAIL, "<EMAIL>"),
+            _PII_IP, "<IP>"),
+        _PII_PHONE, "<PHONE>")
+    return (docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(payload, F.lit(_PII_EMAIL), F.lit(0)))
+        .cast("long").alias("n_email"),
+        F.size(F.regexp_extract_all(payload, F.lit(_PII_PHONE), F.lit(0)))
+        .cast("long").alias("n_phone"),
+        F.size(F.regexp_extract_all(payload, F.lit(_PII_IP), F.lit(0)))
+        .cast("long").alias("n_ip"),
+        F.md5(red).alias("scrub_hash"))
+        .orderBy("doc_id"))
+
+
+_PII_PAYLOAD_SQL = """
+  text
+  || CASE WHEN doc_id % 2 = 0
+          THEN ' contact user' || doc_id || '@mail.example.com' ELSE '' END
+  || CASE WHEN doc_id % 3 = 0
+          THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+          ELSE '' END
+  || CASE WHEN doc_id % 5 = 0
+          THEN ' from 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+          ELSE '' END
+"""
+
+TXT_PII_SQL = f"""
+WITH p AS (
+  SELECT doc_id, {_PII_PAYLOAD_SQL} AS payload
+  FROM documents WHERE doc_id IS NOT NULL
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(payload, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(payload, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(payload, '{_PII_IP}')) AS BIGINT) AS n_ip,
+       md5(regexp_replace(
+             regexp_replace(
+               regexp_replace(payload, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IP}', '<IP>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g')) AS scrub_hash
+FROM p ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sampling / data mixing
+# ---------------------------------------------------------------------------
+
+# per-language keep rates (downsample the head language, keep the tail) —
+# the thresholds are embedded as exact integer literals in BOTH engines,
+# so the sampling decision is bit-identical regardless of float handling
+SMP_RATES = {"en": 0.3, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 0.5}
+
+
+def _smp_threshold_u64(rate: float) -> int:
+    return min(int(rate * 2**64), 2**64 - 1)
+
+
+def smp_stratified(spark, sf_dir):
+    """Deterministic stratified sampling for data mixing: a doc is kept
+    iff its salted md5 fold falls under the language's keep-rate
+    threshold. Map-only + one tiny groupBy(lang); the same doc keeps the
+    same fate on any cluster, any partitioning, any engine — the property
+    that makes corpus sampling reproducible and resumable at 100 TB."""
+    docs = _docs(spark, sf_dir)
+    h = _md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":strat")))
+    kept = F.lit(False)
+    for lang, rate in SMP_RATES.items():
+        thr = _smp_threshold_u64(rate) - 2**63  # signed-space threshold
+        kept = F.when(F.col("lang") == lang,
+                      h < F.lit(thr)).otherwise(kept)
+    return (docs.select("lang", kept.cast("int").alias("k"))
+            .groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_total"),
+                 F.sum("k").cast("long").alias("n_kept"))
+            .orderBy("lang"))
+
+
+_SMP_CASES = "\n".join(
+    f"       WHEN lang = '{lang}' THEN h < {_smp_threshold_u64(rate)}"
+    for lang, rate in SMP_RATES.items())
+
+SMP_STRAT_SQL = f"""
+WITH h AS (
+  SELECT lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 16))
+           ::UBIGINT AS h
+  FROM documents WHERE doc_id IS NOT NULL
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE
+{_SMP_CASES}
+       ELSE FALSE END::INT) AS BIGINT) AS n_kept
+FROM h GROUP BY lang ORDER BY lang
+"""
+
+SMP_TOKEN_BUDGET = 5000
+
+
+def smp_token_budget(spark, sf_dir):
+    """Token-budget capping per language (data-mixing to a target token
+    count): docs are admitted in deterministic doc_id order until the
+    language's running token total passes the budget. One window over
+    (lang, doc_id) — at 100 TB the per-stratum prefix sum is the standard
+    two-pass pattern; here the stratum count is tiny so a single window
+    partition per language is the honest plan."""
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id", "lang",
+        f"CAST(size({_TOKENS}) AS BIGINT) AS n_tokens_b")
+    w = (Window.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (docs
+            .withColumn("cum_tokens", F.sum("n_tokens_b").over(w))
+            .withColumn("kept",
+                        (F.col("cum_tokens") <= SMP_TOKEN_BUDGET)
+                        .cast("int"))
+            .select("doc_id", "lang", "n_tokens_b", "cum_tokens", "kept")
+            .orderBy("lang", "doc_id"))
+
+
+SMP_BUDGET_SQL = f"""
+SELECT doc_id, lang,
+       CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tokens_b,
+       CAST(SUM(len(string_split_regex(lower(text), '\\s+')))
+            OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+       CAST(SUM(len(string_split_regex(lower(text), '\\s+')))
+            OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS UNBOUNDED PRECEDING) <= {SMP_TOKEN_BUDGET} AS INT) AS kept
+FROM documents WHERE doc_id IS NOT NULL
+ORDER BY lang, doc_id
+"""
+
+
+QUERIES = {
+    "txt_repetition": (txt_repetition, TXT_REPETITION_SQL),
+    "txt_pii_scrub": (txt_pii_scrub, TXT_PII_SQL),
+    "txt_contamination": (txt_contamination, TXT_CONTAM_SQL),
+    "smp_stratified": (smp_stratified, SMP_STRAT_SQL),
+    "smp_token_budget": (smp_token_budget, SMP_BUDGET_SQL),
+    "dd_chunk_dup": (dd_chunk_dup, DD_CHUNK_SQL),
+}

@@ -1,0 +1,168 @@
+"""Corpus-quality operator edges: differential oracle checks on
+hand-built edge corpora (beyond the well-formed testdata), plan pins,
+and partitioning invariance. The sf0.001 oracle compare for these
+queries runs in test_operators.py via the ALL_QUERIES parametrize."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="testdata not available")
+
+
+EDGE_DOCS = [
+    # doc_id, text, lang, source, n_chars
+    (0, "word", "en", "s", 4),                        # 1 token: no bigrams
+    (2, "a a a a a a a a", "en", "s", 15),            # maximal repetition
+    (3, "x y " * 30 + "x y", "en", "s", 122),         # repeated bigram
+    (4, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lam mu nu xi omicron pi rho sigma tau upsilon", "de", "s", 104),
+    (5, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "shared tail of ten tokens exactly here now ok done", "fr", "s", 104),
+    (97 * 1, "alpha beta gamma delta epsilon unrelated words in bench",
+     "en", "s", 50),                                  # benchmark doc (id%97==0)
+    (194, "totally disjoint benchmark content nothing shared at all",
+     "zh", "s", 50),
+    (6, "", "es", "s", 0),                            # empty text
+]
+
+
+def _edge_dir(spark, tmp_path):
+    d = str(tmp_path / "edge")
+    spark.createDataFrame(
+        EDGE_DOCS,
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    return d
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                v = None if math.isnan(v) else round(v, 6)
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+
+
+def _duck_on(d, sql):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{os.path.join(d, 'documents.parquet')}/*.parquet'")
+    res = con.execute(sql)
+    return res.fetchall(), [c[0] for c in res.description]
+
+
+@pytest.mark.parametrize("name", [
+    "txt_repetition", "txt_pii_scrub", "txt_contamination",
+    "smp_stratified", "smp_token_budget", "dd_chunk_dup"])
+def test_edge_corpus_matches_oracle(spark, tmp_path, name):
+    """Single-token docs, empty text, maximal repetition, planted shared
+    chunks/shingles: Spark and DuckDB must agree row-for-row on the edge
+    corpus, not just on the well-formed testdata."""
+    from ocr_spark.operators.quality import QUERIES
+    fn, sql = QUERIES[name]
+    d = _edge_dir(spark, tmp_path)
+    sdf = fn(spark, d)
+    drows, dcols = _duck_on(d, sql)
+    assert _canon([tuple(r) for r in sdf.collect()], sdf.columns) == \
+        _canon(drows, dcols), f"{name} diverges on the edge corpus"
+
+
+def test_repetition_signals_on_known_docs(spark, tmp_path):
+    from ocr_spark.operators.quality import txt_repetition
+    d = _edge_dir(spark, tmp_path)
+    rows = {r.doc_id: r for r in txt_repetition(spark, d).collect()}
+    assert 0 not in rows          # single-token doc has no bigrams
+    assert rows[2].top_token_bp == 10000     # all tokens identical
+    assert rows[2].dup_bigram_bp == 10000    # every bigram repeats
+    assert rows[4].dup_bigram_bp == 0        # all-distinct tokens
+
+
+def test_chunk_dup_finds_planted_shared_chunk(spark, tmp_path):
+    """Docs 4 and 5 share their first 10-token chunk exactly; every other
+    chunk is unique, so both docs report n_shared == 1."""
+    from ocr_spark.operators.quality import dd_chunk_dup
+    d = _edge_dir(spark, tmp_path)
+    rows = {r.doc_id: r for r in dd_chunk_dup(spark, d).collect()}
+    assert rows[4].n_shared == 1 and rows[5].n_shared == 1
+    assert rows[4].n_chunks == 2
+    lone = rows[6]
+    assert lone.n_shared == 0     # empty doc's chunk is its own
+
+
+def test_contamination_hits_only_bench_overlap(spark, tmp_path):
+    """Doc 4 shares the 5-gram 'alpha beta gamma delta epsilon' with
+    benchmark doc 97; doc 5 shares it too; nothing overlaps doc 194."""
+    from ocr_spark.operators.quality import txt_contamination
+    d = _edge_dir(spark, tmp_path)
+    rows = {r.doc_id: r.n_hits for r in txt_contamination(spark, d).collect()}
+    assert rows == {4: 1, 5: 1}
+
+
+def test_pii_scrub_redacts_everything(spark):
+    """Every doc that had a synthetic PII item injected must report it
+    detected (the scrub_hash end-to-end redaction parity is covered by
+    the oracle compare; this pins the detection floor corpus-wide)."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.quality import txt_pii_scrub
+    df = txt_pii_scrub(spark, SF_DIR)
+    # every even doc_id gains exactly one synthetic email, %3 one phone, %5 one ip
+    bad = df.where(
+        ((F.col("doc_id") % 2 == 0) & (F.col("n_email") < 1))
+        | ((F.col("doc_id") % 3 == 0) & (F.col("n_phone") < 1))
+        | ((F.col("doc_id") % 5 == 0) & (F.col("n_ip") < 1))).count()
+    assert bad == 0
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    from ocr_spark.operators.quality import txt_contamination
+    from ocr_spark.plans import (has_broadcast_hash_join,
+                                 has_sort_merge_join)
+    df = txt_contamination(spark, SF_DIR)
+    assert has_broadcast_hash_join(df), "benchmark shingles must broadcast"
+    assert not has_sort_merge_join(df), \
+        "corpus-side shingles must not shuffle for the benchmark join"
+
+
+def test_stratified_sample_partitioning_invariant(spark):
+    """The md5-bridge sampling decision is per-row deterministic: the
+    same doc keeps the same fate at any parallelism / partition layout."""
+    from ocr_spark.operators.quality import smp_stratified
+    a = sorted(tuple(r) for r in smp_stratified(spark, SF_DIR).collect())
+    sf1 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # same computation over a deliberately repartitioned clone
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        sf1.repartition(13).write.parquet(os.path.join(d, "documents.parquet"))
+        b = sorted(tuple(r) for r in smp_stratified(spark, d).collect())
+    assert a == b
+
+
+def test_token_budget_monotone_per_lang(spark):
+    """kept is a prefix property: once a lang's running total passes the
+    budget, no later doc (by doc_id) in that lang is kept."""
+    from ocr_spark.operators.quality import smp_token_budget
+    rows = smp_token_budget(spark, SF_DIR).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.doc_id)
+        seen_drop = False
+        for r in rs:
+            if r.kept == 0:
+                seen_drop = True
+            assert not (seen_drop and r.kept == 1), \
+                f"{lang}: doc {r.doc_id} kept after budget exhausted"
