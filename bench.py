@@ -43,6 +43,7 @@ HEADLINE = [
     "extract_quality_gate", "t26_llm_json_cascade",
     "txt_repetition", "txt_pii_scrub", "txt_contamination",
     "smp_stratified", "smp_token_budget", "dd_chunk_dup",
+    "curate_funnel",
 ]
 
 

@@ -1,0 +1,41 @@
+#!/usr/bin/env python3
+"""spark-submit entrypoint for the corpus curation pipeline.
+
+    spark-submit --master local[N] --py-files dist/ocr_spark.zip \
+        jobs/curate_job.py --input /root/testdata/sf0.01 --output /tmp/curated
+
+Runs documents → quality gate → exact dedup → chunk near-dup drop →
+decontamination → stratified sampling → curated parquet partitioned by
+lang + funnel manifest (per-stage counts, thresholds, curator version).
+Prints ONE JSON line (the manifest) on stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True,
+                    help="dir containing documents.parquet")
+    ap.add_argument("--output", required=True)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from ocr_spark.pipeline.curate import run_curation
+
+    spark = SparkSession.builder.appName("ocr-spark-curate").getOrCreate()
+    try:
+        docs = spark.read.parquet(f"{args.input}/documents.parquet")
+        manifest = run_curation(spark, docs, args.output)
+        print(json.dumps(manifest, sort_keys=True))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -26,3 +26,17 @@ for _q in (REL_QUERIES, SCALAR_QUERIES, TEMPORAL_QUERIES,
            EXTRACTION_QUERIES, MM_QUERIES, QUALITY_QUERIES,
            CORPUS_QUERIES):
     ALL_QUERIES.update(_q)
+
+
+def _register_curate():
+    # pipeline.curate composes the quality-gate operators, so the import
+    # is circular whenever curate itself is the entry module; in that
+    # order curate.py registers itself at its own module bottom instead
+    try:
+        from ..pipeline.curate import CURATE_FUNNEL_SQL, curate_funnel
+    except ImportError:
+        return
+    ALL_QUERIES["curate_funnel"] = (curate_funnel, CURATE_FUNNEL_SQL)
+
+
+_register_curate()
