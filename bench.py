@@ -31,7 +31,9 @@ def _sf_from_dir(sf_dir: str) -> float:
         return 0.1
 
 
-HEADLINE = [
+# the round-1 headline set (kept stable so cross-round walls compare
+# like-for-like; the driver's r01 JSON summed exactly these + extraction)
+HEADLINE_R1 = [
     "q1_pricing_summary", "a1_a2_invoice_totals", "f4_tolerance_gate",
     "j1_dim_lookup_join", "j2_product_join", "a7_topk_per_group",
     "w3_gap_sessionize", "w3b_session_window", "u4_fallback_chain",
@@ -39,6 +41,9 @@ HEADLINE = [
     "dd_embedding_neardup", "sim_cosine_topk", "sim_ivf_topk",
     "txt_quality", "txt_langid", "qr_asof_join", "mm_frame_plan",
     "conv_assemble", "extract_documents", "import_star_schema",
+]
+
+HEADLINE = HEADLINE_R1 + [
     "import_sales", "extract_html_readability", "extract_pdf_layout",
     "extract_quality_gate", "t26_llm_json_cascade",
     "txt_repetition", "txt_pii_scrub", "txt_contamination",
@@ -177,6 +182,11 @@ def main_bench() -> None:
             "value": total,
             "unit": "sec",
             "queries": {**timings, "extract_synthetic_bench": ext["wall_sec"]},
+            # like-for-like cross-round comparison: the headline set grew
+            # after round 1, so the r01-comparable subtotal rides along
+            "r1_comparable_subtotal": round(
+                sum(timings[n] for n in HEADLINE_R1) + ext["wall_sec"], 3),
+            "n_headline_queries": len(HEADLINE),
             "sf": sf,
             "extraction": ext,
             "golden_parity": parity,

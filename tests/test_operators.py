@@ -157,6 +157,21 @@ def test_lsh_degenerate_bucket_bounded_fanout(spark):
     assert all(p.n_band_collisions == C.N_BANDS for p in degenerate)
 
 
+def test_ivf_deterministic_under_partitioning(spark, tmp_path):
+    """The IVF quantizer trains on a driver-side sample sorted by vec_id
+    (corpus._ivf_centroids), so centroids — and therefore the returned
+    top-k — must not depend on the input partition layout."""
+    import os
+
+    from ocr_spark.operators.corpus import sim_ivf_topk
+    a = [tuple(r) for r in sim_ivf_topk(spark, SF_DIR).collect()]
+    d = str(tmp_path / "ivf_clone")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    emb.repartition(11).write.parquet(os.path.join(d, "embeddings.parquet"))
+    b = [tuple(r) for r in sim_ivf_topk(spark, d).collect()]
+    assert a == b
+
+
 def test_f4_gate_stable_under_partitioning(spark):
     """The integer-cents tolerance gate must be bit-stable across
     partition counts — the failure mode ROUND-of-double-sums has
