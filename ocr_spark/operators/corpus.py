@@ -769,17 +769,51 @@ def _hyperplane_bucket(vec, planes):
     return bucket
 
 
+def _lsh_bucket_stage(planes):
+    """Map-only Arrow stage: hyperplane sign buckets computed with
+    DIMENSION-SEQUENTIAL fp folds — acc = v0*c0, then acc += vj*cj in
+    dim order — the exact association of the oracle SQL's literal `+`
+    chain, so every sign bit (and so every bucket id) agrees
+    bit-for-bit with DuckDB. Deliberately NOT one BLAS matmul: BLAS
+    reassociates (blocking/FMA) and can flip a borderline sign bit.
+    This replaces a 768-term literal Column tree whose analysis/codegen
+    dominated the query wall (~10s at sf0.01, falling back to
+    interpreted evaluation past the JVM method-size limit)."""
+    import numpy as np
+    import pandas as pd
+
+    P = np.asarray(planes, dtype=np.float64)          # n_planes × dim
+    weights = (1 << np.arange(len(planes))).astype(np.int64)
+
+    def _stage(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf["vec"]])
+            acc = m[:, 0][:, None] * P[:, 0][None, :]
+            for j in range(1, m.shape[1]):
+                acc = acc + m[:, j][:, None] * P[:, j][None, :]
+            yield pd.DataFrame({"vec_id": pdf["vec_id"],
+                                "bucket": (acc >= 0) @ weights})
+
+    return _stage
+
+
 def sim_lsh_buckets(spark, sf_dir):
     """Random-hyperplane LSH (scale path for ANN): sign bits against
-    deterministic pseudo-random hyperplanes (md5-derived literal
-    coefficients shared with the oracle SQL) → bucket id → bucket sizes.
+    deterministic pseudo-random hyperplanes (md5-derived coefficients
+    shared as literals with the oracle SQL) → bucket id → bucket sizes.
     Candidate generation then joins within buckets only: shuffle keyed by
-    bucket, corpus-size-proportional. Oracle-checked exactly: both
-    engines evaluate the same literal dot-product chains."""
-    emb = _emb(spark, sf_dir)
-    vec = F.col("embedding").cast("array<double>")
+    bucket, corpus-size-proportional. Oracle-checked exactly: the Arrow
+    stage folds each dot product in the same order as the SQL chain
+    (_lsh_bucket_stage), so both engines derive identical buckets."""
+    emb = (_emb(spark, sf_dir)
+           .select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("vec")))
     return (
-        emb.withColumn("bucket", _hyperplane_bucket(vec, _SIM_BUCKET_PLANES))
+        emb.mapInPandas(_lsh_bucket_stage(_SIM_BUCKET_PLANES),
+                        "vec_id long, bucket long")
         .groupBy("bucket")
         .agg(F.count("*").alias("n_vectors"),
              F.min("vec_id").alias("min_vec_id"))
