@@ -1468,10 +1468,12 @@ def dd_dup_clusters(spark, sf_dir):
     Edges = exact-dup pairs (same normalized-text hash → keep_id edge,
     the md5 grouping from dd_exact_dup) ∪ MinHash-LSH candidate pairs.
     Labels start as doc_id; each iteration propagates min(label) across
-    edges (both directions) — one keyed shuffle per iteration, label
-    frame persisted between rounds, terminating when no label changed
-    (counted with one action). The LSH star-pattern cap bounds component
-    diameter, so convergence is 2-3 rounds, not O(n). Oracle-checked:
+    edges (both directions) and then pointer-doubles (label <- label of
+    label, one extra keyed self-join), so convergence is O(log diameter)
+    rounds rather than O(diameter) — components CHAINED across different
+    band buckets can't creep toward the round cap. Terminates at the
+    fixpoint (labels only decrease; an unchanged sum over one aggregate
+    action per round means converged). Oracle-checked:
     the fixpoint equals per-vertex MIN over the transitive closure, which
     DuckDB computes with a WITH RECURSIVE reachability CTE over the same
     (md5-reproducible) edge set; pytest additionally verifies against a
@@ -1496,20 +1498,34 @@ def dd_dup_clusters(spark, sf_dir):
               .withColumn("label", F.col("doc_id")).persist())
     prev_sum = None
     converged = False
-    # hard safety cap only — iterate to the FIXPOINT. In-bucket stars are
-    # shallow, but components CHAINED across different band buckets
-    # (A~B in bucket 1, B~C in bucket 2, ...) have unbounded diameter;
-    # stopping early would silently split one real cluster into several.
+    # hard safety cap only — iterate to the FIXPOINT. With pointer
+    # doubling the cap is ~2^50 diameter, unreachable; stopping early
+    # would silently split one real cluster into several.
     for _ in range(50):
         prop = (edges.join(labels, edges.src == labels.doc_id)
                 .groupBy(F.col("dst").alias("doc_id"))
                 .agg(F.min("label").alias("nbr_label")))
-        new_labels = (labels.join(prop, "doc_id", "left")
+        step = (labels.join(prop, "doc_id", "left")
+                .select("doc_id",
+                        F.least(F.col("label"),
+                                F.coalesce("nbr_label", "label"))
+                        .alias("label")))
+        # pointer doubling: every label value is itself an edge-touched
+        # doc_id (labels start as self-ids and only ever take on other
+        # vertices' ids), so the label->label-of-label lookup is total
+        hop = step.select(F.col("doc_id").alias("label"),
+                          F.col("label").alias("label2"))
+        # localCheckpoint (not persist): each round's plan references the
+        # previous frame several times, so lineage grows exponentially
+        # with rounds — persist caches data but keeps the logical plan,
+        # and a deep iteration OOMs the driver on plan analysis alone.
+        # Truncating lineage each round keeps plans O(1) per round.
+        new_labels = (step.join(hop, "label", "left")
                       .select("doc_id",
                               F.least(F.col("label"),
-                                      F.coalesce("nbr_label", "label"))
+                                      F.coalesce("label2", "label"))
                               .alias("label"))
-                      .persist())
+                      .localCheckpoint(eager=True))
         # labels only ever decrease → an unchanged sum means a fixpoint;
         # one aggregate action per round, no self-join
         cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
