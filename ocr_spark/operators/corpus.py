@@ -1459,6 +1459,59 @@ def sim_ivf_topk(spark, sf_dir):
     )
 
 
+def _propagate_min_labels(edges, max_rounds=50):
+    """Connected components over a symmetric, persisted (src, dst) edge
+    frame: iterative min-label propagation with pointer doubling.
+    Returns (labels DataFrame (doc_id, label), rounds, converged).
+
+    Each round: (1) neighbor-min — propagate min(label) across edges,
+    one keyed shuffle; (2) pointer doubling — label <- label of label,
+    one keyed self-join — so convergence is O(log diameter) rounds, not
+    O(diameter). Every label value is itself an edge-touched doc_id
+    (labels start as self-ids and only ever take on other vertices'
+    ids), so the label->label-of-label lookup is total. Labels only
+    ever decrease, so an unchanged SUM(label) (one aggregate action per
+    round) certifies the fixpoint, which equals per-vertex MIN over the
+    transitive closure. Lineage is truncated with localCheckpoint each
+    round: the plan references the previous frame several times, so
+    persist() alone leaves the logical plan growing exponentially with
+    rounds and deep iterations OOM the driver in plan analysis before
+    any task runs."""
+    # only edge-touched vertices can ever change label: singleton docs
+    # (the overwhelming majority of a real corpus) never enter the loop
+    labels = (edges.select(F.col("src").alias("doc_id")).distinct()
+              .withColumn("label", F.col("doc_id")).persist())
+    prev_sum = None
+    rounds = 0
+    converged = False
+    for _ in range(max_rounds):
+        rounds += 1
+        prop = (edges.join(labels, edges.src == labels.doc_id)
+                .groupBy(F.col("dst").alias("doc_id"))
+                .agg(F.min("label").alias("nbr_label")))
+        step = (labels.join(prop, "doc_id", "left")
+                .select("doc_id",
+                        F.least(F.col("label"),
+                                F.coalesce("nbr_label", "label"))
+                        .alias("label")))
+        hop = step.select(F.col("doc_id").alias("label"),
+                          F.col("label").alias("label2"))
+        new_labels = (step.join(hop, "label", "left")
+                      .select("doc_id",
+                              F.least(F.col("label"),
+                                      F.coalesce("label2", "label"))
+                              .alias("label"))
+                      .localCheckpoint(eager=True))
+        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if cur_sum == prev_sum:
+            converged = True
+            break
+        prev_sum = cur_sum
+    return labels, rounds, converged
+
+
 def dd_dup_clusters(spark, sf_dir):
     """Duplicate CLUSTERS from candidate pairs: connected components via
     iterative min-label propagation (the step after pair generation every
@@ -1492,49 +1545,10 @@ def dd_dup_clusters(spark, sf_dir):
              .distinct()
              .persist())
 
-    # only edge-touched vertices can ever change label: singleton docs
-    # (the overwhelming majority of a real corpus) never enter the loop
-    labels = (edges.select(F.col("src").alias("doc_id")).distinct()
-              .withColumn("label", F.col("doc_id")).persist())
-    prev_sum = None
-    converged = False
     # hard safety cap only — iterate to the FIXPOINT. With pointer
     # doubling the cap is ~2^50 diameter, unreachable; stopping early
     # would silently split one real cluster into several.
-    for _ in range(50):
-        prop = (edges.join(labels, edges.src == labels.doc_id)
-                .groupBy(F.col("dst").alias("doc_id"))
-                .agg(F.min("label").alias("nbr_label")))
-        step = (labels.join(prop, "doc_id", "left")
-                .select("doc_id",
-                        F.least(F.col("label"),
-                                F.coalesce("nbr_label", "label"))
-                        .alias("label")))
-        # pointer doubling: every label value is itself an edge-touched
-        # doc_id (labels start as self-ids and only ever take on other
-        # vertices' ids), so the label->label-of-label lookup is total
-        hop = step.select(F.col("doc_id").alias("label"),
-                          F.col("label").alias("label2"))
-        # localCheckpoint (not persist): each round's plan references the
-        # previous frame several times, so lineage grows exponentially
-        # with rounds — persist caches data but keeps the logical plan,
-        # and a deep iteration OOMs the driver on plan analysis alone.
-        # Truncating lineage each round keeps plans O(1) per round.
-        new_labels = (step.join(hop, "label", "left")
-                      .select("doc_id",
-                              F.least(F.col("label"),
-                                      F.coalesce("label2", "label"))
-                              .alias("label"))
-                      .localCheckpoint(eager=True))
-        # labels only ever decrease → an unchanged sum means a fixpoint;
-        # one aggregate action per round, no self-join
-        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels.unpersist()
-        labels = new_labels
-        if cur_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = cur_sum
+    labels, _rounds, converged = _propagate_min_labels(edges, max_rounds=50)
     edges.unpersist()
     if not converged:
         import warnings
