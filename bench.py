@@ -149,6 +149,37 @@ def _golden_parity(spark) -> dict | None:
             "rate": round(matched / expected, 4) if expected else None}
 
 
+def _machine_canary(spark) -> dict:
+    """Fixed-work speed probe so cross-round walls are normalizable.
+
+    This shared VM's absolute speed drifts (observed 2.1x between the
+    round-1 bench and a round-2 rerun of the IDENTICAL round-1 code —
+    see BENCH/BASELINE.md 'Cross-round drift evidence'). The canary
+    measures the same machine the query walls were taken on:
+      - numpy_mm_s: single-thread 1500^2 float64 matmul (median of 3)
+      - spark_range_s: sum over range(200M) on all cores (median of 3)
+    Divide another round's wall by (its canary / this round's canary)
+    to compare like-for-like."""
+    import numpy as np
+    rng = np.random.default_rng(7)
+    a = rng.random((1500, 1500))
+    b = rng.random((1500, 1500))
+    a @ b  # warm
+    mm = sorted(_timed(lambda: a @ b) for _ in range(3))[1]
+    q = "sum(id * 2 + 1) AS s"
+    spark.range(200_000_000).selectExpr(q).collect()  # warm
+    rg = sorted(
+        _timed(lambda: spark.range(200_000_000).selectExpr(q).collect())
+        for _ in range(3))[1]
+    return {"numpy_mm_s": round(mm, 4), "spark_range_s": round(rg, 4)}
+
+
+def _timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
 def main_bench() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -176,6 +207,8 @@ def main_bench() -> None:
         parity = _golden_parity(spark)
         if parity:
             print(f"  golden parity: {parity}", file=sys.stderr)
+        canary = _machine_canary(spark)
+        print(f"  machine canary: {canary}", file=sys.stderr)
         total = round(sum(timings.values()) + ext["wall_sec"], 3)
         result = {
             "metric": "headline queries + extraction wall time",
@@ -190,6 +223,7 @@ def main_bench() -> None:
             "sf": sf,
             "extraction": ext,
             "golden_parity": parity,
+            "machine_canary": canary,
             "cpus": cpus,
         }
         print(json.dumps(result))
