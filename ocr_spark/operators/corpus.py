@@ -1459,6 +1459,45 @@ def sim_ivf_topk(spark, sf_dir):
     )
 
 
+# candidate-pair graphs at or below this many pairs are finished on the
+# driver with union-find instead of the distributed label loop: the
+# collect is ~16 bytes/pair (bounded by construction), and it replaces
+# 2*log(diameter) shuffle rounds with one action. At 100 TB the pair
+# set from banded LSH + exact dedup is still far smaller than the
+# corpus but can exceed this, so the distributed loop stays the
+# general path.
+SMALL_GRAPH_MAX_PAIRS = 200_000
+
+
+def _union_find_min_labels(pairs):
+    """Driver-side connected components over an iterable of (a, b) pairs:
+    union-find with union-by-min root + path compression, so each
+    component's root IS its minimum doc_id — the same fixpoint
+    _propagate_min_labels converges to (equivalence pinned in
+    tests/test_operators.py::test_dup_clusters_match_union_find).
+    Returns [(doc_id, label)] over every edge-touched vertex."""
+    parent = {}
+    vertices = set()
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        vertices.add(a)
+        vertices.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return [(v, find(v)) for v in sorted(vertices)]
+
+
 def _propagate_min_labels(edges, max_rounds=50):
     """Connected components over a symmetric, persisted (src, dst) edge
     frame: iterative min-label propagation with pointer doubling.
@@ -1520,8 +1559,11 @@ def dd_dup_clusters(spark, sf_dir):
 
     Edges = exact-dup pairs (same normalized-text hash → keep_id edge,
     the md5 grouping from dd_exact_dup) ∪ MinHash-LSH candidate pairs.
-    Labels start as doc_id; each iteration propagates min(label) across
-    edges (both directions) and then pointer-doubles (label <- label of
+    Two paths on the same fixpoint: when the pair set fits on the
+    driver (<= SMALL_GRAPH_MAX_PAIRS), one collect + union-find with
+    min-roots; otherwise distributed min-label propagation — labels
+    start as doc_id; each iteration propagates min(label) across edges
+    (both directions) and then pointer-doubles (label <- label of
     label, one extra keyed self-join), so convergence is O(log diameter)
     rounds rather than O(diameter) — components CHAINED across different
     band buckets can't creep toward the round cap. Terminates at the
@@ -1539,22 +1581,46 @@ def dd_dup_clusters(spark, sf_dir):
              .select(F.col("keep").alias("src"), F.col("doc_id").alias("dst")))
     lsh = dd_minhash_lsh(spark, sf_dir).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    edges = (exact.unionByName(lsh)
-             .unionByName(exact.selectExpr("dst AS src", "src AS dst"))
-             .unionByName(lsh.selectExpr("dst AS src", "src AS dst"))
-             .distinct()
-             .persist())
+    pairs = exact.unionByName(lsh).persist()
+    n_pairs = pairs.count()
 
-    # hard safety cap only — iterate to the FIXPOINT. With pointer
-    # doubling the cap is ~2^50 diameter, unreachable; stopping early
-    # would silently split one real cluster into several.
-    labels, _rounds, converged = _propagate_min_labels(edges, max_rounds=50)
-    edges.unpersist()
-    if not converged:
-        import warnings
-        warnings.warn("dd_dup_clusters: label propagation hit the 50-round "
-                      "safety cap before the fixpoint — clusters may be "
-                      "split; raise the cap for this corpus")
+    if n_pairs <= SMALL_GRAPH_MAX_PAIRS:
+        # small-graph finish: the dedup pair set is bounded (star-capped
+        # LSH buckets, keep-edge exact groups) and orders of magnitude
+        # smaller than the corpus; when it fits on the driver, one
+        # collect + union-find replaces 2*log(diameter) shuffle rounds
+        labels = spark.createDataFrame(
+            _union_find_min_labels(
+                (r.src, r.dst) for r in pairs.collect()),
+            "doc_id long, label long")
+        pairs.unpersist()
+    else:
+        # symmetrize with a single-pass explode, NOT a self-union: a
+        # union with the transpose references each pair source twice,
+        # and before the persist materializes that recomputes the whole
+        # MinHash pipeline and the exact-dup window a second time
+        # (measured 2x the edge-build wall)
+        edges = (pairs.select(F.explode(F.array(
+                     F.struct(F.col("src"), F.col("dst")),
+                     F.struct(F.col("dst").alias("src"),
+                              F.col("src").alias("dst")))).alias("e"))
+                 .select("e.src", "e.dst")
+                 .distinct()
+                 .persist())
+        pairs.unpersist()
+
+        # hard safety cap only — iterate to the FIXPOINT. With pointer
+        # doubling the cap is ~2^50 diameter, unreachable; stopping early
+        # would silently split one real cluster into several.
+        labels, _rounds, converged = _propagate_min_labels(edges,
+                                                           max_rounds=50)
+        edges.unpersist()
+        if not converged:
+            import warnings
+            warnings.warn("dd_dup_clusters: label propagation hit the "
+                          "50-round safety cap before the fixpoint — "
+                          "clusters may be split; raise the cap for this "
+                          "corpus")
 
     return (
         labels.groupBy(F.col("label").alias("cluster_id"))

@@ -107,7 +107,9 @@ def import_star_schema(spark, sf_dir):
     from ..pipeline.extract import extract_turns
     from ..pipeline.importer import plan_import
     t = _transcripts_from_documents(spark, sf_dir)
-    tables = plan_import(extract_turns(t, salt_partitions=None))
+    # persist: purchases AND suppliers branch from the same extracted
+    # frame — without it the Arrow extraction stage runs once per branch
+    tables = plan_import(extract_turns(t, salt_partitions=None).persist())
     return (
         tables["purchases"]
         .join(tables["suppliers"],
@@ -166,7 +168,8 @@ def import_sales(spark, sf_dir):
     from ..pipeline.extract import extract_turns
     from ..pipeline.importer import plan_sale_import
     t = _sale_transcripts_from_documents(spark, sf_dir)
-    tables = plan_sale_import(extract_turns(t, salt_partitions=None))
+    # persist: sales AND customers branch from the same extracted frame
+    tables = plan_sale_import(extract_turns(t, salt_partitions=None).persist())
     sales, customers = tables["sales"], tables["customers"]
     return (
         sales.join(customers, "customer_id")

@@ -171,6 +171,99 @@ GROUP BY doc_id ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Substring-level duplication (sliding windows + winnowing)
+# ---------------------------------------------------------------------------
+
+SUBSTR_TOKENS = 8     # k: tokens per sliding window
+SUBSTR_WINNOW = 4     # w: winnowing window over consecutive hashes
+
+
+def dd_substring_dup(spark, sf_dir):
+    """Substring-level dedup signal (the Lee et al. 'Deduplicating
+    Training Data' class): per doc, the share of winnowed sliding-window
+    fingerprints that also occur in at least one OTHER doc. Sliding
+    k-token windows catch shared runs at ANY alignment — dd_chunk_dup's
+    disjoint chunks miss a run that straddles a chunk boundary — and
+    winnowing (Schleimer et al., SIGMOD'03) guarantees any shared run of
+    >= k+w-1 tokens still yields a shared selected fingerprint while
+    shuffling only ~2/(w+1) of the window hashes. The window hashing AND
+    the winnowing min-selection are array expressions inside one
+    projection (JVM-side, no Python): only the winnowed DISTINCT
+    fingerprints are exploded, shuffled on their 8-byte md5 fold, and
+    joined back on the same key — the dd_chunk_dup shape with a sliding
+    front end."""
+    K, W = SUBSTR_TOKENS, SUBSTR_WINNOW
+    docs = (_docs(spark, sf_dir)
+            .select("doc_id", F.split(F.lower("text"), r"\s+").alias("t"))
+            # k+w-1 tokens = first full winnowing window; shorter docs
+            # have no fingerprints (LEFT JOIN restores them with 0s)
+            .where(F.size("t") >= K + W - 1))
+    hs = F.transform(
+        F.sequence(F.lit(0), F.size("t") - K),
+        lambda i: _md5_long(F.concat_ws(" ", F.slice(F.col("t"), i + 1, K))))
+    mins = F.transform(
+        F.sequence(F.lit(0), F.size("hs") - W),
+        lambda j: F.array_min(F.slice(F.col("hs"), j + 1, W)))
+    fps = (docs.select("doc_id", hs.alias("hs"))
+           .select("doc_id", F.explode(F.array_distinct(mins)).alias("fp")))
+    stats = fps.groupBy("fp").agg(F.count("*").alias("n_docs"))
+    per_doc = (fps.join(stats, "fp")
+               .groupBy("doc_id")
+               .agg(F.count("*").cast("long").alias("n_fps"),
+                    F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+                    .cast("long").alias("n_shared")))
+    return (_docs(spark, sf_dir).select("doc_id")
+            .join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_fps", F.lit(0)).cast("long").alias("n_fps"),
+                    F.coalesce("n_shared", F.lit(0)).cast("long")
+                    .alias("n_shared"),
+                    F.coalesce(
+                        F.floor(F.col("n_shared").cast("double")
+                                / F.col("n_fps") * 10000),
+                        F.lit(0)).cast("long").alias("shared_bp"))
+            .orderBy("doc_id"))
+
+
+DD_SUBSTR_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+  FROM documents WHERE doc_id IS NOT NULL
+),
+hs AS (
+  SELECT doc_id,
+         list_transform(range(0, len(t) - {SUBSTR_TOKENS} + 1),
+           i -> CAST(('0x' || substr(md5(array_to_string(
+                  t[i + 1 : i + {SUBSTR_TOKENS}], ' ')), 1, 16))::UBIGINT
+                  AS HUGEINT) - 9223372036854775808) AS hs
+  FROM tok WHERE len(t) >= {SUBSTR_TOKENS + SUBSTR_WINNOW - 1}
+),
+fp AS (
+  SELECT DISTINCT doc_id, fp FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, len(hs) - {SUBSTR_WINNOW} + 1),
+                  j -> list_min(hs[j + 1 : j + {SUBSTR_WINNOW}]))) AS fp
+    FROM hs)
+),
+stats AS (SELECT fp, COUNT(*) AS n_docs FROM fp GROUP BY fp),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps,
+         CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_shared
+  FROM fp JOIN stats USING (fp) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(n_fps, 0) AS BIGINT) AS n_fps,
+       CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
+       CAST(COALESCE(FLOOR(CAST(n_shared AS DOUBLE) / n_fps * 10000), 0)
+            AS BIGINT) AS shared_bp
+FROM documents d LEFT JOIN per_doc USING (doc_id)
+WHERE d.doc_id IS NOT NULL
+ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Benchmark contamination (n-gram overlap against a held-out set)
 # ---------------------------------------------------------------------------
 
@@ -399,4 +492,5 @@ QUERIES = {
     "smp_stratified": (smp_stratified, SMP_STRAT_SQL),
     "smp_token_budget": (smp_token_budget, SMP_BUDGET_SQL),
     "dd_chunk_dup": (dd_chunk_dup, DD_CHUNK_SQL),
+    "dd_substring_dup": (dd_substring_dup, DD_SUBSTR_SQL),
 }

@@ -237,7 +237,18 @@ def test_dup_clusters_match_union_find(spark):
     import tempfile
     with tempfile.TemporaryDirectory() as d:
         df.write.parquet(os.path.join(d, "documents.parquet"))
+        # small-graph (driver union-find) path — the default at this size
         clusters = C.dd_dup_clusters(spark, d).collect()
+        # force the distributed min-label loop and require the identical
+        # result: both paths must converge to the same fixpoint
+        small = C.SMALL_GRAPH_MAX_PAIRS
+        C.SMALL_GRAPH_MAX_PAIRS = -1
+        try:
+            clusters_dist = C.dd_dup_clusters(spark, d).collect()
+        finally:
+            C.SMALL_GRAPH_MAX_PAIRS = small
+        assert sorted(map(tuple, clusters)) == sorted(map(tuple,
+                                                          clusters_dist))
         lsh = C.dd_minhash_lsh(spark, d).collect()
 
     # union-find over the identical edge set (exact edges are implied by

@@ -65,7 +65,8 @@ def _duck_on(d, sql):
 
 @pytest.mark.parametrize("name", [
     "txt_repetition", "txt_pii_scrub", "txt_contamination",
-    "smp_stratified", "smp_token_budget", "dd_chunk_dup"])
+    "smp_stratified", "smp_token_budget", "dd_chunk_dup",
+    "dd_substring_dup"])
 def test_edge_corpus_matches_oracle(spark, tmp_path, name):
     """Single-token docs, empty text, maximal repetition, planted shared
     chunks/shingles: Spark and DuckDB must agree row-for-row on the edge
@@ -99,6 +100,40 @@ def test_chunk_dup_finds_planted_shared_chunk(spark, tmp_path):
     assert rows[4].n_chunks == 2
     lone = rows[6]
     assert lone.n_shared == 0     # empty doc's chunk is its own
+
+
+def test_substring_dup_catches_shifted_overlap(spark, tmp_path):
+    """A shared >= k+w-1-token run planted at DIFFERENT offsets in two
+    docs: dd_chunk_dup's disjoint 10-token chunks miss it (the run
+    straddles chunk boundaries at the shifted offset), while the sliding
+    winnowed fingerprints must flag BOTH docs — the whole point of the
+    substring-level pass."""
+    import os
+    from ocr_spark.operators.quality import (dd_chunk_dup,
+                                             dd_substring_dup)
+    run = ("the quick brown fox jumps over the lazy dog while seven "
+           "anxious zebras watch")  # 14 tokens > k+w-1 = 11
+    rows = [
+        (1, "intro words here " + run + " tail one", "en", "s", 0),
+        # same run shifted by 7 tokens relative to doc 1
+        (2, "a b c d e f g " + run + " different ending follows now",
+         "en", "s", 0),
+        (3, "completely unrelated filler text nothing shared with any "
+            "other document in this tiny corpus at all honestly",
+         "en", "s", 0),
+    ]
+    d = str(tmp_path / "shift")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    sub = {r.doc_id: r for r in dd_substring_dup(spark, d).collect()}
+    assert sub[1].n_shared >= 1 and sub[2].n_shared >= 1
+    assert sub[3].n_shared == 0
+    chunk = {r.doc_id: r for r in dd_chunk_dup(spark, d).collect()}
+    assert chunk[1].n_shared == 0 and chunk[2].n_shared == 0, \
+        "planted shift no longer straddles the chunk grid; fix the fixture"
 
 
 def test_contamination_hits_only_bench_overlap(spark, tmp_path):
