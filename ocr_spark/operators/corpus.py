@@ -73,54 +73,58 @@ DF_CAP = 100  # shingle document-frequency cap (boilerplate/skew guard)
 
 
 def dd_ngram_jaccard(spark, sf_dir):
-    """N-gram Jaccard near-dup: word 3-gram shingles → explode → self-join
-    on shingle (keyed shuffle; candidate pairs only where ≥1 shared
-    shingle) → |∩| via count, |∪| via per-doc distinct counts → Jaccard.
+    """N-gram Jaccard near-dup: word 3-gram shingles (deduped map-side
+    with array_distinct — no distinct shuffle) → ONE groupBy(shingle)
+    collecting the capped posting list → ordered pairs exploded from each
+    list (≤ C(DF_CAP,2) per shingle by construction) → |∩| via pair
+    count, |∪| via per-doc counts over the same posting lists → Jaccard.
     Returns candidate pairs with jaccard ≥ 0.5.
 
     Shingles with document frequency > DF_CAP (boilerplate 3-grams —
     headers, licenses, nav chrome) are dropped from the shingle sets on
-    BOTH engines before sizes and the self-join: at 100 TB a hot shingle
-    otherwise produces an O(df²) skew blob in the join. The cap is an
-    IDF-style definition change (jaccard over informative shingles), so
-    the oracle stays exact."""
+    BOTH engines before sizes and pairing: at 100 TB a hot shingle
+    otherwise produces an O(df²) skew blob. The cap is an IDF-style
+    definition change (jaccard over informative shingles), so the oracle
+    stays exact.
+
+    The capped posting-list frame is persisted and BOTH downstream
+    branches (sizes, pairs) read the cache: the previous self-join shape
+    planned the shingle explode FOUR times (join a/b + sizes a/b, zero
+    reused exchanges) — the most expensive subtree in the operator ran
+    4x. Now the explode runs once and the only big shuffle is the single
+    groupBy on the shingle key."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     words = F.split(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "), " ")
-    shingled = (
+    shingles = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.size("words") - 3),
+        lambda i: F.concat_ws(" ", F.col("words")[i],
+                              F.col("words")[i + 1],
+                              F.col("words")[i + 2])))
+    exploded = (
         docs.withColumn("words", words)
-        .withColumn("n_words", F.size("words"))
-        .where(F.col("n_words") >= 3)
-        .withColumn(
-            "shingle",
-            F.explode(F.transform(
-                F.sequence(F.lit(0), F.col("n_words") - 3),
-                lambda i: F.concat_ws(" ", F.col("words")[i],
-                                      F.col("words")[i + 1],
-                                      F.col("words")[i + 2]))))
-        .select("doc_id", "shingle")
-        .distinct()
+        .where(F.size("words") >= 3)
+        .select("doc_id", F.explode(shingles).alias("shingle"))
     )
-    # df filter in ONE window pass over the join's own shuffle key:
-    # df > DF_CAP = boilerplate (dropped from the shingle-set definition,
-    # skew guard); df == 1 = singleton (cannot produce a pair, dropped
-    # before the join only — in a random corpus most shingles are
-    # singletons, so this roughly halves the join input).
-    shingled = (shingled
-                .withColumn("_df", F.count("*").over(
-                    Window.partitionBy("shingle")))
-                .where(F.col("_df") <= DF_CAP))
-    sizes = shingled.drop("_df").groupBy("doc_id").agg(
-        F.count("*").alias("n_shingles"))
-    shared = shingled.where(F.col("_df") >= 2).drop("_df")
-    a = shared.alias("a")
-    b = shared.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"),
-                 F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
+    # posting lists, df-capped; array_sort makes pair order (a < b) and
+    # the whole frame deterministic under any partitioning
+    posting = (exploded.groupBy("shingle")
+               .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+               .where(F.size("docs") <= DF_CAP)
+               .persist())
+    sizes = (posting.select(F.explode("docs").alias("doc_id"))
+             .groupBy("doc_id").agg(F.count("*").alias("n_shingles")))
+    ds = F.col("docs")
+    pair_structs = F.flatten(F.transform(
+        F.sequence(F.lit(0), F.size(ds) - 2),
+        lambda i: F.transform(
+            F.sequence(i + 1, F.size(ds) - 1),
+            lambda j: F.struct(F.element_at(ds, i + 1).alias("doc_a"),
+                               F.element_at(ds, j + 1).alias("doc_b")))))
+    inter = (posting.where(F.size(ds) >= 2)
+             .select(F.explode(pair_structs).alias("p"))
+             .groupBy(F.col("p.doc_a").alias("doc_a"),
+                      F.col("p.doc_b").alias("doc_b"))
+             .agg(F.count("*").alias("n_common")))
     sa = sizes.select(F.col("doc_id").alias("doc_a"),
                       F.col("n_shingles").alias("size_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"),

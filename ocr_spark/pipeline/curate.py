@@ -47,7 +47,12 @@ def curation_flags(docs: DataFrame) -> DataFrame:
     NULL = kept. Priority: quality > exact_dup > chunk_dup > contaminated
     > sampled_out — each doc reports the FIRST gate that rejects it."""
     docs = docs.where(F.col("doc_id").isNotNull())
-    toks = docs.selectExpr("doc_id", f"{_TOKENS} AS t")
+    # persisted: FIVE gate branches (unigram, bigram, chunk, benchmark
+    # and corpus sides of decontamination) consume the tokenized frame —
+    # without the cache each branch re-scans the parquet and re-runs the
+    # regex tokenizer (the plan carried 7 scans; measured ~2x the funnel
+    # wall). Tokens only — the raw text column stays out of the cache.
+    toks = docs.selectExpr("doc_id", f"{_TOKENS} AS t").persist()
 
     # Gopher repetition signals (same arithmetic as quality.txt_repetition)
     base = toks.where("size(t) >= 2")
