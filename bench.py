@@ -62,6 +62,15 @@ def _run_queries(spark, sf_dir: str) -> dict[str, float]:
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
         print(f"  {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+        # Several operators persist() intermediates that must stay cached
+        # through the caller's action and therefore cannot unpersist
+        # themselves (posting lists, MinHash signatures, tokenized docs,
+        # the importers' extracted frame). Left alone they accumulate in
+        # the shared session and squeeze execution memory for every later
+        # query — measured: curate_funnel (last in the list) took 46 s in
+        # the leaky session vs 18 s cold standalone. Drop them so each
+        # timing is the query, not its predecessors' leftovers.
+        spark.catalog.clearCache()
     return timings
 
 
