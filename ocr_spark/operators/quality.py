@@ -38,36 +38,84 @@ from .corpus import _docs, _md5_long
 _TOKENS = "split(lower(text), '\\\\s+')"
 
 
+_ONE = "CAST(1 AS BIGINT)"
+_ZERO = "CAST(0 AS BIGINT)"
+# run-length fold state over a SORTED gram array: prev element, current
+# run length, longest run seen (= max multiplicity), instances belonging
+# to runs of length ≥ 2 (= instances whose gram repeats in the doc).
+# The second member of a run credits both itself and the run opener.
+_RUN_ZERO = (f"named_struct('prev', CAST(NULL AS STRING), 'run', {_ZERO}, "
+             f"'best', {_ZERO}, 'dup', {_ZERO})")
+_RUN_STEP = (f"(a, x) -> IF(x <=> a.prev, "
+             f"named_struct('prev', x, 'run', a.run + {_ONE}, "
+             f"'best', greatest(a.best, a.run + {_ONE}), "
+             f"'dup', a.dup + IF(a.run = {_ONE}, {_ONE} + {_ONE}, {_ONE})), "
+             f"named_struct('prev', x, 'run', {_ONE}, "
+             f"'best', greatest(a.best, {_ONE}), 'dup', a.dup))")
+
+
+def _run_fold(sorted_arr: str, finish: str) -> str:
+    """One O(n) element-wise fold over an already-sorted gram array.
+
+    CRITICAL: the lambda references ONLY its own variables (a, x). A
+    lambda that touches an outer computed column (e.g. `_bg[i]` over an
+    index sequence) re-evaluates that column's FULL defining expression
+    on every iteration after Catalyst collapses the projections —
+    measured 273 s for 494 small docs (the tokenizer regex re-ran per
+    gram per step). With element folds the array argument is evaluated
+    once per row and iteration is pure accumulator work."""
+    return f"aggregate({sorted_arr}, {_RUN_ZERO}, {_RUN_STEP}, a -> {finish})"
+
+
+def with_repetition_signals(df, tcol: str = "t"):
+    """Append the per-doc gram-multiplicity signals (n_tok, max_tok,
+    max_bg, n_bg, dup_bg — NULL when the doc has < 2 tokens, mirroring
+    the keyed form's absent-row semantics) as MAP-ONLY column
+    expressions over the token-array column `tcol`.
+
+    Per-doc statistics never need a corpus-wide shuffle: sorting the
+    doc's own gram array makes max multiplicity a run-length fold and
+    "this instance's gram repeats" a run-length-≥-2 count, O(n log n)
+    per doc inside one projection. The explode + groupBy(doc_id, gram)
+    twin computes the same numbers but shuffles ~every distinct
+    (doc, gram) pair in the corpus — at 100 TB that is a full-corpus
+    exchange for a doc-local answer. The keyed form survives as the
+    differential reference (tests/test_streaming_quality.py rebuilds it
+    inline; the DuckDB oracles replay it in SQL), so the two
+    implementations keep checking each other."""
+    few = f"size({tcol}) < 2"
+    # bigrams via zip_with(t, t[1:]) — index-free, so the lambda never
+    # touches an outer column (see _run_fold); the trailing NULL from
+    # the length mismatch is filtered by a lambda-var-only predicate
+    bgs = (f"array_sort(filter(zip_with({tcol},"
+           f" slice({tcol}, 2, size({tcol})), (p, q) -> concat(p, ' ', q)),"
+           f" x -> x IS NOT NULL))")
+    return df.selectExpr(
+        "*",
+        f"IF({few}, NULL, CAST(size({tcol}) AS BIGINT)) AS n_tok",
+        f"IF({few}, NULL, {_run_fold(f'array_sort({tcol})', 'a.best')})"
+        " AS max_tok",
+        f"IF({few}, NULL, {_run_fold(bgs, 'a.best')}) AS max_bg",
+        f"IF({few}, NULL, CAST(size({tcol}) - 1 AS BIGINT)) AS n_bg",
+        f"IF({few}, NULL, {_run_fold(bgs, 'a.dup')}) AS dup_bg")
+
+
 def txt_repetition(spark, sf_dir):
     """Per-doc repetition signals a Gopher-style quality filter gates on:
     most-frequent-token share, most-frequent-bigram share, and the share
     of bigram instances whose bigram repeats within the doc. Emitted as
     floor(frac*1e4) basis points (engine-neutral: both engines floor the
-    identical IEEE quotient). Two keyed aggregations (doc_id×gram, then
-    doc_id) + one co-keyed join — the explode never crosses docs, so the
-    shuffle volume is bounded by distinct grams per doc."""
+    identical IEEE quotient). Map-only sort-run fold per doc (see
+    with_repetition_signals) — zero shuffles; the DuckDB oracle computes
+    the same numbers via the keyed explode + GROUP BY form, so the
+    driver compare is differential across both algorithms."""
     docs = _docs(spark, sf_dir).selectExpr(
         "doc_id", f"{_TOKENS} AS t").where("size(t) >= 2")
-    uni = (docs.select("doc_id", F.explode("t").alias("g"))
-           .groupBy("doc_id", "g").agg(F.count("*").alias("c"))
-           .groupBy("doc_id")
-           .agg(F.max("c").alias("max_tok"),
-                F.sum("c").alias("n_tok")))
-    bg = (docs.selectExpr(
-            "doc_id",
-            "explode(transform(sequence(0, size(t) - 2),"
-            " i -> concat(t[i], ' ', t[i + 1]))) AS g")
-          .groupBy("doc_id", "g").agg(F.count("*").alias("c"))
-          .groupBy("doc_id")
-          .agg(F.max("c").alias("max_bg"),
-               F.sum("c").alias("n_bg"),
-               F.sum(F.when(F.col("c") >= 2, F.col("c"))
-                     .otherwise(F.lit(0))).alias("dup_bg")))
 
     def _bp(a, b):
         return F.floor(F.col(a).cast("double") / F.col(b) * 10000)
 
-    return (uni.join(bg, "doc_id")
+    return (with_repetition_signals(docs)
             .select("doc_id",
                     F.col("n_tok").cast("long").alias("n_tokens_b"),
                     _bp("max_tok", "n_tok").alias("top_token_bp"),

@@ -31,7 +31,8 @@ from pyspark.sql.window import Window
 
 from ..operators.corpus import _md5_long
 from ..operators.quality import (BENCH_MOD, CHUNK_TOKENS, CONTAM_NGRAM,
-                                 SMP_RATES, _smp_threshold_u64, _TOKENS)
+                                 SMP_RATES, _smp_threshold_u64, _TOKENS,
+                                 with_repetition_signals)
 
 # gate thresholds (documented defaults; callers override per corpus)
 MIN_TOKENS = 10
@@ -47,34 +48,11 @@ def curation_flags(docs: DataFrame) -> DataFrame:
     NULL = kept. Priority: quality > exact_dup > chunk_dup > contaminated
     > sampled_out — each doc reports the FIRST gate that rejects it."""
     docs = docs.where(F.col("doc_id").isNotNull())
-    # persisted: FIVE gate branches (unigram, bigram, chunk, benchmark
-    # and corpus sides of decontamination) consume the tokenized frame —
-    # without the cache each branch re-scans the parquet and re-runs the
-    # regex tokenizer (the plan carried 7 scans; measured ~2x the funnel
-    # wall). Tokens only — the raw text column stays out of the cache.
+    # persisted: the chunk-dedup and decontamination branches both
+    # consume the tokenized frame — without the cache each branch
+    # re-scans the parquet and re-runs the regex tokenizer. Tokens only —
+    # the raw text column stays out of the cache.
     toks = docs.selectExpr("doc_id", f"{_TOKENS} AS t").persist()
-
-    # Gopher repetition signals (same arithmetic as quality.txt_repetition)
-    base = toks.where("size(t) >= 2")
-    uni = (base.select("doc_id", F.explode("t").alias("g"))
-           .groupBy("doc_id", "g").agg(F.count("*").alias("c"))
-           .groupBy("doc_id")
-           .agg(F.max("c").alias("max_tok"), F.sum("c").alias("n_tok")))
-    bg = (base.selectExpr(
-            "doc_id",
-            "explode(transform(sequence(0, size(t) - 2),"
-            " i -> concat(t[i], ' ', t[i + 1]))) AS g")
-          .groupBy("doc_id", "g").agg(F.count("*").alias("c"))
-          .groupBy("doc_id")
-          .agg(F.sum("c").alias("n_bg"),
-               F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0)))
-               .alias("dup_bg")))
-    rep = (uni.join(bg, "doc_id")
-           .select("doc_id", "n_tok",
-                   F.floor(F.col("max_tok").cast("double")
-                           / F.col("n_tok") * 10000).alias("top_token_bp"),
-                   F.floor(F.col("dup_bg").cast("double")
-                           / F.col("n_bg") * 10000).alias("dup_bigram_bp")))
 
     # exact dedup: first-wins inside each normalized-text hash group
     wdup = Window.partitionBy("text_hash").orderBy("doc_id")
@@ -135,9 +113,18 @@ def curation_flags(docs: DataFrame) -> DataFrame:
         sampled_in = F.when(F.col("lang") == lang,
                             h < F.lit(thr)).otherwise(sampled_in)
 
-    flagged = (docs.select("doc_id", "lang", "text",
-                           sampled_in.alias("sampled_in"))
-               .join(rep, "doc_id", "left")
+    # Gopher repetition signals ride the base scan MAP-SIDE (sort-run
+    # fold per doc, quality.with_repetition_signals) — a per-doc stat
+    # needs no corpus shuffle and no join back
+    bp = lambda a, b: F.floor(F.col(a).cast("double") / F.col(b) * 10000)  # noqa: E731
+    flagged = (with_repetition_signals(
+                   docs.selectExpr("doc_id", "lang", "text",
+                                   f"{_TOKENS} AS t"))
+               .select("doc_id", "lang", "text",
+                       sampled_in.alias("sampled_in"),
+                       F.col("n_tok"),
+                       bp("max_tok", "n_tok").alias("top_token_bp"),
+                       bp("dup_bg", "n_bg").alias("dup_bigram_bp"))
                .join(exact, "doc_id", "left")
                .join(share, "doc_id", "left")
                .join(contam, "doc_id", "left"))

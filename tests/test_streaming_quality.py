@@ -14,8 +14,42 @@ pytestmark = pytest.mark.skipif(
     not os.path.isdir(SF_DIR), reason="testdata not available")
 
 
+def _keyed_repetition(spark, sf_dir):
+    """Independent keyed explode+groupBy construction of the repetition
+    signals — the differential reference for the map-only sort-run fold
+    that txt_repetition / quality_signals / curation_flags now share
+    (operators/quality.with_repetition_signals). Kept in the test so the
+    two algorithms keep checking each other."""
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .where(F.col("doc_id").isNotNull())
+            .selectExpr("doc_id", "split(lower(text), '\\\\s+') AS t")
+            .where("size(t) >= 2"))
+    uni = (docs.select("doc_id", F.explode("t").alias("g"))
+           .groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+           .groupBy("doc_id")
+           .agg(F.max("c").alias("max_tok"), F.sum("c").alias("n_tok")))
+    bg = (docs.selectExpr(
+            "doc_id",
+            "explode(transform(sequence(0, size(t) - 2),"
+            " i -> concat(t[i], ' ', t[i + 1]))) AS g")
+          .groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+          .groupBy("doc_id")
+          .agg(F.max("c").alias("max_bg"), F.sum("c").alias("n_bg"),
+               F.sum(F.when(F.col("c") >= 2, F.col("c"))
+                     .otherwise(F.lit(0))).alias("dup_bg")))
+
+    def _bp(a, b):
+        return F.floor(F.col(a).cast("double") / F.col(b) * 10000)
+
+    return (uni.join(bg, "doc_id")
+            .select("doc_id",
+                    F.col("n_tok").cast("long").alias("n_tokens_b"),
+                    _bp("max_tok", "n_tok").alias("top_token_bp"),
+                    _bp("max_bg", "n_bg").alias("top_bigram_bp"),
+                    _bp("dup_bg", "n_bg").alias("dup_bigram_bp")))
+
+
 def test_signals_equal_keyed_aggregation_form(spark):
-    from ocr_spark.operators.quality import txt_repetition
     from ocr_spark.streaming.quality import quality_signals
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     a = {(r.doc_id, r.n_tokens_b, r.top_token_bp, r.dup_bigram_bp)
@@ -24,7 +58,15 @@ def test_signals_equal_keyed_aggregation_form(spark):
          .select("doc_id", "n_tokens_b", "top_token_bp", "dup_bigram_bp")
          .collect()}
     b = {(r.doc_id, r.n_tokens_b, r.top_token_bp, r.dup_bigram_bp)
-         for r in txt_repetition(spark, SF_DIR).collect()}
+         for r in _keyed_repetition(spark, SF_DIR).collect()}
+    assert a == b
+
+
+def test_txt_repetition_equals_keyed_aggregation_form(spark):
+    from ocr_spark.operators.quality import txt_repetition
+    a = [tuple(r) for r in txt_repetition(spark, SF_DIR).collect()]
+    b = sorted((tuple(r) for r in _keyed_repetition(spark, SF_DIR).collect()),
+               key=lambda r: r[0])
     assert a == b
 
 
