@@ -29,6 +29,7 @@ import re
 from html.parser import HTMLParser
 
 from .php import PHP_TRIM_CHARS, collapse_ws, php_trim
+from .tables import _FAST_ATTR, _FAST_TAG, _FAST_UNSAFE
 
 _POSITIVE_RE = re.compile(
     r"article|body|content|entry|main|page|post|story|text|blog", re.I)
@@ -176,6 +177,11 @@ class _TreeBuilder(HTMLParser):
 
     def feed_document(self, html: str):
         self._raw = html
+        # fast tokenizer first (the tables.py pattern: one regex, same
+        # handlers, so semantics cannot diverge where the gate admits);
+        # falls back to html.parser for entities/comments/PIs/script
+        if not _FAST_UNSAFE.search(html) and _fast_tree_feed(self, html):
+            return
         starts, pos = [0], 0
         while True:
             nl = html.find("\n", pos)
@@ -228,14 +234,13 @@ class _TreeBuilder(HTMLParser):
         if n is not None:
             self._cur = n.parent or self.root
 
-    def _add_text(self, raw_len: int, decoded: str):
-        start = self._abs()
-        self._cur.texts.append((start, start + raw_len, decoded))
-
-    def handle_data(self, data):
+    def _on_data(self, data: str, start: int):
         if self._skip_depth:
             return
-        self._add_text(len(data), data)
+        self._cur.texts.append((start, start + len(data), data))
+
+    def handle_data(self, data):
+        self._on_data(data, self._abs())
 
     def _add_ref(self, prefix_len: int, name: str):
         """Entity/char refs may arrive WITHOUT a terminating ';' (the
@@ -257,6 +262,40 @@ class _TreeBuilder(HTMLParser):
         if self._skip_depth:
             return
         self._add_ref(2, name)   # '&#' + name [+ ';']
+
+
+def _fast_tree_feed(b: _TreeBuilder, html: str) -> bool:
+    """Regex tokenizer driving the SAME _TreeBuilder handlers as
+    html.parser (the tables.py fast-path pattern, tables.py:133-177),
+    with direct raw offsets for text runs instead of getpos() line/col
+    arithmetic. Returns False — before touching the builder — when any
+    '<' is not a clean tag, so the caller falls back to html.parser;
+    admitted inputs produce identical trees (differential-fuzzed in
+    tests/test_properties.py). `<x/>` start-end tags are skipped to
+    mirror the builder's no-op handle_startendtag."""
+    pos = 0
+    matches = list(_FAST_TAG.finditer(html))
+    if html.count("<") != len(matches):
+        return False
+    for m in matches:
+        if m.start() > pos:
+            b._on_data(html[pos:m.start()], pos)
+        pos = m.end()
+        closing, name, attrs_s, selfclose = m.groups()
+        if closing:
+            b.handle_endtag(name)
+        elif not selfclose:
+            attrs = []
+            if attrs_s:
+                for am in _FAST_ATTR.finditer(attrs_s):
+                    k, v = am.group(1).lower(), am.group(2)
+                    if v and v[0] in "\"'":
+                        v = v[1:-1]
+                    attrs.append((k, v))
+            b.handle_starttag(name, attrs)
+    if pos < len(html):
+        b._on_data(html[pos:], pos)
+    return True
 
 
 def _walk(node: _Node):

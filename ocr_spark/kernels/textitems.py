@@ -211,6 +211,10 @@ _LIST_PATTERN = compile_php(
 def parse_multiplication_format(text: str) -> list[dict]:
     """TextBlockParsing::parseMultiplicationFormat (:260-294)."""
     items = []
+    # both patterns require a literal @/＠ — skip the two full-text
+    # backtracking scans for the common payload without one
+    if "@" not in text and "＠" not in text:
+        return items
     for pat in _MULT_PATTERNS:
         for m in pat.finditer(text):
             name = clean_item_name(m.group(1))

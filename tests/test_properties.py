@@ -190,6 +190,40 @@ def test_readability_never_crashes_and_spans_valid(bits):
         assert html[s:e].strip() != "" or "&" in html[s:e]
 
 
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_html_bits, max_size=40))
+def test_fast_tree_feed_matches_htmlparser(bits):
+    """The regex fast path for the readability tree builder must produce
+    an IDENTICAL tree (tags, attrs, text runs with raw offsets) to a
+    forced html.parser parse — on every input: when the gate rejects,
+    fallback is automatic, so feed_document must never differ."""
+    from ocr_spark.kernels import readability as R
+    html = "".join(bits)
+
+    def flat(tree):
+        out = []
+        for n in R._walk(tree.root):
+            out.append((n.tag, sorted(n.attrs.items()), n.order,
+                        n.parent.order if n.parent else None, n.texts))
+        return out
+
+    fast_tree = R._TreeBuilder()
+    fast_tree.feed_document(html)
+    slow_tree = R._TreeBuilder()
+    slow_tree._raw = html
+    starts, pos = [0], 0
+    while True:
+        nl = html.find("\n", pos)
+        if nl < 0:
+            break
+        starts.append(nl + 1)
+        pos = nl + 1
+    slow_tree._line_starts = starts
+    slow_tree.feed(html)
+    slow_tree.close()
+    assert flat(fast_tree) == flat(slow_tree)
+
+
 _stat_bits = st.sampled_from([
     "<div>", "</div>", "<p>", "</p>", "<a href='/x'>", "</a>", "<span>",
     "</span>", "words, here", " \t\n", "&amp;", "&#32;", "&nbsp;", "x",
