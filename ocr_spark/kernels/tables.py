@@ -207,6 +207,8 @@ def parse_html_table_first(html: str) -> dict | None:
     """
     if php_trim(html) == "":
         return None
+    if _HAS_TABLE_RE.search(html) is None:
+        return None
     tables = _parse_html(html)
     if not tables:
         return None
@@ -222,9 +224,16 @@ def parse_html_table_first(html: str) -> dict | None:
     }
 
 
+_HAS_TABLE_RE = re.compile(r"<table", re.I)
+
+
 def extract_html_tables(html: str) -> list[dict]:
     """TableExtraction::extractHtmlTables (TableExtraction.php:20-42)."""
     if php_trim(html) == "":
+        return []
+    # no '<table' substring ⇒ the tokenizer cannot open a table (both
+    # tokenizers require a literal tag start) — skip the full-text parse
+    if _HAS_TABLE_RE.search(html) is None:
         return []
     out = []
     for idx, raw in enumerate(_parse_html(html)):
