@@ -137,3 +137,13 @@ def test_sale_import_facts_join_free(spark):
     for name in ("customers", "products", "sales", "product_sales"):
         plan = formatted_plan(tables[name])
         assert "Join" not in plan, f"{name} plan contains a join:\n{plan}"
+
+
+def test_repetition_signals_shuffle_only_for_the_sort(spark):
+    """Per-doc repetition stats are doc-local: the sort-run fold form
+    must plan ZERO shuffles beyond txt_repetition's final orderBy (a
+    range exchange). A reappearing hash-aggregate exchange means someone
+    reintroduced the corpus-wide explode+groupBy for a per-doc answer."""
+    from ocr_spark.operators.quality import txt_repetition
+    from ocr_spark.plans import exchange_count
+    assert exchange_count(txt_repetition(spark, SF_DIR)) == 1
