@@ -201,3 +201,38 @@ def test_token_budget_monotone_per_lang(spark):
                 seen_drop = True
             assert not (seen_drop and r.kept == 1), \
                 f"{lang}: doc {r.doc_id} kept after budget exhausted"
+
+
+def test_run_fold_matches_counter_reference(spark):
+    """with_repetition_signals' sort-run folds vs a Counter-based Python
+    reference over crafted token arrays: empty-string tokens (regex split
+    of edge whitespace produces them), all-same, alternating, singleton
+    runs at both ends, and seeded random docs."""
+    import random
+    from collections import Counter
+
+    from ocr_spark.operators.quality import with_repetition_signals
+
+    rng = random.Random(7)
+    docs = [
+        ["", "", "a"], ["x"] * 40, ["a", "b"] * 10,
+        ["z", "m", "m", "z"], ["a"], [],
+        ["", "a", "", "a", ""],
+    ] + [[rng.choice("abcde") for _ in range(rng.randint(2, 60))]
+         for _ in range(60)]
+    sdf = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, t array<string>")
+    got = {r.doc_id: r for r in with_repetition_signals(sdf).collect()}
+    for i, toks in enumerate(docs):
+        r = got[i]
+        if len(toks) < 2:
+            assert (r.n_tok, r.max_tok, r.max_bg, r.n_bg, r.dup_bg) == \
+                (None,) * 5, toks
+            continue
+        uni = Counter(toks)
+        bgs = Counter(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+        assert r.n_tok == len(toks)
+        assert r.max_tok == max(uni.values()), toks
+        assert r.max_bg == max(bgs.values()), toks
+        assert r.n_bg == len(toks) - 1
+        assert r.dup_bg == sum(c for c in bgs.values() if c >= 2), toks
