@@ -95,14 +95,20 @@ def dd_ngram_jaccard(spark, sf_dir):
     groupBy on the shingle key."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     words = F.split(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "), " ")
-    shingles = F.array_distinct(F.transform(
-        F.sequence(F.lit(0), F.size("words") - 3),
-        lambda i: F.concat_ws(" ", F.col("words")[i],
-                              F.col("words")[i + 1],
-                              F.col("words")[i + 2])))
+    # trigrams via zip_with chains: the lambdas touch only lambda
+    # variables, so the tokenizer split is evaluated once per ROW — an
+    # index lambda (words[i] over a sequence) re-evaluates the computed
+    # words column per element access after projection collapse (the
+    # quality._run_fold trap; this explode was the operator's hottest
+    # stage because of it). concat (not concat_ws) propagates the
+    # trailing NULLs from the slice length mismatch, which filter drops.
+    bi = F.zip_with(words, F.slice(words, 2, F.size(words)),
+                    lambda a, b: F.concat(a, F.lit(" "), b))
+    tri = F.zip_with(bi, F.slice(words, 3, F.size(words)),
+                     lambda ab, c: F.concat(ab, F.lit(" "), c))
+    shingles = F.array_distinct(F.filter(tri, lambda x: x.isNotNull()))
     exploded = (
-        docs.withColumn("words", words)
-        .where(F.size("words") >= 3)
+        docs.where(F.size(words) >= 3)
         .select("doc_id", F.explode(shingles).alias("shingle"))
     )
     # posting lists, df-capped; array_sort makes pair order (a < b) and

@@ -226,6 +226,35 @@ SUBSTR_TOKENS = 8     # k: tokens per sliding window
 SUBSTR_WINNOW = 4     # w: winnowing window over consecutive hashes
 
 
+def _window_join(t, k: int):
+    """k-token sliding windows joined with ' ', as an iterated zip_with
+    chain whose lambdas touch only lambda variables. The index-lambda
+    form (`t[i + j]` over a sequence) re-evaluates the computed token
+    column per ELEMENT ACCESS after projection collapse (the _run_fold
+    trap), making an n-window explode quadratic in doc length; here the
+    token expression is evaluated only k times per row (argument
+    positions). Returns size(t) entries whose last k-1 are NULL from the
+    slice length mismatch — callers filter or slice them off."""
+    out = t
+    for j in range(1, k):
+        out = F.zip_with(out, F.slice(t, j + 1, F.size(t)),
+                         lambda a, b: F.concat(a, F.lit(" "), b))
+    return out
+
+
+def _sliding_min(arr, w: int):
+    """Width-w sliding minimum over an array expression via a least()
+    zip_with chain — same lambda discipline as _window_join; the array
+    expression is evaluated w+1 times per row (argument positions), not
+    once per output element. Trailing partial windows (least() skips the
+    NULLs) are sliced off: size(arr) - w + 1 full windows remain."""
+    m = arr
+    for j in range(1, w):
+        m = F.zip_with(m, F.slice(arr, j + 1, F.size(arr)),
+                       lambda a, b: F.least(a, b))
+    return F.slice(m, 1, F.size(arr) - w + 1)
+
+
 def dd_substring_dup(spark, sf_dir):
     """Substring-level dedup signal (the Lee et al. 'Deduplicating
     Training Data' class): per doc, the share of winnowed sliding-window
@@ -246,14 +275,11 @@ def dd_substring_dup(spark, sf_dir):
             # k+w-1 tokens = first full winnowing window; shorter docs
             # have no fingerprints (LEFT JOIN restores them with 0s)
             .where(F.size("t") >= K + W - 1))
-    hs = F.transform(
-        F.sequence(F.lit(0), F.size("t") - K),
-        lambda i: _md5_long(F.concat_ws(" ", F.slice(F.col("t"), i + 1, K))))
-    mins = F.transform(
-        F.sequence(F.lit(0), F.size("hs") - W),
-        lambda j: F.array_min(F.slice(F.col("hs"), j + 1, W)))
-    fps = (docs.select("doc_id", hs.alias("hs"))
-           .select("doc_id", F.explode(F.array_distinct(mins)).alias("fp")))
+    win = F.filter(_window_join(F.col("t"), K), lambda x: x.isNotNull())
+    hs = F.transform(win, lambda w: _md5_long(w))
+    fps = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(_sliding_min(hs, W))).alias("fp"))
     stats = fps.groupBy("fp").agg(F.count("*").alias("n_docs"))
     per_doc = (fps.join(stats, "fp")
                .groupBy("doc_id")
@@ -326,14 +352,12 @@ def txt_contamination(spark, sf_dir):
     corpus side is scanned once, map-side joined, and aggregated per doc;
     no corpus-wide shuffle of shingles."""
     n = CONTAM_NGRAM
-    sh = (
-        _docs(spark, sf_dir).selectExpr("doc_id", f"{_TOKENS} AS t")
-        .where(f"size(t) >= {n}")
-        .selectExpr(
-            "doc_id",
-            f"explode(array_distinct(transform(sequence(0, size(t) - {n}),"
-            f" i -> concat_ws(' ', {', '.join(f't[i + {j}]' for j in range(n))}"
-            f")))) AS s"))
+    t = F.split(F.lower(F.col("text")), r"\s+")
+    grams = F.array_distinct(
+        F.filter(_window_join(t, n), lambda x: x.isNotNull()))
+    sh = (_docs(spark, sf_dir)
+          .where(F.size(t) >= n)
+          .select("doc_id", F.explode(grams).alias("s")))
     bench = (sh.where(F.col("doc_id") % BENCH_MOD == 0)
              .select("s").distinct())
     return (sh.where(F.col("doc_id") % BENCH_MOD != 0)
