@@ -30,39 +30,39 @@ def entry(spark: SparkSession) -> DataFrame:
 # scored rows under any cutoff. Unlisted (future) queries default to a
 # middling cost; ties keep registry order.
 _MEASURED_COST = {
-    'w2_top_n': 0.3, 'j2b_sale_cost_derivation': 0.3, 't1_clean_string': 0.3,
-    'w5_first_match_cascade': 0.3, 't17_ocr_repair': 0.3, 't19_code_gen': 0.3,
-    't21_slug': 0.3, 't23_split_explode': 0.3, 'txt_token_count': 0.3,
-    'txt_fingerprint': 0.3, 's1_scan_filter_sort': 0.4, 'j3_semi_join': 0.4,
-    'j4_base_key_pairing': 0.4, 'a5_confidence_mean': 0.4,
-    'u3_distinct_values': 0.4, 't7_parse_number': 0.4, 'a8_max_cols': 0.4,
-    'a11_distinct_users': 0.4, 'a3_file_summary': 0.4,
-    'a4_validation_summary': 0.4, 'f4b_tolerance_predicate': 0.4,
-    'txt_quality': 0.4, 'w4_last_wins': 0.5, 'w6_row_number': 0.5,
-    'u4_fallback_chain': 0.5, 'a13_rollup': 0.5, 'a14_pivot': 0.5,
-    'f3_rejects_antijoin': 0.5, 'dd_exact_dup': 0.5, 'j2_product_join': 0.6,
-    'a7_topk_per_group': 0.6, 'u1_union_dedup': 0.6, 't9_date_normalize': 0.6,
-    'a1_a2_invoice_totals': 0.6, 'a12_percentiles': 0.6, 's6_json_reader': 0.6,
-    'u2_first_wins_dedup': 0.6, 'qr_range_join': 0.6, 'conv_assemble': 0.6,
-    'mm_frame_plan': 0.6, 'txt_pii_scrub': 0.6, 'smp_stratified': 0.6,
-    'smp_token_budget': 0.6, 'txt_langid': 0.6, 'mm_binary_features': 0.6,
-    'j1_dim_lookup_join': 0.7, 'a6_argmax_customer': 0.7,
-    'w3b_session_window': 0.7, 'qr_asof_join': 0.7, 'mm_audio_features': 0.8,
-    'sim_lsh_buckets': 0.8, 'w3_gap_sessionize': 0.9,
-    't26_llm_json_cascade': 0.9, 'q5_local_supplier_volume': 1.0,
-    't18_imputation': 1.0, 'txt_contamination': 1.0, 'dd_chunk_dup': 1.1,
-    'q3_shipping_priority': 1.2, 'f4_tolerance_gate': 1.2,
-    'txt_repetition': 1.2, 'sim_cosine_topk': 1.2,
-    'mm_winnow_fingerprint': 1.2, 'q1_pricing_summary': 1.3,
-    'extract_quality_gate': 1.3, 'mm_image_resize': 1.3,
-    'extract_ordered_spans': 1.4, 't13_currency_detect': 1.7,
-    'extract_pdf_layout': 1.7, 'extract_conversations': 1.7,
-    'dd_substring_dup': 1.7, 'sim_lsh_topk': 1.7, 'dd_minhash_lsh': 1.7,
-    'extract_html_readability': 1.8, 'extract_documents': 1.8,
-    'dd_simhash': 1.8, 'dd_ngram_jaccard': 1.8, 'extract_synthetic': 1.9,
-    'curate_funnel': 2.1, 'dd_embedding_neardup': 2.2, 'import_sales': 2.4,
-    'import_star_schema': 2.4, 'sim_ivf_topk': 2.5, 'dd_conv_neardup': 2.8,
-    'dd_dup_clusters': 5.7,
+    'a5_confidence_mean': 0.3, 's1_scan_filter_sort': 0.3, 't21_slug': 0.3,
+    't7_parse_number': 0.3, 'txt_fingerprint': 0.3, 'txt_token_count': 0.3,
+    'u3_distinct_values': 0.3, 'a11_distinct_users': 0.4,
+    'a3_file_summary': 0.4, 'a4_validation_summary': 0.4,
+    'a6_argmax_customer': 0.4, 'a7_topk_per_group': 0.4, 'a8_max_cols': 0.4,
+    'dd_exact_dup': 0.4, 'f4b_tolerance_predicate': 0.4,
+    'j1_dim_lookup_join': 0.4, 'j4_base_key_pairing': 0.4,
+    'mm_frame_plan': 0.4, 'q1_pricing_summary': 0.4, 'smp_stratified': 0.4,
+    'smp_token_budget': 0.4, 't13_currency_detect': 0.4,
+    't17_ocr_repair': 0.4, 't23_split_explode': 0.4, 'u1_union_dedup': 0.4,
+    'u4_fallback_chain': 0.4, 'w6_row_number': 0.4, 'a12_percentiles': 0.5,
+    'a13_rollup': 0.5, 'a14_pivot': 0.5, 'a1_a2_invoice_totals': 0.5,
+    'conv_assemble': 0.5, 'f3_rejects_antijoin': 0.5, 'j2_product_join': 0.5,
+    'j3_semi_join': 0.5, 'mm_binary_features': 0.5, 'qr_asof_join': 0.5,
+    'qr_range_join': 0.5, 's6_json_reader': 0.5, 't1_clean_string': 0.5,
+    't9_date_normalize': 0.5, 'txt_langid': 0.5, 'txt_pii_scrub': 0.5,
+    'txt_quality': 0.5, 'u2_first_wins_dedup': 0.5, 'w2_top_n': 0.5,
+    'w3_gap_sessionize': 0.5, 'w3b_session_window': 0.5, 'w4_last_wins': 0.5,
+    'f4_tolerance_gate': 0.6, 'mm_audio_features': 0.6,
+    'mm_image_resize': 0.6, 'q3_shipping_priority': 0.6,
+    'q5_local_supplier_volume': 0.6, 'sim_lsh_buckets': 0.6,
+    'w5_first_match_cascade': 0.6, 'txt_repetition': 0.7,
+    'j2b_sale_cost_derivation': 0.8, 'sim_cosine_topk': 0.8,
+    't26_llm_json_cascade': 0.8, 'txt_contamination': 0.8,
+    't18_imputation': 0.9, 'dd_chunk_dup': 1.0, 'mm_winnow_fingerprint': 1.0,
+    'extract_ordered_spans': 1.1, 'extract_documents': 1.2,
+    'extract_quality_gate': 1.2, 'sim_lsh_topk': 1.2, 'dd_minhash_lsh': 1.3,
+    'extract_conversations': 1.3, 'extract_html_readability': 1.3,
+    'extract_pdf_layout': 1.4, 'extract_synthetic': 1.4,
+    'dd_embedding_neardup': 1.5, 'curate_funnel': 1.6, 'dd_simhash': 1.6,
+    't19_code_gen': 1.6, 'dd_ngram_jaccard': 1.7, 'import_sales': 1.8,
+    'import_star_schema': 1.8, 'dd_conv_neardup': 2.2,
+    'dd_substring_dup': 2.3, 'sim_ivf_topk': 2.3, 'dd_dup_clusters': 4.3,
 }
 
 
