@@ -544,8 +544,93 @@ def extract_conversations_q(spark, sf_dir):
     )
 
 
+_AGENT_ROLES = ("user", "assistant", "tool", "system")
+_AGENT_TOOLS = ("search", "code", "browser")
+
+
+def _agent_transcripts(spark, sf_dir):
+    """Transcripts in the exact input_hint shape (conv_id, turn_idx, role,
+    text, tool, ts), synthesized deterministically from documents with a
+    realistic role mix and tool names on tool turns — the input for the
+    transcript-native analytics queries (conv_stats)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    role = F.element_at(F.array(*[F.lit(r) for r in _AGENT_ROLES]),
+                        (F.col("doc_id") % 4 + 1).cast("int"))
+    tool = F.when(F.col("doc_id") % 4 == 2,
+                  F.element_at(F.array(*[F.lit(t) for t in _AGENT_TOOLS]),
+                               (F.col("doc_id") % 3 + 1).cast("int")))
+    return docs.select(
+        F.format_string("conv-%06d", F.col("doc_id") % 50).alias("conv_id"),
+        (F.col("doc_id") % 1000).cast("int").alias("turn_idx"),
+        role.alias("role"),
+        F.col("text"),
+        tool.alias("tool"),
+        F.timestamp_seconds(
+            F.lit(1735689600) + F.col("doc_id") * 7).alias("ts"),
+    )
+
+
+def conv_stats(spark, sf_dir):
+    """Per-conversation transcript statistics — the screening pass a
+    transcript pipeline runs before extraction/dedup: role balance, tool
+    usage, turn lengths, wall-clock span. ONE keyed aggregation with
+    map-side combine (conditional sums, not per-role scans), every
+    output an exact integer so the oracle is exact. Span arithmetic is
+    timestampdiff on whole-second timestamps (the w3 lesson: no
+    unix_timestamp truncation class)."""
+    t = _agent_transcripts(spark, sf_dir)
+
+    def n_role(r):
+        return F.sum((F.col("role") == r).cast("bigint"))
+
+    return (
+        t.groupBy("conv_id")
+        .agg(F.count("*").alias("n_turns"),
+             n_role("user").alias("n_user"),
+             n_role("assistant").alias("n_assistant"),
+             n_role("tool").alias("n_tool_turns"),
+             F.count_distinct("tool").alias("n_distinct_tools"),
+             F.sum(F.length("text").cast("bigint")).alias("total_chars"),
+             F.max(F.length("text").cast("bigint")).alias("max_turn_chars"),
+             F.expr("CAST(timestampdiff(SECOND, min(ts), max(ts)) AS BIGINT)")
+             .alias("span_seconds"))
+        .orderBy("conv_id")
+    )
+
+
+_AGENT_TRANSCRIPTS_CTE = """
+  SELECT printf('conv-%06d', doc_id % 50) AS conv_id,
+         ['user', 'assistant', 'tool', 'system'][CAST(doc_id % 4 AS INT) + 1]
+           AS role,
+         text,
+         CASE WHEN doc_id % 4 = 2
+              THEN ['search', 'code', 'browser'][CAST(doc_id % 3 AS INT) + 1]
+         END AS tool,
+         to_timestamp(1735689600 + doc_id * 7) AS ts
+  FROM documents
+"""
+
+CONV_STATS_SQL = f"""
+WITH t AS ({_AGENT_TRANSCRIPTS_CTE})
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_user,
+       CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_assistant,
+       CAST(SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tool_turns,
+       CAST(COUNT(DISTINCT tool) AS BIGINT) AS n_distinct_tools,
+       CAST(SUM(len(text)) AS BIGINT) AS total_chars,
+       CAST(MAX(len(text)) AS BIGINT) AS max_turn_chars,
+       CAST(datediff('second', MIN(ts), MAX(ts)) AS BIGINT) AS span_seconds
+FROM t GROUP BY conv_id ORDER BY conv_id
+"""
+
+
 QUERIES = {
     "conv_assemble": (conv_assemble, CONV_ASSEMBLE_SQL),
+    "conv_stats": (conv_stats, CONV_STATS_SQL),
     "import_sales": (import_sales, IMPORT_SALES_SQL),
     "extract_html_readability": (extract_html_readability, EXTRACT_HTML_SQL),
     "extract_pdf_layout": (extract_pdf_layout_q, EXTRACT_PDF_SQL),

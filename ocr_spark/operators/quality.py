@@ -557,12 +557,78 @@ ORDER BY lang, doc_id
 """
 
 
+PACK_SEQ_LEN = 512  # tokens per packed training sequence
+
+
+def smp_pack_sequences(spark, sf_dir):
+    """Sequence packing (GPT-style concat-and-chunk): lay each
+    (lang, source) shard's documents end to end in deterministic doc_id
+    order and cut the token stream into fixed PACK_SEQ_LEN-token training
+    sequences; emit where each document lands (first sequence index,
+    offset inside it, how many sequences it spans). This is the packing
+    pass a pretraining pipeline runs between curation and training —
+    the placement plan is computed set-oriented here; the actual byte
+    assembly then reads each sequence's member docs by (first_seq ..
+    first_seq+n_seqs) range join.
+
+    One window per shard (cumulative token prefix sum). At 100 TB
+    packing streams are per-shard BY CONSTRUCTION (each trainer reads
+    one shard), so the window key IS the shard key — no global ordering
+    is ever materialized, and shard count grows with the corpus. All
+    outputs are exact integers (token counts, integer division), so the
+    oracle is exact."""
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id", "lang", "source",
+        f"CAST(size({_TOKENS}) AS BIGINT) AS n_tokens_b")
+    w = (Window.partitionBy("lang", "source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (docs
+            .withColumn("tok_start",
+                        F.sum("n_tokens_b").over(w) - F.col("n_tokens_b"))
+            .withColumn("first_seq",
+                        F.expr(f"tok_start DIV {PACK_SEQ_LEN}"))
+            .withColumn("seq_offset",
+                        F.expr(f"tok_start % {PACK_SEQ_LEN}"))
+            .withColumn("n_seqs", F.expr(
+                f"(tok_start + n_tokens_b - 1) DIV {PACK_SEQ_LEN}"
+                f" - first_seq + 1"))
+            .select("doc_id", "lang", "source", "n_tokens_b", "tok_start",
+                    "first_seq", "seq_offset", "n_seqs")
+            .orderBy("lang", "source", "doc_id"))
+
+
+# DuckDB window SUM(BIGINT) is HUGEINT and integer // on HUGEINT stays
+# HUGEINT — every output casts back to BIGINT (the round-1 typing class)
+SMP_PACK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, source,
+         CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT)
+           AS n_tokens_b
+  FROM documents WHERE doc_id IS NOT NULL
+), pos AS (
+  SELECT *,
+         SUM(n_tokens_b) OVER (PARTITION BY lang, source ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_tokens_b
+           AS tok_start
+  FROM toks
+)
+SELECT doc_id, lang, source, n_tokens_b,
+       CAST(tok_start AS BIGINT) AS tok_start,
+       CAST(tok_start // {PACK_SEQ_LEN} AS BIGINT) AS first_seq,
+       CAST(tok_start % {PACK_SEQ_LEN} AS BIGINT) AS seq_offset,
+       CAST((tok_start + n_tokens_b - 1) // {PACK_SEQ_LEN}
+            - tok_start // {PACK_SEQ_LEN} + 1 AS BIGINT) AS n_seqs
+FROM pos ORDER BY lang, source, doc_id
+"""
+
+
 QUERIES = {
     "txt_repetition": (txt_repetition, TXT_REPETITION_SQL),
     "txt_pii_scrub": (txt_pii_scrub, TXT_PII_SQL),
     "txt_contamination": (txt_contamination, TXT_CONTAM_SQL),
     "smp_stratified": (smp_stratified, SMP_STRAT_SQL),
     "smp_token_budget": (smp_token_budget, SMP_BUDGET_SQL),
+    "smp_pack_sequences": (smp_pack_sequences, SMP_PACK_SQL),
     "dd_chunk_dup": (dd_chunk_dup, DD_CHUNK_SQL),
     "dd_substring_dup": (dd_substring_dup, DD_SUBSTR_SQL),
 }

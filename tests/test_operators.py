@@ -405,3 +405,64 @@ def test_conv_neardup_recovers_planted_duplicate_conversations(spark):
              for p in _lsh_candidate_pairs(_minhash_bands(sigs)).collect()}
     assert ("conv-A", "conv-B") in pairs, "near-dup conversations missed"
     assert not any("conv-C" in p for p in pairs), "unrelated conv paired"
+
+def test_incremental_dedup_planted_verdicts(spark, tmp_path):
+    """dd_incremental must flag exactly the batch docs that replay a
+    corpus doc's text (doc_id % 20 == 7 by construction) as dups — with
+    dup_of pointing at the donor — and the unique-suffixed rest as new,
+    at any input partitioning."""
+    import os
+
+    from ocr_spark.operators.corpus import dd_incremental
+
+    docs = [(i, f"unique document body number {i} with its own words",
+             "en", "s", 40) for i in range(40)]
+    d = str(tmp_path / "incr")
+    sdf = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    sdf.write.parquet(os.path.join(d, "documents.parquet"))
+    rows = {r.doc_id: r for r in dd_incremental(spark, d).collect()}
+    assert set(rows) == {7, 17, 27, 37}
+    assert rows[7].status == "dup" and rows[7].dup_of == 0
+    assert rows[27].status == "dup" and rows[27].dup_of == 20
+    assert rows[17].status == "new" and rows[17].dup_of is None
+    assert rows[37].status == "new"
+    # partition invariance: the verdicts are a pure function of content
+    sdf.repartition(7).write.parquet(
+        os.path.join(str(tmp_path / "incr2"), "documents.parquet"))
+    rows2 = {r.doc_id: (r.status, r.dup_of)
+             for r in dd_incremental(spark, str(tmp_path / "incr2")).collect()}
+    assert rows2 == {k: (v.status, v.dup_of) for k, v in rows.items()}
+
+
+def test_conv_stats_hand_computed(spark, tmp_path):
+    """conv_stats on a corpus small enough to check by hand: one conv of
+    four docs (ids 0, 50, 100, 150 -> conv-000000) with known roles
+    (id%4: user/assistant/tool/system), one tool turn, and ts spaced
+    doc_id*7 seconds apart."""
+    import os
+
+    from ocr_spark.operators.extraction import conv_stats
+
+    docs = [(i, "x" * (i + 10), "en", "s", i + 10)
+            for i in (0, 50, 100, 150, 1, 51)]
+    d = str(tmp_path / "convs")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    rows = {r.conv_id: r for r in conv_stats(spark, d).collect()}
+    c0 = rows["conv-000000"]
+    assert c0.n_turns == 4
+    # roles by doc_id % 4: 0->user, 50->tool, 100->user, 150->tool
+    assert c0.n_user == 2 and c0.n_assistant == 0 and c0.n_tool_turns == 2
+    # doc 50 % 3 = 2 -> browser; doc 150 % 3 = 0 -> search
+    assert c0.n_distinct_tools == 2
+    assert c0.total_chars == 10 + 60 + 110 + 160
+    assert c0.max_turn_chars == 160
+    assert c0.span_seconds == 150 * 7
+    c1 = rows["conv-000001"]
+    # 1->assistant, 51->system
+    assert c1.n_turns == 2 and c1.n_assistant == 1 and c1.n_tool_turns == 0
+    assert c1.n_distinct_tools == 0 and c1.span_seconds == 50 * 7

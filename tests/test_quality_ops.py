@@ -65,8 +65,8 @@ def _duck_on(d, sql):
 
 @pytest.mark.parametrize("name", [
     "txt_repetition", "txt_pii_scrub", "txt_contamination",
-    "smp_stratified", "smp_token_budget", "dd_chunk_dup",
-    "dd_substring_dup"])
+    "smp_stratified", "smp_token_budget", "smp_pack_sequences",
+    "dd_chunk_dup", "dd_substring_dup"])
 def test_edge_corpus_matches_oracle(spark, tmp_path, name):
     """Single-token docs, empty text, maximal repetition, planted shared
     chunks/shingles: Spark and DuckDB must agree row-for-row on the edge
@@ -236,3 +236,39 @@ def test_run_fold_matches_counter_reference(spark):
         assert r.max_bg == max(bgs.values()), toks
         assert r.n_bg == len(toks) - 1
         assert r.dup_bg == sum(c for c in bgs.values() if c >= 2), toks
+
+def test_pack_sequences_placement_invariants(spark, tmp_path):
+    """Packing placement must tile each (lang, source) shard's token
+    stream exactly: starts at 0, consecutive (tok_start gaps == token
+    counts), offsets inside the sequence length, span arithmetic exact —
+    and be invariant to input partitioning."""
+    import os
+
+    from ocr_spark.operators.quality import PACK_SEQ_LEN, smp_pack_sequences
+
+    docs = [(i, " ".join(f"w{j}" for j in range(37 * (i % 9 + 1))),
+             ["en", "de"][i % 2], "s", 0) for i in range(60)]
+    d = str(tmp_path / "pack")
+    sdf = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    sdf.write.parquet(os.path.join(d, "documents.parquet"))
+    rows = smp_pack_sequences(spark, d).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault((r.lang, r.source), []).append(r)
+    for shard in by_shard.values():
+        shard.sort(key=lambda r: r.doc_id)
+        pos = 0
+        for r in shard:
+            assert r.tok_start == pos, "stream has a gap or overlap"
+            assert 0 <= r.seq_offset < PACK_SEQ_LEN
+            assert r.first_seq == r.tok_start // PACK_SEQ_LEN
+            last = (r.tok_start + r.n_tokens_b - 1) // PACK_SEQ_LEN
+            assert r.n_seqs == last - r.first_seq + 1 >= 1
+            pos += r.n_tokens_b
+    # partition invariance
+    sdf.repartition(13).write.parquet(
+        os.path.join(str(tmp_path / "pack2"), "documents.parquet"))
+    again = smp_pack_sequences(spark, str(tmp_path / "pack2")).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
