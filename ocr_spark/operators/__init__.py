@@ -39,4 +39,15 @@ def _register_curate():
     ALL_QUERIES["curate_funnel"] = (curate_funnel, CURATE_FUNNEL_SQL)
 
 
+def _register_curate_convs():
+    # same pattern for the conversation-grain funnel
+    try:
+        from ..pipeline.curate_convs import (CONV_CURATE_SQL,
+                                             conv_curate_funnel)
+    except ImportError:
+        return
+    ALL_QUERIES["conv_curate_funnel"] = (conv_curate_funnel, CONV_CURATE_SQL)
+
+
 _register_curate()
+_register_curate_convs()

@@ -600,6 +600,7 @@ def conv_stats(spark, sf_dir):
 
 _AGENT_TRANSCRIPTS_CTE = """
   SELECT printf('conv-%06d', doc_id % 50) AS conv_id,
+         CAST(doc_id % 1000 AS INTEGER) AS turn_idx,
          ['user', 'assistant', 'tool', 'system'][CAST(doc_id % 4 AS INT) + 1]
            AS role,
          text,

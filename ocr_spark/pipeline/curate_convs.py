@@ -1,0 +1,217 @@
+"""Conversation-grain curation pipeline: the transcript-native twin of
+pipeline/curate.py. A transcript corpus is curated at the CONVERSATION
+grain (a training example is a conversation, not a turn), so the gates
+key on conv_id:
+
+    transcripts → stable-order assembly (one groupBy; sort_array pins
+                  turn order inside the aggregation)
+               → conversation quality gate (must contain a user turn,
+                  char floor — drops tool-only/agent-only logs)
+               → exact dedup of assembled text (normalized md5,
+                  first-wins by conv_id)
+               → MinHash-LSH near-dup drop (the corpus layer's signature
+                  stage + banding reused verbatim; in any colliding pair
+                  the LARGER conv_id drops — one-hop first-wins over the
+                  quality+exact survivors, the same convention as the
+                  doc-level funnel's chunk gate)
+               → deterministic sampling (md5 bridge on conv_id)
+
+Scale design mirrors curate.py: one drop_reason column by priority = ONE
+keyed plan; the only corpus-wide shuffles are the conv_id assembly
+groupBy and the banded signature groupBy (both keyed, both skew-capped
+by MAX_LSH_BUCKET). Every gate is engine-exact (string_agg ordering,
+md5 bridge, the certified MinHash CTE chain), so the funnel is
+oracle-paired at the driver (`conv_curate_funnel`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from ..operators.corpus import (_lsh_candidate_pairs, _md5_long,
+                                _MINHASH_CTES, _minhash_bands,
+                                _minhash_sig_stage)
+from ..operators.extraction import _AGENT_TRANSCRIPTS_CTE, _agent_transcripts
+from ..operators.quality import _smp_threshold_u64
+
+MIN_CONV_CHARS = 100     # assembled-conversation char floor
+CONV_KEEP_RATE = 0.8     # deterministic sampling keep rate
+CONV_CURATOR_VERSION = "curate-convs-v1"
+
+
+def conv_curation_flags(t: DataFrame) -> DataFrame:
+    """(conv_id, n_turns, drop_reason) for every conversation in the
+    transcripts frame t (conv_id, turn_idx, role, text, ts, ...);
+    drop_reason NULL = kept. Priority: quality > exact_dup > near_dup >
+    sampled_out — each conversation reports the FIRST gate rejecting it.
+
+    The assembled frame is persisted: the exact-dup window, the near-dup
+    signature stage, and the final flag projection all branch from it
+    (the caller's action releases it; bench/driver hermeticity clears
+    caches between queries)."""
+    conv = (
+        t.groupBy("conv_id")
+        .agg(F.count("*").alias("n_turns"),
+             F.sum((F.col("role") == "user").cast("bigint")).alias("n_user"),
+             F.sum(F.length("text").cast("bigint")).alias("total_chars"),
+             F.sort_array(F.collect_list(F.struct("turn_idx", "text")))
+             .alias("turns"))
+        .select("conv_id", "n_turns", "n_user", "total_chars",
+                F.concat_ws("\n", F.transform(
+                    F.col("turns"), lambda s: s["text"])).alias("doc"))
+        .persist())
+    quality_fail = ((F.col("n_user") < 1)
+                    | (F.col("total_chars") < MIN_CONV_CHARS))
+    wdup = Window.partitionBy(
+        F.md5(F.regexp_replace(F.lower(F.col("doc")), r"\s+", " "))
+    ).orderBy("conv_id")
+    flags0 = (conv.withColumn("quality_fail", quality_fail)
+              .withColumn("dup_rank", F.row_number().over(wdup)))
+
+    # near-dup candidates among the quality+exact survivors only: the
+    # MinHash surrogate ids are md5-derived longs so the oracle replays
+    # the identical chain (the dd_conv_neardup pattern)
+    survivors = (flags0.where(~F.col("quality_fail")
+                              & (F.col("dup_rank") == 1))
+                 .select(_md5_long(F.col("conv_id")).alias("doc_id"),
+                         "conv_id", F.col("doc").alias("text")))
+    sigs = survivors.select("doc_id", "text").mapInPandas(
+        _minhash_sig_stage(), "doc_id long, sig array<long>")
+    pairs = (_lsh_candidate_pairs(_minhash_bands(sigs))
+             .select("doc_a", "doc_b").distinct())
+    ids = survivors.select("doc_id", "conv_id")
+    near_dropped = (
+        pairs
+        .join(ids.withColumnRenamed("doc_id", "doc_a")
+              .withColumnRenamed("conv_id", "conv_a"), "doc_a")
+        .join(ids.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("conv_id", "conv_b"), "doc_b")
+        .select(F.greatest("conv_a", "conv_b").alias("conv_id")).distinct()
+        .withColumn("near_dup", F.lit(True)))
+
+    thr = _smp_threshold_u64(CONV_KEEP_RATE) - 2**63
+    sampled_in = _md5_long(
+        F.concat(F.col("conv_id"), F.lit(":csmp"))) < F.lit(thr)
+    reason = (F.when(F.col("quality_fail"), "quality")
+              .when(F.col("dup_rank") > 1, "exact_dup")
+              .when(F.coalesce(F.col("near_dup"), F.lit(False)), "near_dup")
+              .when(~sampled_in, "sampled_out"))
+    return (flags0.join(near_dropped, "conv_id", "left")
+            .select("conv_id", "n_turns", reason.alias("drop_reason")))
+
+
+def conv_curate_funnel(spark, sf_dir) -> DataFrame:
+    """Per-stage funnel over the synthesized agent transcripts — the
+    oracle-paired surface of run_conv_curation."""
+    t = _agent_transcripts(spark, sf_dir)
+    return (conv_curation_flags(t)
+            .groupBy(F.coalesce(F.col("drop_reason"), F.lit("kept"))
+                     .alias("stage"))
+            .agg(F.count("*").cast("long").alias("n_convs"),
+                 F.sum("n_turns").cast("long").alias("n_turns"))
+            .orderBy("stage"))
+
+
+CONV_CURATE_SQL = f"""
+WITH t AS ({_AGENT_TRANSCRIPTS_CTE}),
+conv AS (
+  SELECT conv_id,
+         CAST(COUNT(*) AS BIGINT) AS n_turns,
+         CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_user,
+         CAST(SUM(len(text)) AS BIGINT) AS total_chars,
+         string_agg(text, chr(10) ORDER BY turn_idx, text) AS doc
+  FROM t GROUP BY conv_id
+),
+flags0 AS (
+  SELECT *,
+         (n_user < 1 OR total_chars < {MIN_CONV_CHARS}) AS quality_fail,
+         ROW_NUMBER() OVER (
+           PARTITION BY md5(regexp_replace(lower(doc), '\\s+', ' ', 'g'))
+           ORDER BY conv_id) AS dup_rank
+  FROM conv
+),
+ids AS (
+  SELECT conv_id, doc AS text,
+         CAST(('0x' || substr(md5(conv_id), 1, 16))::UBIGINT::HUGEINT
+              - 9223372036854775808 AS BIGINT) AS doc_id
+  FROM flags0 WHERE NOT quality_fail AND dup_rank = 1
+),
+{_MINHASH_CTES.format(src="ids")},
+near AS (
+  SELECT DISTINCT greatest(ia.conv_id, ib.conv_id) AS conv_id
+  FROM (SELECT DISTINCT doc_a, doc_b FROM cand_pairs) p
+  JOIN ids ia ON ia.doc_id = p.doc_a
+  JOIN ids ib ON ib.doc_id = p.doc_b
+),
+samp AS (
+  SELECT conv_id,
+         ('0x' || substr(md5(conv_id || ':csmp'), 1, 16))::UBIGINT
+           < {_smp_threshold_u64(CONV_KEEP_RATE)} AS sampled_in
+  FROM conv
+),
+staged AS (
+  SELECT f.conv_id, f.n_turns,
+         CASE WHEN f.quality_fail THEN 'quality'
+              WHEN f.dup_rank > 1 THEN 'exact_dup'
+              WHEN near.conv_id IS NOT NULL THEN 'near_dup'
+              WHEN NOT samp.sampled_in THEN 'sampled_out'
+              ELSE 'kept' END AS stage
+  FROM flags0 f
+  LEFT JOIN near ON near.conv_id = f.conv_id
+  LEFT JOIN samp ON samp.conv_id = f.conv_id
+)
+SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_convs,
+       CAST(SUM(n_turns) AS BIGINT) AS n_turns
+FROM staged GROUP BY stage ORDER BY stage
+"""
+
+
+def run_conv_curation(spark, t: DataFrame, out_dir: str) -> dict:
+    """Curate a transcripts frame at the conversation grain: write the
+    KEPT conversations' turns as parquet plus a funnel manifest. The
+    kept-set join is a broadcast-friendly semi join on conv_id (the flag
+    frame is one row per conversation)."""
+    t0 = time.time()
+    flags = conv_curation_flags(t).persist()
+    try:
+        funnel = {r["stage"]: r["n"] for r in
+                  (flags.groupBy(F.coalesce("drop_reason", F.lit("kept"))
+                                 .alias("stage"))
+                   .agg(F.count("*").alias("n")).collect())}
+        kept = flags.where(F.col("drop_reason").isNull()).select("conv_id")
+        (t.join(kept, "conv_id", "semi")
+         .write.mode("overwrite")
+         .parquet(os.path.join(out_dir, "curated_convs")))
+        manifest = {
+            "curator_version": CONV_CURATOR_VERSION,
+            "thresholds": {
+                "min_conv_chars": MIN_CONV_CHARS,
+                "keep_rate": CONV_KEEP_RATE,
+            },
+            "funnel": funnel,
+            "n_input": sum(funnel.values()),
+            "n_kept": funnel.get("kept", 0),
+            "wall_sec": round(time.time() - t0, 3),
+        }
+        os.makedirs(out_dir, exist_ok=True)
+        tmp = os.path.join(out_dir, "_manifest.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=2, sort_keys=True)
+        os.replace(tmp, os.path.join(out_dir, "manifest.json"))
+        return manifest
+    finally:
+        flags.unpersist()
+
+
+# self-registration for the curate-first import order (the
+# pipeline.curate pattern; operators/__init__ registers it in the
+# operators-first order)
+from ..operators import ALL_QUERIES as _ALL_QUERIES  # noqa: E402
+
+_ALL_QUERIES["conv_curate_funnel"] = (conv_curate_funnel, CONV_CURATE_SQL)

@@ -81,3 +81,83 @@ def test_funnel_stages_present_at_sf001(spark):
     assert "kept" in stages and stages["kept"] > 0
     # en is downsampled at rate 0.3, so sampling must reject something
     assert stages.get("sampled_out", 0) > 0
+
+# ---------------------------------------------------------------------------
+# Conversation-grain curation (pipeline/curate_convs.py)
+# ---------------------------------------------------------------------------
+
+def _planted_conv_docs_dir(spark, tmp_path):
+    """100 docs -> 50 two-turn conversations (conv-j = docs {j, j+50}).
+    Planted: conv-4 assembles identically to conv-0 (exact dup), conv-8
+    is a one-token mutation of conv-0 (near dup); both share conv-0's
+    j%4==0 role pattern so they pass the quality gate first."""
+    texts = {i: f"turn body {i} " + " ".join(f"tok{i}w{j}" for j in range(20))
+             for i in range(100)}
+    texts[4], texts[54] = texts[0], texts[50]
+    texts[8] = texts[0].replace("tok0w9", "mutated")
+    texts[58] = texts[50]
+    docs = [(i, texts[i], "en", "s", len(texts[i])) for i in range(100)]
+    d = str(tmp_path / "convdocs")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    return d
+
+
+def test_conv_curation_planted_stages(spark, tmp_path):
+    from ocr_spark.operators.extraction import _agent_transcripts
+    from ocr_spark.pipeline.curate_convs import conv_curation_flags
+
+    d = _planted_conv_docs_dir(spark, tmp_path)
+    flags = {r.conv_id: r.drop_reason for r in
+             conv_curation_flags(_agent_transcripts(spark, d)).collect()}
+    assert len(flags) == 50
+    assert flags["conv-000004"] == "exact_dup"
+    assert flags["conv-000008"] == "near_dup"
+    # conv-0 must survive quality/dup gates (it is the first-wins keeper)
+    assert flags["conv-000000"] in (None, "sampled_out")
+    # conversations without a user turn (j % 4 in {1, 3}) drop at quality
+    assert flags["conv-000001"] == "quality"
+    assert flags["conv-000003"] == "quality"
+
+
+def test_conv_funnel_oracle_on_planted_corpus(spark, tmp_path):
+    """The conv funnel's DuckDB oracle must agree on the PLANTED corpus
+    too (the registry compare only sees well-formed testdata where the
+    dup stages never fire)."""
+    import duckdb
+
+    from ocr_spark.pipeline.curate_convs import (CONV_CURATE_SQL,
+                                                 conv_curate_funnel)
+
+    d = _planted_conv_docs_dir(spark, tmp_path)
+    rows = sorted(tuple(r) for r in conv_curate_funnel(spark, d).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{os.path.join(d, 'documents.parquet')}/*.parquet'")
+    orows = sorted(tuple(r) for r in con.execute(CONV_CURATE_SQL).fetchall())
+    assert rows == orows
+    stages = {r[0] for r in rows}
+    assert {"exact_dup", "near_dup", "quality", "kept"} <= stages
+
+
+def test_run_conv_curation_end_to_end(spark, tmp_path):
+    from ocr_spark.operators.extraction import _agent_transcripts
+    from ocr_spark.pipeline.curate_convs import run_conv_curation
+
+    d = _planted_conv_docs_dir(spark, tmp_path)
+    t = _agent_transcripts(spark, d)
+    out = str(tmp_path / "conv_run")
+    manifest = run_conv_curation(spark, t, out)
+    assert manifest["n_input"] == 50
+    assert sum(manifest["funnel"].values()) == 50
+    written = spark.read.parquet(os.path.join(out, "curated_convs"))
+    kept_convs = {r.conv_id for r in written.select("conv_id").distinct().collect()}
+    assert len(kept_convs) == manifest["n_kept"]
+    # every kept conversation keeps ALL its turns (the semi join is at
+    # conv grain, never row-sliced)
+    assert written.count() == 2 * manifest["n_kept"]
+    assert "conv-000004" not in kept_convs and "conv-000008" not in kept_convs
+    disk = json.load(open(os.path.join(out, "manifest.json")))
+    assert disk == manifest
