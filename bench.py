@@ -49,6 +49,10 @@ HEADLINE = HEADLINE_R1 + [
     "txt_repetition", "txt_pii_scrub", "txt_contamination",
     "smp_stratified", "smp_token_budget", "dd_chunk_dup",
     "curate_funnel",
+    # round-2 continuation: packing, incremental dedup, transcript-native
+    # screening + conversation-grain curation
+    "smp_pack_sequences", "dd_incremental", "conv_stats",
+    "conv_curate_funnel",
 ]
 
 

@@ -7,6 +7,9 @@
 Runs documents → quality gate → exact dedup → chunk near-dup drop →
 decontamination → stratified sampling → curated parquet partitioned by
 lang + funnel manifest (per-stage counts, thresholds, curator version).
+With --grain conv the same input curates at the CONVERSATION grain
+instead (pipeline/curate_convs.py: assembly → user-turn/char gate →
+exact dedup → MinHash near-dup → sampling; whole conversations kept).
 Prints ONE JSON line (the manifest) on stdout.
 """
 
@@ -22,16 +25,22 @@ def main() -> None:
     ap.add_argument("--input", required=True,
                     help="dir containing documents.parquet")
     ap.add_argument("--output", required=True)
+    ap.add_argument("--grain", choices=["doc", "conv"], default="doc")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
-    from ocr_spark.pipeline.curate import run_curation
-
     spark = SparkSession.builder.appName("ocr-spark-curate").getOrCreate()
     try:
-        docs = spark.read.parquet(f"{args.input}/documents.parquet")
-        manifest = run_curation(spark, docs, args.output)
+        if args.grain == "conv":
+            from ocr_spark.operators.extraction import _agent_transcripts
+            from ocr_spark.pipeline.curate_convs import run_conv_curation
+            manifest = run_conv_curation(
+                spark, _agent_transcripts(spark, args.input), args.output)
+        else:
+            from ocr_spark.pipeline.curate import run_curation
+            docs = spark.read.parquet(f"{args.input}/documents.parquet")
+            manifest = run_curation(spark, docs, args.output)
         print(json.dumps(manifest, sort_keys=True))
     finally:
         spark.stop()
