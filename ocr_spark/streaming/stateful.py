@@ -115,6 +115,83 @@ def streaming_running_totals(extracted: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming conversation screening stats (the conv_stats batch operator
+# as turns arrive)
+# ---------------------------------------------------------------------------
+
+CONV_STATS_OUTPUT_SCHEMA = ("conv_id string, n_turns long, n_user long, "
+                            "n_tool_turns long, n_distinct_tools long, "
+                            "total_chars long, max_turn_chars long, "
+                            "span_seconds long")
+CONV_STATS_STATE_SCHEMA = ("n_turns long, n_user long, n_tool long, "
+                           "chars long, max_chars long, min_us long, "
+                           "max_us long, tools array<string>")
+
+# distinct-tool tracking is the only unbounded piece of this state; real
+# tool vocabularies are tiny, so cap it (the count saturates at the cap)
+MAX_TRACKED_TOOLS = 64
+
+
+def _conv_stats_fn(key, pdfs, state: GroupState):
+    import pandas as pd
+    (conv_id,) = key
+    if state.exists:
+        (n_turns, n_user, n_tool, chars, max_chars,
+         min_us, max_us, tools) = state.get
+        tools = list(tools)
+    else:
+        n_turns = n_user = n_tool = chars = max_chars = 0
+        min_us = max_us = None
+        tools = []
+    tool_set = set(tools)
+    for pdf in pdfs:
+        n_turns += len(pdf)
+        n_user += int((pdf["role"] == "user").sum())
+        n_tool += int((pdf["role"] == "tool").sum())
+        lens = pdf["text"].fillna("").str.len().astype("int64")
+        if len(lens):
+            chars += int(lens.sum())
+            max_chars = max(max_chars, int(lens.max()))
+        ts_us = pd.to_datetime(pdf["ts"]).astype("int64") // 1000
+        if len(ts_us):
+            lo, hi = int(ts_us.min()), int(ts_us.max())
+            min_us = lo if min_us is None else min(min_us, lo)
+            max_us = hi if max_us is None else max(max_us, hi)
+        for t in pdf["tool"].dropna():
+            if t not in tool_set and len(tool_set) < MAX_TRACKED_TOOLS:
+                tool_set.add(t)
+                tools.append(t)
+    state.update((n_turns, n_user, n_tool, chars, max_chars,
+                  min_us, max_us, tools))
+    span = 0 if min_us is None else (max_us - min_us) // 1_000_000
+    yield pd.DataFrame(
+        [(conv_id, n_turns, n_user, n_tool, len(tools), chars, max_chars,
+          span)],
+        columns=["conv_id", "n_turns", "n_user", "n_tool_turns",
+                 "n_distinct_tools", "total_chars", "max_turn_chars",
+                 "span_seconds"])
+
+
+def streaming_conv_stats(turns: DataFrame) -> DataFrame:
+    """Per-conversation screening stats accumulated AS TURNS ARRIVE — the
+    batch conv_stats aggregation (operators/extraction.py) with explicit
+    state, so a conversation spread across micro-batches still reports
+    its full role balance / tool usage / char totals / wall-clock span.
+    Input needs (conv_id, role, text, tool, ts) — the input_hint shape;
+    emits the updated row for each conversation the micro-batch touched.
+    State is O(1) per conversation plus a capped tool list; span uses
+    microsecond timestamps (the w3 lesson: no whole-second truncation
+    class — integer floor only at the final seconds division)."""
+    return (
+        turns.groupBy("conv_id")
+        .applyInPandasWithState(
+            _conv_stats_fn, CONV_STATS_OUTPUT_SCHEMA,
+            CONV_STATS_STATE_SCHEMA,
+            "append", GroupStateTimeout.NoTimeout)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Cross-micro-batch near-duplicate detection (streaming MinHash-LSH)
 # ---------------------------------------------------------------------------
 

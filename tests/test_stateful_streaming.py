@@ -120,3 +120,68 @@ def test_streaming_neardup_across_micro_batches(spark, tmp_path):
     assert len(dup_rows) == 4  # one per band
     assert all(r.canonical_id == 1 and r.is_first == 0 for r in dup_rows), \
         "cross-batch duplicate must link to the batch-1 canonical"
+
+def test_streaming_conv_stats_matches_batch(spark, tmp_path):
+    """streaming_conv_stats over micro-batches must converge to the BATCH
+    conv_stats aggregation over the same turns (the latest emitted row
+    per conversation equals the batch groupBy), including a conversation
+    split ACROSS micro-batches."""
+    from ocr_spark.streaming.stateful import streaming_conv_stats
+
+    inp = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    schema_str = ("conv_id string, turn_idx int, role string, text string, "
+                  "tool string, ts timestamp")
+
+    import datetime as dt
+
+    def ts(s):
+        return dt.datetime(2025, 1, 1, 0, 0, s)
+
+    batch1 = [("c1", 0, "user", "hello there", None, ts(0)),
+              ("c1", 1, "tool", "result one", "search", ts(7)),
+              ("c2", 0, "assistant", "standalone reply", None, ts(3))]
+    batch2 = [("c1", 2, "tool", "result two", "code", ts(21)),
+              ("c1", 3, "assistant", "final answer text", None, ts(28))]
+
+    def write(rows):
+        spark.createDataFrame(rows, schema_str).coalesce(1) \
+            .write.mode("append").parquet(inp)
+
+    write(batch1)
+    schema = spark.read.parquet(inp).schema
+    stream = spark.readStream.schema(schema).parquet(inp)
+    _run_available_now(spark, streaming_conv_stats(stream), out, ckpt)
+    write(batch2)
+    stream = spark.readStream.schema(schema).parquet(inp)
+    res = _run_available_now(spark, streaming_conv_stats(stream), out, ckpt)
+
+    latest = {}
+    for r in res.collect():
+        cur = latest.get(r.conv_id)
+        if cur is None or r.n_turns > cur.n_turns:
+            latest[r.conv_id] = r
+
+    # batch reference over ALL turns
+    batch = {r.conv_id: r for r in (
+        spark.read.parquet(inp).groupBy("conv_id")
+        .agg(F.count("*").alias("n_turns"),
+             F.sum((F.col("role") == "user").cast("bigint")).alias("n_user"),
+             F.sum((F.col("role") == "tool").cast("bigint"))
+             .alias("n_tool_turns"),
+             F.count_distinct("tool").alias("n_distinct_tools"),
+             F.sum(F.length("text").cast("bigint")).alias("total_chars"),
+             F.max(F.length("text").cast("bigint")).alias("max_turn_chars"),
+             F.expr("CAST(timestampdiff(SECOND, min(ts), max(ts)) AS BIGINT)")
+             .alias("span_seconds"))).collect()}
+    for conv_id, b in batch.items():
+        s = latest[conv_id]
+        got = (s.n_turns, s.n_user, s.n_tool_turns, s.n_distinct_tools,
+               s.total_chars, s.max_turn_chars, s.span_seconds)
+        want = (b.n_turns, b.n_user, b.n_tool_turns, b.n_distinct_tools,
+                b.total_chars, b.max_turn_chars, b.span_seconds)
+        assert got == want, f"{conv_id}: {got} != {want}"
+    # c1's span (28s) straddles the micro-batch boundary — the state, not
+    # the batch window, carried min_ts across
+    assert latest["c1"].span_seconds == 28
