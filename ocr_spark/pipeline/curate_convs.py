@@ -14,6 +14,9 @@ key on conv_id:
                   the LARGER conv_id drops — one-hop first-wins over the
                   quality+exact survivors, the same convention as the
                   doc-level funnel's chunk gate)
+               → decontamination against an eval-suite slice of
+                  conversations (broadcast CONTAM_NGRAM shingle overlap
+                  on assembled text)
                → deterministic sampling (md5 bridge on conv_id)
 
 Scale design mirrors curate.py: one drop_reason column by priority = ONE
@@ -37,18 +40,19 @@ from ..operators.corpus import (_lsh_candidate_pairs, _md5_long,
                                 _MINHASH_CTES, _minhash_bands,
                                 _minhash_sig_stage)
 from ..operators.extraction import _AGENT_TRANSCRIPTS_CTE, _agent_transcripts
-from ..operators.quality import _smp_threshold_u64
+from ..operators.quality import CONTAM_NGRAM, _smp_threshold_u64
 
 MIN_CONV_CHARS = 100     # assembled-conversation char floor
 CONV_KEEP_RATE = 0.8     # deterministic sampling keep rate
-CONV_CURATOR_VERSION = "curate-convs-v1"
+CONV_BENCH_RATE = 0.125  # md5 slice of convs that plays the eval suite
+CONV_CURATOR_VERSION = "curate-convs-v2"
 
 
 def conv_curation_flags(t: DataFrame) -> DataFrame:
     """(conv_id, n_turns, drop_reason) for every conversation in the
     transcripts frame t (conv_id, turn_idx, role, text, ts, ...);
     drop_reason NULL = kept. Priority: quality > exact_dup > near_dup >
-    sampled_out — each conversation reports the FIRST gate rejecting it.
+    contaminated > sampled_out — each conversation reports the FIRST gate rejecting it.
 
     The assembled frame is persisted: the exact-dup window, the near-dup
     signature stage, and the final flag projection all branch from it
@@ -64,6 +68,10 @@ def conv_curation_flags(t: DataFrame) -> DataFrame:
         .select("conv_id", "n_turns", "n_user", "total_chars",
                 F.concat_ws("\n", F.transform(
                     F.col("turns"), lambda s: s["text"])).alias("doc"))
+        # ct is STORED in the persisted frame so the shingle lambdas below
+        # index a materialized array — an index lambda over a computed
+        # column would re-run the tokenizer per element (the HOF trap)
+        .withColumn("ct", F.split(F.lower(F.col("doc")), r"\s+"))
         .persist())
     quality_fail = ((F.col("n_user") < 1)
                     | (F.col("total_chars") < MIN_CONV_CHARS))
@@ -94,14 +102,40 @@ def conv_curation_flags(t: DataFrame) -> DataFrame:
         .select(F.greatest("conv_a", "conv_b").alias("conv_id")).distinct()
         .withColumn("near_dup", F.lit(True)))
 
+    # decontamination against the eval-suite slice of conversations
+    # (md5-bridge membership, engine-exact): a non-benchmark conversation
+    # sharing any CONTAM_NGRAM-token shingle of assembled text with a
+    # benchmark conversation drops. Benchmark side broadcasts — eval
+    # suites are tiny next to the corpus.
+    from pyspark.sql.functions import broadcast
+    bench_thr = _smp_threshold_u64(CONV_BENCH_RATE) - 2**63
+    is_bench = _md5_long(
+        F.concat(F.col("conv_id"), F.lit(":bench"))) < F.lit(bench_thr)
+    n = CONTAM_NGRAM
+    csh = (conv.where(F.size("ct") >= n)
+           .select("conv_id", is_bench.alias("is_bench"),
+                   F.explode(F.array_distinct(F.expr(
+                       f"transform(sequence(0, size(ct) - {n}),"
+                       f" i -> concat_ws(' ', "
+                       f"{', '.join(f'ct[i + {j}]' for j in range(n))}))"
+                   ))).alias("s")))
+    bench_sh = csh.where("is_bench").select("s").distinct()
+    contam = (csh.where(~F.col("is_bench"))
+              .join(broadcast(bench_sh), "s")
+              .select("conv_id").distinct()
+              .withColumn("contaminated", F.lit(True)))
+
     thr = _smp_threshold_u64(CONV_KEEP_RATE) - 2**63
     sampled_in = _md5_long(
         F.concat(F.col("conv_id"), F.lit(":csmp"))) < F.lit(thr)
     reason = (F.when(F.col("quality_fail"), "quality")
               .when(F.col("dup_rank") > 1, "exact_dup")
               .when(F.coalesce(F.col("near_dup"), F.lit(False)), "near_dup")
+              .when(F.coalesce(F.col("contaminated"), F.lit(False)),
+                    "contaminated")
               .when(~sampled_in, "sampled_out"))
     return (flags0.join(near_dropped, "conv_id", "left")
+            .join(contam, "conv_id", "left")
             .select("conv_id", "n_turns", reason.alias("drop_reason")))
 
 
@@ -149,6 +183,22 @@ near AS (
   JOIN ids ia ON ia.doc_id = p.doc_a
   JOIN ids ib ON ib.doc_id = p.doc_b
 ),
+csh AS (
+  SELECT DISTINCT conv_id, is_bench, s FROM (
+    SELECT conv_id,
+           ('0x' || substr(md5(conv_id || ':bench'), 1, 16))::UBIGINT
+             < {_smp_threshold_u64(CONV_BENCH_RATE)} AS is_bench,
+           unnest(list_transform(range(1, len(ct) - {CONTAM_NGRAM - 2}),
+                  i -> {" || ' ' || ".join(f"ct[i + {j}]" for j in range(CONTAM_NGRAM))})) AS s
+    FROM (SELECT conv_id, string_split_regex(lower(doc), '\\s+') AS ct
+          FROM conv)
+    WHERE len(ct) >= {CONTAM_NGRAM})
+),
+contam AS (
+  SELECT DISTINCT c.conv_id FROM csh c
+  JOIN (SELECT DISTINCT s FROM csh WHERE is_bench) b USING (s)
+  WHERE NOT c.is_bench
+),
 samp AS (
   SELECT conv_id,
          ('0x' || substr(md5(conv_id || ':csmp'), 1, 16))::UBIGINT
@@ -160,10 +210,12 @@ staged AS (
          CASE WHEN f.quality_fail THEN 'quality'
               WHEN f.dup_rank > 1 THEN 'exact_dup'
               WHEN near.conv_id IS NOT NULL THEN 'near_dup'
+              WHEN contam.conv_id IS NOT NULL THEN 'contaminated'
               WHEN NOT samp.sampled_in THEN 'sampled_out'
               ELSE 'kept' END AS stage
   FROM flags0 f
   LEFT JOIN near ON near.conv_id = f.conv_id
+  LEFT JOIN contam ON contam.conv_id = f.conv_id
   LEFT JOIN samp ON samp.conv_id = f.conv_id
 )
 SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_convs,
@@ -193,6 +245,7 @@ def run_conv_curation(spark, t: DataFrame, out_dir: str) -> dict:
             "thresholds": {
                 "min_conv_chars": MIN_CONV_CHARS,
                 "keep_rate": CONV_KEEP_RATE,
+                "bench_rate": CONV_BENCH_RATE,
             },
             "funnel": funnel,
             "n_input": sum(funnel.values()),

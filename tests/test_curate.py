@@ -161,3 +161,42 @@ def test_run_conv_curation_end_to_end(spark, tmp_path):
     assert "conv-000004" not in kept_convs and "conv-000008" not in kept_convs
     disk = json.load(open(os.path.join(out, "manifest.json")))
     assert disk == manifest
+
+def test_conv_contamination_gate_planted(spark, tmp_path):
+    """Plant a shared 5-gram between a benchmark-slice conversation and a
+    non-benchmark one (both passing quality): the non-benchmark side must
+    drop as 'contaminated', the benchmark side must not."""
+    import hashlib
+
+    from ocr_spark.operators.extraction import _agent_transcripts
+    from ocr_spark.pipeline.curate_convs import (CONV_BENCH_RATE,
+                                                 conv_curation_flags)
+    from ocr_spark.operators.quality import _smp_threshold_u64
+
+    thr = _smp_threshold_u64(CONV_BENCH_RATE) - 2**63
+
+    def is_bench(j):
+        u = int(hashlib.md5(f"conv-{j:06d}:bench".encode())
+                .hexdigest()[:16], 16)
+        return (u - 2**63) < thr
+
+    quality_pass = [j for j in range(50) if j % 4 in (0, 2)]
+    bench = next(j for j in quality_pass if is_bench(j))
+    plain = next(j for j in quality_pass if not is_bench(j) and j != bench)
+
+    texts = {i: f"turn body {i} " + " ".join(f"tok{i}w{j}" for j in range(20))
+             for i in range(100)}
+    phrase = "shared evaluation suite answer string here"
+    texts[bench] += " " + phrase
+    texts[plain] += " " + phrase
+    docs = [(i, texts[i], "en", "s", len(texts[i])) for i in range(100)]
+    d = str(tmp_path / "contamdocs")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    flags = {r.conv_id: r.drop_reason for r in
+             conv_curation_flags(_agent_transcripts(spark, d)).collect()}
+    assert flags[f"conv-{plain:06d}"] == "contaminated"
+    assert flags[f"conv-{bench:06d}"] != "contaminated"
