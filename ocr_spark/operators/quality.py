@@ -560,6 +560,27 @@ ORDER BY lang, doc_id
 PACK_SEQ_LEN = 512  # tokens per packed training sequence
 
 
+def _pack_placement(spark, sf_dir):
+    """Unordered packing placement (the shared core of smp_pack_sequences
+    and smp_pack_assembly): where each document lands in its
+    (lang, source) shard's fixed-length token stream."""
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id", "lang", "source",
+        f"CAST(size({_TOKENS}) AS BIGINT) AS n_tokens_b")
+    w = (Window.partitionBy("lang", "source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (docs
+            .withColumn("tok_start",
+                        F.sum("n_tokens_b").over(w) - F.col("n_tokens_b"))
+            .withColumn("first_seq",
+                        F.expr(f"tok_start DIV {PACK_SEQ_LEN}"))
+            .withColumn("seq_offset",
+                        F.expr(f"tok_start % {PACK_SEQ_LEN}"))
+            .withColumn("n_seqs", F.expr(
+                f"(tok_start + n_tokens_b - 1) DIV {PACK_SEQ_LEN}"
+                f" - first_seq + 1")))
+
+
 def smp_pack_sequences(spark, sf_dir):
     """Sequence packing (GPT-style concat-and-chunk): lay each
     (lang, source) shard's documents end to end in deterministic doc_id
@@ -577,21 +598,7 @@ def smp_pack_sequences(spark, sf_dir):
     is ever materialized, and shard count grows with the corpus. All
     outputs are exact integers (token counts, integer division), so the
     oracle is exact."""
-    docs = _docs(spark, sf_dir).selectExpr(
-        "doc_id", "lang", "source",
-        f"CAST(size({_TOKENS}) AS BIGINT) AS n_tokens_b")
-    w = (Window.partitionBy("lang", "source").orderBy("doc_id")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return (docs
-            .withColumn("tok_start",
-                        F.sum("n_tokens_b").over(w) - F.col("n_tokens_b"))
-            .withColumn("first_seq",
-                        F.expr(f"tok_start DIV {PACK_SEQ_LEN}"))
-            .withColumn("seq_offset",
-                        F.expr(f"tok_start % {PACK_SEQ_LEN}"))
-            .withColumn("n_seqs", F.expr(
-                f"(tok_start + n_tokens_b - 1) DIV {PACK_SEQ_LEN}"
-                f" - first_seq + 1"))
+    return (_pack_placement(spark, sf_dir)
             .select("doc_id", "lang", "source", "n_tokens_b", "tok_start",
                     "first_seq", "seq_offset", "n_seqs")
             .orderBy("lang", "source", "doc_id"))
@@ -622,6 +629,68 @@ FROM pos ORDER BY lang, source, doc_id
 """
 
 
+def smp_pack_assembly(spark, sf_dir):
+    """The consumer view of the packing plan: one row PER TRAINING
+    SEQUENCE, with how many documents contribute, how many tokens the
+    sequence holds (== PACK_SEQ_LEN except each shard's tail), and the
+    doc-id range to read — exactly the range join a trainer's data
+    loader issues to assemble sequence bytes. Derived from the placement
+    by exploding each doc over the sequences it spans (bounded fan-out:
+    a doc adds ≤ n_tokens/PACK_SEQ_LEN + 1 rows) and one keyed
+    aggregation on (lang, source, seq_id). All-integer, oracle-exact."""
+    p = _pack_placement(spark, sf_dir)
+    L = PACK_SEQ_LEN
+    exploded = p.select(
+        "lang", "source", "doc_id", "tok_start", "n_tokens_b",
+        F.explode(F.sequence(
+            F.col("first_seq"),
+            F.col("first_seq") + F.col("n_seqs") - 1)).alias("seq_id"))
+    overlap = (F.least(F.col("tok_start") + F.col("n_tokens_b"),
+                       (F.col("seq_id") + 1) * L)
+               - F.greatest(F.col("tok_start"), F.col("seq_id") * L))
+    return (exploded
+            .withColumn("tok_in_seq", overlap)
+            .groupBy("lang", "source", "seq_id")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("tok_in_seq").alias("n_seq_tokens"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("doc_id").alias("last_doc"))
+            .orderBy("lang", "source", "seq_id"))
+
+
+SMP_PACK_ASSEMBLY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, source,
+         CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT)
+           AS n_tokens_b
+  FROM documents WHERE doc_id IS NOT NULL
+), pos AS (
+  SELECT *,
+         CAST(SUM(n_tokens_b) OVER (PARTITION BY lang, source
+                                    ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING)
+              - n_tokens_b AS BIGINT) AS tok_start
+  FROM toks
+), exploded AS (
+  SELECT lang, source, doc_id, tok_start, n_tokens_b,
+         CAST(unnest(range(tok_start // {PACK_SEQ_LEN},
+                           (tok_start + n_tokens_b - 1)
+                             // {PACK_SEQ_LEN} + 1)) AS BIGINT) AS seq_id
+  FROM pos
+)
+SELECT lang, source, seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(least(tok_start + n_tokens_b, (seq_id + 1) * {PACK_SEQ_LEN})
+                - greatest(tok_start, seq_id * {PACK_SEQ_LEN})) AS BIGINT)
+         AS n_seq_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM exploded
+GROUP BY lang, source, seq_id
+ORDER BY lang, source, seq_id
+"""
+
+
 QUERIES = {
     "txt_repetition": (txt_repetition, TXT_REPETITION_SQL),
     "txt_pii_scrub": (txt_pii_scrub, TXT_PII_SQL),
@@ -629,6 +698,7 @@ QUERIES = {
     "smp_stratified": (smp_stratified, SMP_STRAT_SQL),
     "smp_token_budget": (smp_token_budget, SMP_BUDGET_SQL),
     "smp_pack_sequences": (smp_pack_sequences, SMP_PACK_SQL),
+    "smp_pack_assembly": (smp_pack_assembly, SMP_PACK_ASSEMBLY_SQL),
     "dd_chunk_dup": (dd_chunk_dup, DD_CHUNK_SQL),
     "dd_substring_dup": (dd_substring_dup, DD_SUBSTR_SQL),
 }

@@ -200,3 +200,12 @@ def test_conv_contamination_gate_planted(spark, tmp_path):
              conv_curation_flags(_agent_transcripts(spark, d)).collect()}
     assert flags[f"conv-{plain:06d}"] == "contaminated"
     assert flags[f"conv-{bench:06d}"] != "contaminated"
+
+def test_conv_funnel_contamination_broadcasts(spark):
+    """The conv funnel's decontamination join must broadcast the eval-
+    suite shingle side — the corpus-side shingles never shuffle for it."""
+    from ocr_spark.pipeline.curate_convs import conv_curate_funnel
+    from ocr_spark.plans import has_broadcast_hash_join
+
+    df = conv_curate_funnel(spark, SF_DIR)
+    assert has_broadcast_hash_join(df), "bench shingles must broadcast"

@@ -272,3 +272,36 @@ def test_pack_sequences_placement_invariants(spark, tmp_path):
         os.path.join(str(tmp_path / "pack2"), "documents.parquet"))
     again = smp_pack_sequences(spark, str(tmp_path / "pack2")).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+def test_pack_assembly_tiles_exactly(spark, tmp_path):
+    """Per-sequence view must conserve tokens (sum over sequences ==
+    shard token totals) and fill every non-tail sequence to exactly
+    PACK_SEQ_LEN."""
+    import os
+
+    from ocr_spark.operators.quality import PACK_SEQ_LEN, smp_pack_assembly
+
+    docs = [(i, " ".join(f"w{j}" for j in range(41 * (i % 7 + 1))),
+             ["en", "de"][i % 2], "s", 0) for i in range(50)]
+    d = str(tmp_path / "pasm")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    rows = smp_pack_assembly(spark, d).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault((r.lang, r.source), []).append(r)
+    total_toks = sum(41 * (i % 7 + 1) for i in range(50))
+    assert sum(r.n_seq_tokens for r in rows) == total_toks
+    for shard in by_shard.values():
+        shard.sort(key=lambda r: r.seq_id)
+        assert [r.seq_id for r in shard] == list(range(len(shard)))
+        for r in shard[:-1]:
+            assert r.n_seq_tokens == PACK_SEQ_LEN, "non-tail seq not full"
+        assert 0 < shard[-1].n_seq_tokens <= PACK_SEQ_LEN
+        # doc-id ranges are contiguous across consecutive sequences
+        for a, b in zip(shard, shard[1:]):
+            assert b.first_doc >= a.first_doc
+            assert b.first_doc in (a.last_doc, a.last_doc + 1) or \
+                b.first_doc == a.last_doc
