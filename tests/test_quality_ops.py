@@ -66,7 +66,7 @@ def _duck_on(d, sql):
 @pytest.mark.parametrize("name", [
     "txt_repetition", "txt_pii_scrub", "txt_contamination",
     "smp_stratified", "smp_token_budget", "smp_pack_sequences",
-    "dd_chunk_dup", "dd_substring_dup"])
+    "smp_pack_assembly", "dd_chunk_dup", "dd_substring_dup"])
 def test_edge_corpus_matches_oracle(spark, tmp_path, name):
     """Single-token docs, empty text, maximal repetition, planted shared
     chunks/shingles: Spark and DuckDB must agree row-for-row on the edge
