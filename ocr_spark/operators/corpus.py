@@ -974,23 +974,35 @@ _LANG_MARKERS = {
 }
 
 
-def txt_langid(spark, sf_dir):
-    """Language-ID n-gram/stopword heuristic as expressions: count marker
-    hits per language, argmax with deterministic tie order."""
-    docs = _docs(spark, sf_dir)
-    tokens = F.split(F.lower(F.col("text")), r"\s+")
-    hit_cols = [
+def lang_hit_columns(text_col):
+    """Per-language stopword-marker hit counts for a text Column (the
+    txt_langid heuristic's scoring half, reusable by pipelines)."""
+    tokens = F.split(F.lower(text_col), r"\s+")
+    return [
         F.size(F.filter(tokens, lambda t: t.isin(*words))).alias(f"hits_{lang}")
         for lang, words in _LANG_MARKERS.items()
     ]
-    scored = docs.select("doc_id", "lang", *hit_cols)
+
+
+def lang_argmax_column():
+    """Argmax over the hits_<lang> columns with deterministic tie order
+    (earlier markers win); 'unk' when nothing matched."""
     best = F.greatest(*[F.col(f"hits_{lang}") for lang in _LANG_MARKERS])
     pred = F.lit("unk")
     for lang in reversed(list(_LANG_MARKERS)):  # earlier langs win ties
         pred = F.when((F.col(f"hits_{lang}") == best) & (best > 0),
                       F.lit(lang)).otherwise(pred)
+    return pred
+
+
+def txt_langid(spark, sf_dir):
+    """Language-ID n-gram/stopword heuristic as expressions: count marker
+    hits per language, argmax with deterministic tie order."""
+    docs = _docs(spark, sf_dir)
+    scored = docs.select("doc_id", "lang",
+                         *lang_hit_columns(F.col("text")))
     return (
-        scored.withColumn("pred_lang", pred)
+        scored.withColumn("pred_lang", lang_argmax_column())
         .groupBy("lang", "pred_lang")
         .agg(F.count("*").alias("n_docs"))
         .orderBy("lang", "pred_lang")

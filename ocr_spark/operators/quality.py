@@ -25,7 +25,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
@@ -560,11 +560,12 @@ ORDER BY lang, doc_id
 PACK_SEQ_LEN = 512  # tokens per packed training sequence
 
 
-def _pack_placement(spark, sf_dir):
-    """Unordered packing placement (the shared core of smp_pack_sequences
-    and smp_pack_assembly): where each document lands in its
-    (lang, source) shard's fixed-length token stream."""
-    docs = _docs(spark, sf_dir).selectExpr(
+def pack_placement_from(docs: DataFrame) -> DataFrame:
+    """Packing placement over any (doc_id, lang, source, text) frame:
+    where each document lands in its (lang, source) shard's fixed-length
+    token stream. The shared core of smp_pack_sequences /
+    smp_pack_assembly and the end-to-end corpus pipeline's pack stage."""
+    docs = docs.selectExpr(
         "doc_id", "lang", "source",
         f"CAST(size({_TOKENS}) AS BIGINT) AS n_tokens_b")
     w = (Window.partitionBy("lang", "source").orderBy("doc_id")
@@ -579,6 +580,10 @@ def _pack_placement(spark, sf_dir):
             .withColumn("n_seqs", F.expr(
                 f"(tok_start + n_tokens_b - 1) DIV {PACK_SEQ_LEN}"
                 f" - first_seq + 1")))
+
+
+def _pack_placement(spark, sf_dir):
+    return pack_placement_from(_docs(spark, sf_dir))
 
 
 def smp_pack_sequences(spark, sf_dir):

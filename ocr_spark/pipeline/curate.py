@@ -43,10 +43,16 @@ MAX_SHARED_CHUNK_BP = 5000  # C4: ≥ half the chunks shared → near-dup drop
 CURATOR_VERSION = "curate-v1"
 
 
-def curation_flags(docs: DataFrame) -> DataFrame:
+def curation_flags(docs: DataFrame,
+                   sample_rates: dict[str, float] | None = None) -> DataFrame:
     """(doc_id, lang, text, drop_reason) for every input doc; drop_reason
     NULL = kept. Priority: quality > exact_dup > chunk_dup > contaminated
-    > sampled_out — each doc reports the FIRST gate that rejects it."""
+    > sampled_out — each doc reports the FIRST gate that rejects it.
+
+    sample_rates overrides the per-language keep rates (default
+    SMP_RATES, the oracle-paired configuration); a language absent from
+    the map samples out entirely."""
+    rates = SMP_RATES if sample_rates is None else sample_rates
     docs = docs.where(F.col("doc_id").isNotNull())
     # persisted: the chunk-dedup and decontamination branches both
     # consume the tokenized frame — without the cache each branch
@@ -108,7 +114,7 @@ def curation_flags(docs: DataFrame) -> DataFrame:
     # stratified sampling decision (md5 bridge, engine-exact)
     h = _md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":strat")))
     sampled_in = F.lit(False)
-    for lang, rate in SMP_RATES.items():
+    for lang, rate in rates.items():
         thr = _smp_threshold_u64(rate) - 2**63
         sampled_in = F.when(F.col("lang") == lang,
                             h < F.lit(thr)).otherwise(sampled_in)
@@ -263,14 +269,15 @@ FROM flags GROUP BY stage ORDER BY stage
 """
 
 
-def run_curation(spark, docs: DataFrame, out_dir: str) -> dict:
+def run_curation(spark, docs: DataFrame, out_dir: str,
+                 sample_rates: dict[str, float] | None = None) -> dict:
     """Run the curation pipeline and write curated parquet partitioned by
     lang plus a funnel manifest (counts per stage, thresholds, curator
     version, wall time). One write of the kept rows; the funnel comes
     from the written-side aggregation, so input docs are scanned by the
     one shared plan."""
     t0 = time.time()
-    flags = curation_flags(docs).persist()
+    flags = curation_flags(docs, sample_rates=sample_rates).persist()
     try:
         funnel = {r["stage"]: r["n"] for r in
                   (flags.groupBy(F.coalesce("drop_reason", F.lit("kept"))
@@ -287,7 +294,8 @@ def run_curation(spark, docs: DataFrame, out_dir: str) -> dict:
                 "max_top_token_bp": MAX_TOP_TOKEN_BP,
                 "max_dup_bigram_bp": MAX_DUP_BIGRAM_BP,
                 "max_shared_chunk_bp": MAX_SHARED_CHUNK_BP,
-                "sample_rates": SMP_RATES,
+                "sample_rates": (SMP_RATES if sample_rates is None
+                                 else sample_rates),
             },
             "funnel": funnel,
             "n_input": sum(funnel.values()),

@@ -209,3 +209,58 @@ def test_conv_funnel_contamination_broadcasts(spark):
 
     df = conv_curate_funnel(spark, SF_DIR)
     assert has_broadcast_hash_join(df), "bench shingles must broadcast"
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus pipeline (pipeline/corpus_pipeline.py)
+# ---------------------------------------------------------------------------
+
+def test_corpus_pipeline_end_to_end(spark, tmp_path):
+    """transcripts → extract → documents → curate → pack, with the counts
+    chaining: documents == extracted turns with text, curated kept ==
+    packed rows, token totals conserved between curated docs and the
+    packing plan."""
+    from ocr_spark.pipeline.corpus_pipeline import run_corpus_pipeline
+    from ocr_spark.sources.synthetic import synthesize_transcripts
+
+    wd = str(tmp_path / "corpus")
+    t = synthesize_transcripts(spark, n_convs=60)
+    manifest = run_corpus_pipeline(spark, t, wd, run_id="t1")
+
+    assert manifest["extract"]["rows_out"] == t.count()
+    assert sum(manifest["curate"].values()) == manifest["documents"]
+    assert manifest["n_kept"] == manifest["curate"]["kept"]
+
+    packed = spark.read.parquet(os.path.join(wd, "packed"))
+    assert packed.count() == manifest["n_kept"]
+    # token conservation: the packing plan's per-lang totals equal the
+    # curated docs' token counts
+    curated = spark.read.parquet(os.path.join(wd, "curated", "curated"))
+    toks = {r.lang: r.n for r in curated.selectExpr(
+        "lang", "size(split(lower(text), '\\\\s+')) AS nt")
+        .groupBy("lang").agg(F.sum("nt").alias("n")).collect()}
+    for lang, stats in manifest["pack"].items():
+        assert stats["n_tokens"] == toks[lang]
+        assert stats["n_seqs"] >= (stats["n_tokens"] + 511) // 512
+    disk = json.load(open(os.path.join(wd, "manifest.json")))
+    assert disk == manifest
+
+
+def test_corpus_pipeline_resume_idempotent(spark, tmp_path):
+    """Re-running the pipeline with resume=True over a completed workdir
+    must skip every extract bucket and reproduce the identical curated
+    and packed outputs (deterministic downstream stages)."""
+    from ocr_spark.pipeline.corpus_pipeline import run_corpus_pipeline
+    from ocr_spark.sources.synthetic import synthesize_transcripts
+
+    wd = str(tmp_path / "corpus_r")
+    t = synthesize_transcripts(spark, n_convs=40)
+    m1 = run_corpus_pipeline(spark, t, wd, run_id="t2")
+    kept1 = sorted(r.doc_id for r in spark.read.parquet(
+        os.path.join(wd, "curated", "curated")).select("doc_id").collect())
+    m2 = run_corpus_pipeline(spark, t, wd, run_id="t2", resume=True)
+    assert m2["extract"]["buckets_skipped"] > 0
+    assert m2["curate"] == m1["curate"]
+    assert m2["pack"] == m1["pack"]
+    kept2 = sorted(r.doc_id for r in spark.read.parquet(
+        os.path.join(wd, "curated", "curated")).select("doc_id").collect())
+    assert kept1 == kept2
