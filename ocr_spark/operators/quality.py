@@ -560,26 +560,63 @@ ORDER BY lang, doc_id
 PACK_SEQ_LEN = 512  # tokens per packed training sequence
 
 
+# coarse-bucket width for the distributed prefix sum: doc_id >> 52 is a
+# MONOTONE bucketing (arithmetic shift == floor-div by 2^52) cutting the
+# signed-64 id space into 4096 ordered buckets. Production doc ids are
+# md5-long surrogates (uniform over int64), so the stream splits evenly
+# across all 4096 buckets and the big per-shard window below
+# parallelizes 4096-way; tiny dense test ids collapse into one bucket,
+# degrading gracefully to the single-window plan.
+PACK_BUCKET_SHIFT = 52
+
+
 def pack_placement_from(docs: DataFrame) -> DataFrame:
     """Packing placement over any (doc_id, lang, source, text) frame:
     where each document lands in its (lang, source) shard's fixed-length
     token stream. The shared core of smp_pack_sequences /
-    smp_pack_assembly and the end-to-end corpus pipeline's pack stage."""
+    smp_pack_assembly and the end-to-end corpus pipeline's pack stage.
+
+    The prefix sum is the classic DISTRIBUTED two-level scan, not one
+    window per shard (a shard is a whole language at 100 TB — a single
+    window partition would serialize it through one task):
+      1. per-(shard, coarse id bucket) token subtotals — one keyed
+         aggregation with map-side combine;
+      2. running offsets across the ≤4096 buckets of each shard — a
+         window over the tiny subtotal frame;
+      3. intra-bucket running sums — windows keyed by (shard, bucket),
+         so the heavy window parallelizes across buckets;
+      4. tok_start = bucket offset + intra-bucket prefix − own tokens.
+    The result is bit-identical to the naive per-shard window (pinned in
+    tests), so the DuckDB oracle is unchanged."""
     docs = docs.selectExpr(
         "doc_id", "lang", "source",
-        f"CAST(size({_TOKENS}) AS BIGINT) AS n_tokens_b")
-    w = (Window.partitionBy("lang", "source").orderBy("doc_id")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        f"CAST(size({_TOKENS}) AS BIGINT) AS n_tokens_b",
+        f"shiftright(doc_id, {PACK_BUCKET_SHIFT}) AS id_bucket")
+    wb = (Window.partitionBy("lang", "source").orderBy("id_bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    offsets = (docs.groupBy("lang", "source", "id_bucket")
+               .agg(F.sum("n_tokens_b").alias("bucket_tokens"))
+               .withColumn("bucket_offset",
+                           F.sum("bucket_tokens").over(wb)
+                           - F.col("bucket_tokens"))
+               .select("lang", "source", "id_bucket", "bucket_offset"))
+    wi = (Window.partitionBy("lang", "source", "id_bucket")
+          .orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (docs
+            .withColumn("intra", F.sum("n_tokens_b").over(wi))
+            .join(offsets, ["lang", "source", "id_bucket"])
             .withColumn("tok_start",
-                        F.sum("n_tokens_b").over(w) - F.col("n_tokens_b"))
+                        F.col("bucket_offset") + F.col("intra")
+                        - F.col("n_tokens_b"))
             .withColumn("first_seq",
                         F.expr(f"tok_start DIV {PACK_SEQ_LEN}"))
             .withColumn("seq_offset",
                         F.expr(f"tok_start % {PACK_SEQ_LEN}"))
             .withColumn("n_seqs", F.expr(
                 f"(tok_start + n_tokens_b - 1) DIV {PACK_SEQ_LEN}"
-                f" - first_seq + 1")))
+                f" - first_seq + 1"))
+            .drop("id_bucket", "intra", "bucket_offset"))
 
 
 def _pack_placement(spark, sf_dir):

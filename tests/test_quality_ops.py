@@ -305,3 +305,58 @@ def test_pack_assembly_tiles_exactly(spark, tmp_path):
             assert b.first_doc >= a.first_doc
             assert b.first_doc in (a.last_doc, a.last_doc + 1) or \
                 b.first_doc == a.last_doc
+
+def test_pack_two_level_scan_matches_naive_window(spark):
+    """The distributed two-level prefix sum must be BIT-IDENTICAL to the
+    naive one-window-per-shard plan — on dense small ids (all in one
+    coarse bucket) AND on md5-long-style ids spread across the whole
+    signed-64 space (many buckets, the production case)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from ocr_spark.operators.quality import (PACK_SEQ_LEN, _TOKENS,
+                                             pack_placement_from)
+
+    def naive(docs):
+        d = docs.selectExpr(
+            "doc_id", "lang", "source",
+            f"CAST(size({_TOKENS}) AS BIGINT) AS n_tokens_b")
+        w = (W.partitionBy("lang", "source").orderBy("doc_id")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+        return (d.withColumn("tok_start",
+                             F.sum("n_tokens_b").over(w)
+                             - F.col("n_tokens_b"))
+                .withColumn("first_seq",
+                            F.expr(f"tok_start DIV {PACK_SEQ_LEN}"))
+                .withColumn("seq_offset",
+                            F.expr(f"tok_start % {PACK_SEQ_LEN}"))
+                .withColumn("n_seqs", F.expr(
+                    f"(tok_start + n_tokens_b - 1) DIV {PACK_SEQ_LEN}"
+                    f" - first_seq + 1")))
+
+    import hashlib
+
+    def md5_long(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:16], 16) - 2**63
+
+    cols = ("doc_id long, text string, lang string, source string, "
+            "n_chars long")
+    dense = [(i, " ".join(f"w{j}" for j in range(23 * (i % 5 + 1))),
+              ["en", "de"][i % 2], "s", 0) for i in range(80)]
+    spread = [(md5_long(f"doc{i}"),
+               " ".join(f"w{j}" for j in range(23 * (i % 5 + 1))),
+               ["en", "de"][i % 2], "s", 0) for i in range(80)]
+    for rows in (dense, spread):
+        docs = spark.createDataFrame(rows, cols).repartition(7)
+        got = sorted(map(tuple, pack_placement_from(docs)
+                         .select("doc_id", "lang", "source", "n_tokens_b",
+                                 "tok_start", "first_seq", "seq_offset",
+                                 "n_seqs").collect()))
+        want = sorted(map(tuple, naive(docs)
+                          .select("doc_id", "lang", "source", "n_tokens_b",
+                                  "tok_start", "first_seq", "seq_offset",
+                                  "n_seqs").collect()))
+        assert got == want
+        # spread ids actually exercise many coarse buckets
+    n_buckets = len({r[0] >> 52 for r in spread})
+    assert n_buckets > 40, "spread fixture no longer spans buckets"
