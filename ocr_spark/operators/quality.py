@@ -525,17 +525,14 @@ SMP_TOKEN_BUDGET = 5000
 def smp_token_budget(spark, sf_dir):
     """Token-budget capping per language (data-mixing to a target token
     count): docs are admitted in deterministic doc_id order until the
-    language's running token total passes the budget. One window over
-    (lang, doc_id) — at 100 TB the per-stratum prefix sum is the standard
-    two-pass pattern; here the stratum count is tiny so a single window
-    partition per language is the honest plan."""
+    language's running token total passes the budget. The per-stratum
+    prefix sum runs as the distributed two-level scan
+    (sharded_prefix_sum — a stratum is a whole language at 100 TB),
+    bit-identical to the single-window form the SQL oracle states."""
     docs = _docs(spark, sf_dir).selectExpr(
         "doc_id", "lang",
         f"CAST(size({_TOKENS}) AS BIGINT) AS n_tokens_b")
-    w = (Window.partitionBy("lang").orderBy("doc_id")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return (docs
-            .withColumn("cum_tokens", F.sum("n_tokens_b").over(w))
+    return (sharded_prefix_sum(docs, ["lang"], "n_tokens_b", "cum_tokens")
             .withColumn("kept",
                         (F.col("cum_tokens") <= SMP_TOKEN_BUDGET)
                         .cast("int"))
@@ -564,51 +561,59 @@ PACK_SEQ_LEN = 512  # tokens per packed training sequence
 # MONOTONE bucketing (arithmetic shift == floor-div by 2^52) cutting the
 # signed-64 id space into 4096 ordered buckets. Production doc ids are
 # md5-long surrogates (uniform over int64), so the stream splits evenly
-# across all 4096 buckets and the big per-shard window below
-# parallelizes 4096-way; tiny dense test ids collapse into one bucket,
-# degrading gracefully to the single-window plan.
+# across all 4096 buckets and the big per-shard windows parallelize
+# 4096-way; tiny dense test ids collapse into one bucket, degrading
+# gracefully to the single-window plan.
 PACK_BUCKET_SHIFT = 52
+
+
+def sharded_prefix_sum(df: DataFrame, shard_cols: list[str],
+                       value_col: str, out_col: str) -> DataFrame:
+    """Inclusive running sum of value_col over doc_id order within each
+    shard, as the classic DISTRIBUTED two-level scan — not one window per
+    shard (a shard is a whole language at 100 TB; a single window
+    partition would serialize it through one task):
+      1. per-(shard, coarse id bucket) subtotals — one keyed aggregation
+         with map-side combine;
+      2. running offsets across the ≤4096 buckets of each shard — a
+         window over the tiny subtotal frame;
+      3. intra-bucket running sums — windows keyed by (shard, bucket),
+         parallel across buckets;
+      4. out = bucket offset + intra-bucket prefix.
+    Bit-identical to the naive per-shard window (pinned in tests), so
+    window-form SQL oracles are unchanged."""
+    bucketed = df.withColumn(
+        "_id_bucket", F.shiftright(F.col("doc_id"), PACK_BUCKET_SHIFT))
+    wb = (Window.partitionBy(*shard_cols).orderBy("_id_bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    offsets = (bucketed.groupBy(*shard_cols, "_id_bucket")
+               .agg(F.sum(value_col).alias("_bucket_total"))
+               .withColumn("_bucket_offset",
+                           F.sum("_bucket_total").over(wb)
+                           - F.col("_bucket_total"))
+               .select(*shard_cols, "_id_bucket", "_bucket_offset"))
+    wi = (Window.partitionBy(*shard_cols, "_id_bucket")
+          .orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (bucketed
+            .withColumn("_intra", F.sum(value_col).over(wi))
+            .join(offsets, [*shard_cols, "_id_bucket"])
+            .withColumn(out_col, F.col("_bucket_offset") + F.col("_intra"))
+            .drop("_id_bucket", "_intra", "_bucket_offset"))
 
 
 def pack_placement_from(docs: DataFrame) -> DataFrame:
     """Packing placement over any (doc_id, lang, source, text) frame:
     where each document lands in its (lang, source) shard's fixed-length
-    token stream. The shared core of smp_pack_sequences /
-    smp_pack_assembly and the end-to-end corpus pipeline's pack stage.
-
-    The prefix sum is the classic DISTRIBUTED two-level scan, not one
-    window per shard (a shard is a whole language at 100 TB — a single
-    window partition would serialize it through one task):
-      1. per-(shard, coarse id bucket) token subtotals — one keyed
-         aggregation with map-side combine;
-      2. running offsets across the ≤4096 buckets of each shard — a
-         window over the tiny subtotal frame;
-      3. intra-bucket running sums — windows keyed by (shard, bucket),
-         so the heavy window parallelizes across buckets;
-      4. tok_start = bucket offset + intra-bucket prefix − own tokens.
-    The result is bit-identical to the naive per-shard window (pinned in
-    tests), so the DuckDB oracle is unchanged."""
+    token stream (tok_start = exclusive prefix via the distributed
+    sharded_prefix_sum). The shared core of smp_pack_sequences /
+    smp_pack_assembly and the end-to-end corpus pipeline's pack stage."""
     docs = docs.selectExpr(
         "doc_id", "lang", "source",
-        f"CAST(size({_TOKENS}) AS BIGINT) AS n_tokens_b",
-        f"shiftright(doc_id, {PACK_BUCKET_SHIFT}) AS id_bucket")
-    wb = (Window.partitionBy("lang", "source").orderBy("id_bucket")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    offsets = (docs.groupBy("lang", "source", "id_bucket")
-               .agg(F.sum("n_tokens_b").alias("bucket_tokens"))
-               .withColumn("bucket_offset",
-                           F.sum("bucket_tokens").over(wb)
-                           - F.col("bucket_tokens"))
-               .select("lang", "source", "id_bucket", "bucket_offset"))
-    wi = (Window.partitionBy("lang", "source", "id_bucket")
-          .orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return (docs
-            .withColumn("intra", F.sum("n_tokens_b").over(wi))
-            .join(offsets, ["lang", "source", "id_bucket"])
-            .withColumn("tok_start",
-                        F.col("bucket_offset") + F.col("intra")
-                        - F.col("n_tokens_b"))
+        f"CAST(size({_TOKENS}) AS BIGINT) AS n_tokens_b")
+    return (sharded_prefix_sum(docs, ["lang", "source"], "n_tokens_b",
+                               "_cum")
+            .withColumn("tok_start", F.col("_cum") - F.col("n_tokens_b"))
             .withColumn("first_seq",
                         F.expr(f"tok_start DIV {PACK_SEQ_LEN}"))
             .withColumn("seq_offset",
@@ -616,7 +621,7 @@ def pack_placement_from(docs: DataFrame) -> DataFrame:
             .withColumn("n_seqs", F.expr(
                 f"(tok_start + n_tokens_b - 1) DIV {PACK_SEQ_LEN}"
                 f" - first_seq + 1"))
-            .drop("id_bucket", "intra", "bucket_offset"))
+            .drop("_cum"))
 
 
 def _pack_placement(spark, sf_dir):
