@@ -37,7 +37,10 @@ def main() -> None:
 
     from ocr_spark.pipeline.corpus_pipeline import run_corpus_pipeline
 
-    spark = SparkSession.builder.appName("ocr-spark-corpus").getOrCreate()
+    spark = (SparkSession.builder.appName("ocr-spark-corpus")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+             .getOrCreate())
     try:
         if args.input_parquet:
             t = spark.read.parquet(args.input_parquet)

@@ -30,7 +30,10 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
-    spark = SparkSession.builder.appName("ocr-spark-curate").getOrCreate()
+    spark = (SparkSession.builder.appName("ocr-spark-curate")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+             .getOrCreate())
     try:
         if args.grain == "conv":
             from ocr_spark.operators.extraction import _agent_transcripts

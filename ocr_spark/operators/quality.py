@@ -557,6 +557,17 @@ ORDER BY lang, doc_id
 PACK_SEQ_LEN = 512  # tokens per packed training sequence
 
 
+def token_shingle_expr(arr_col: str, n: int) -> str:
+    """SQL expression producing the DISTINCT n-token shingles of a STORED
+    token-array column. The index lambda is only safe on a materialized
+    array column — over a computed column it re-evaluates the tokenizer
+    per element (the HOF trap, CLAUDE.md) — so callers must ensure
+    arr_col is a plain stored column (persisted or read from disk)."""
+    joined = ", ".join(f"{arr_col}[i + {j}]" for j in range(n))
+    return (f"array_distinct(transform(sequence(0, size({arr_col}) - {n}),"
+            f" i -> concat_ws(' ', {joined})))")
+
+
 # coarse-bucket width for the distributed prefix sum: doc_id >> 52 is a
 # MONOTONE bucketing (arithmetic shift == floor-div by 2^52) cutting the
 # signed-64 id space into 4096 ordered buckets. Production doc ids are
@@ -586,20 +597,29 @@ def sharded_prefix_sum(df: DataFrame, shard_cols: list[str],
         "_id_bucket", F.shiftright(F.col("doc_id"), PACK_BUCKET_SHIFT))
     wb = (Window.partitionBy(*shard_cols).orderBy("_id_bucket")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # the offsets join keys are NULL-SAFE: a NULL shard value (e.g. a
+    # null lang) is one partition to the window-form oracle's PARTITION
+    # BY, so an equi-join here would silently drop those rows
+    o_cols = [F.col(c).alias(f"_o_{c}") for c in shard_cols]
     offsets = (bucketed.groupBy(*shard_cols, "_id_bucket")
                .agg(F.sum(value_col).alias("_bucket_total"))
                .withColumn("_bucket_offset",
                            F.sum("_bucket_total").over(wb)
                            - F.col("_bucket_total"))
-               .select(*shard_cols, "_id_bucket", "_bucket_offset"))
+               .select(*o_cols, F.col("_id_bucket").alias("_o_bucket"),
+                       "_bucket_offset"))
+    cond = F.col("_id_bucket").eqNullSafe(F.col("_o_bucket"))
+    for c in shard_cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_o_{c}"))
     wi = (Window.partitionBy(*shard_cols, "_id_bucket")
           .orderBy("doc_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (bucketed
             .withColumn("_intra", F.sum(value_col).over(wi))
-            .join(offsets, [*shard_cols, "_id_bucket"])
+            .join(offsets, cond)
             .withColumn(out_col, F.col("_bucket_offset") + F.col("_intra"))
-            .drop("_id_bucket", "_intra", "_bucket_offset"))
+            .drop("_id_bucket", "_intra", "_bucket_offset", "_o_bucket",
+                  *[f"_o_{c}" for c in shard_cols]))
 
 
 def pack_placement_from(docs: DataFrame) -> DataFrame:

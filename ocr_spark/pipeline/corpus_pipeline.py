@@ -27,7 +27,6 @@ per-shard window). Nothing here adds a new shuffle shape.
 
 from __future__ import annotations
 
-import json
 import os
 import time
 
@@ -38,6 +37,7 @@ from ..operators.corpus import (_md5_long, lang_argmax_column,
 from ..operators.quality import PACK_SEQ_LEN, SMP_RATES, pack_placement_from
 from .curate import run_curation
 from .extract import run_extract_job
+from .util import write_manifest
 
 CORPUS_PIPELINE_VERSION = "corpus-v1"
 
@@ -128,8 +128,5 @@ def run_corpus_pipeline(spark, transcripts: DataFrame, workdir: str,
         "n_kept": curate_manifest["n_kept"],
         "wall_sec": round(time.time() - t0, 3),
     }
-    tmp = os.path.join(workdir, "_manifest.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=2, sort_keys=True)
-    os.replace(tmp, os.path.join(workdir, "manifest.json"))
+    write_manifest(workdir, manifest)
     return manifest

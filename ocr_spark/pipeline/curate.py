@@ -21,7 +21,6 @@ oracle-paired at the driver (operators/__init__.py: `curate_funnel`).
 
 from __future__ import annotations
 
-import json
 import os
 import time
 
@@ -32,7 +31,8 @@ from pyspark.sql.window import Window
 from ..operators.corpus import _md5_long
 from ..operators.quality import (BENCH_MOD, CHUNK_TOKENS, CONTAM_NGRAM,
                                  SMP_RATES, _smp_threshold_u64, _TOKENS,
-                                 with_repetition_signals)
+                                 token_shingle_expr, with_repetition_signals)
+from .util import write_manifest
 
 # gate thresholds (documented defaults; callers override per corpus)
 MIN_TOKENS = 10
@@ -98,12 +98,8 @@ def curation_flags(docs: DataFrame,
     # benchmark decontamination: any shared CONTAM_NGRAM-token shingle
     n = CONTAM_NGRAM
     sh = (toks.where(f"size(t) >= {n}")
-          .selectExpr(
-              "doc_id",
-              f"explode(array_distinct(transform(sequence(0, size(t) - {n}),"
-              f" i -> concat_ws(' ', "
-              f"{', '.join(f't[i + {j}]' for j in range(n))}))))"
-              f" AS s"))
+          .selectExpr("doc_id",
+                      f"explode({token_shingle_expr('t', n)}) AS s"))
     bench = (sh.where(F.col("doc_id") % BENCH_MOD == 0)
              .select("s").distinct())
     contam = (sh.where(F.col("doc_id") % BENCH_MOD != 0)
@@ -302,11 +298,7 @@ def run_curation(spark, docs: DataFrame, out_dir: str,
             "n_kept": funnel.get("kept", 0),
             "wall_sec": round(time.time() - t0, 3),
         }
-        os.makedirs(out_dir, exist_ok=True)
-        tmp = os.path.join(out_dir, "_manifest.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=2, sort_keys=True)
-        os.replace(tmp, os.path.join(out_dir, "manifest.json"))
+        write_manifest(out_dir, manifest)
         return manifest
     finally:
         flags.unpersist()

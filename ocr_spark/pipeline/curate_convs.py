@@ -29,7 +29,6 @@ oracle-paired at the driver (`conv_curate_funnel`).
 
 from __future__ import annotations
 
-import json
 import os
 import time
 
@@ -40,7 +39,9 @@ from ..operators.corpus import (_lsh_candidate_pairs, _md5_long,
                                 _MINHASH_CTES, _minhash_bands,
                                 _minhash_sig_stage)
 from ..operators.extraction import _AGENT_TRANSCRIPTS_CTE, _agent_transcripts
-from ..operators.quality import CONTAM_NGRAM, _smp_threshold_u64
+from ..operators.quality import (CONTAM_NGRAM, _smp_threshold_u64,
+                                 token_shingle_expr)
+from .util import write_manifest
 
 MIN_CONV_CHARS = 100     # assembled-conversation char floor
 CONV_KEEP_RATE = 0.8     # deterministic sampling keep rate
@@ -78,8 +79,13 @@ def conv_curation_flags(t: DataFrame) -> DataFrame:
     wdup = Window.partitionBy(
         F.md5(F.regexp_replace(F.lower(F.col("doc")), r"\s+", " "))
     ).orderBy("conv_id")
+    # persisted: the near-dup signature stage, the two ids joins, and
+    # the final flag projection all branch from flags0 — uncached, each
+    # re-runs the exact-dup window shuffle (caller action releases it;
+    # the bench/driver clears caches between queries)
     flags0 = (conv.withColumn("quality_fail", quality_fail)
-              .withColumn("dup_rank", F.row_number().over(wdup)))
+              .withColumn("dup_rank", F.row_number().over(wdup))
+              .persist())
 
     # near-dup candidates among the quality+exact survivors only: the
     # MinHash surrogate ids are md5-derived longs so the oracle replays
@@ -114,11 +120,8 @@ def conv_curation_flags(t: DataFrame) -> DataFrame:
     n = CONTAM_NGRAM
     csh = (conv.where(F.size("ct") >= n)
            .select("conv_id", is_bench.alias("is_bench"),
-                   F.explode(F.array_distinct(F.expr(
-                       f"transform(sequence(0, size(ct) - {n}),"
-                       f" i -> concat_ws(' ', "
-                       f"{', '.join(f'ct[i + {j}]' for j in range(n))}))"
-                   ))).alias("s")))
+                   F.explode(F.expr(token_shingle_expr("ct", n)))
+                   .alias("s")))
     bench_sh = csh.where("is_bench").select("s").distinct()
     contam = (csh.where(~F.col("is_bench"))
               .join(broadcast(bench_sh), "s")
@@ -252,11 +255,7 @@ def run_conv_curation(spark, t: DataFrame, out_dir: str) -> dict:
             "n_kept": funnel.get("kept", 0),
             "wall_sec": round(time.time() - t0, 3),
         }
-        os.makedirs(out_dir, exist_ok=True)
-        tmp = os.path.join(out_dir, "_manifest.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=2, sort_keys=True)
-        os.replace(tmp, os.path.join(out_dir, "manifest.json"))
+        write_manifest(out_dir, manifest)
         return manifest
     finally:
         flags.unpersist()

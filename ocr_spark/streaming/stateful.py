@@ -120,12 +120,12 @@ def streaming_running_totals(extracted: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 CONV_STATS_OUTPUT_SCHEMA = ("conv_id string, n_turns long, n_user long, "
-                            "n_tool_turns long, n_distinct_tools long, "
-                            "total_chars long, max_turn_chars long, "
-                            "span_seconds long")
-CONV_STATS_STATE_SCHEMA = ("n_turns long, n_user long, n_tool long, "
-                           "chars long, max_chars long, min_us long, "
-                           "max_us long, tools array<string>")
+                            "n_assistant long, n_tool_turns long, "
+                            "n_distinct_tools long, total_chars long, "
+                            "max_turn_chars long, span_seconds long")
+CONV_STATS_STATE_SCHEMA = ("n_turns long, n_user long, n_assistant long, "
+                           "n_tool long, chars long, max_chars long, "
+                           "min_us long, max_us long, tools array<string>")
 
 # distinct-tool tracking is the only unbounded piece of this state; real
 # tool vocabularies are tiny, so cap it (the count saturates at the cap)
@@ -136,24 +136,29 @@ def _conv_stats_fn(key, pdfs, state: GroupState):
     import pandas as pd
     (conv_id,) = key
     if state.exists:
-        (n_turns, n_user, n_tool, chars, max_chars,
+        (n_turns, n_user, n_assistant, n_tool, chars, max_chars,
          min_us, max_us, tools) = state.get
         tools = list(tools)
     else:
-        n_turns = n_user = n_tool = chars = max_chars = 0
+        n_turns = n_user = n_assistant = n_tool = chars = max_chars = 0
         min_us = max_us = None
         tools = []
     tool_set = set(tools)
     for pdf in pdfs:
         n_turns += len(pdf)
         n_user += int((pdf["role"] == "user").sum())
+        n_assistant += int((pdf["role"] == "assistant").sum())
         n_tool += int((pdf["role"] == "tool").sum())
         lens = pdf["text"].fillna("").str.len().astype("int64")
         if len(lens):
             chars += int(lens.sum())
             max_chars = max(max_chars, int(lens.max()))
-        ts_us = pd.to_datetime(pdf["ts"]).astype("int64") // 1000
-        if len(ts_us):
+        # NaT guard: a NULL ts silently casts to int64 min and would
+        # poison min_us in the persisted state forever — match the batch
+        # twin's F.min/F.max NULL-skipping instead
+        ts = pd.to_datetime(pdf["ts"]).dropna()
+        if len(ts):
+            ts_us = ts.astype("int64") // 1000
             lo, hi = int(ts_us.min()), int(ts_us.max())
             min_us = lo if min_us is None else min(min_us, lo)
             max_us = hi if max_us is None else max(max_us, hi)
@@ -161,15 +166,15 @@ def _conv_stats_fn(key, pdfs, state: GroupState):
             if t not in tool_set and len(tool_set) < MAX_TRACKED_TOOLS:
                 tool_set.add(t)
                 tools.append(t)
-    state.update((n_turns, n_user, n_tool, chars, max_chars,
+    state.update((n_turns, n_user, n_assistant, n_tool, chars, max_chars,
                   min_us, max_us, tools))
     span = 0 if min_us is None else (max_us - min_us) // 1_000_000
     yield pd.DataFrame(
-        [(conv_id, n_turns, n_user, n_tool, len(tools), chars, max_chars,
-          span)],
-        columns=["conv_id", "n_turns", "n_user", "n_tool_turns",
-                 "n_distinct_tools", "total_chars", "max_turn_chars",
-                 "span_seconds"])
+        [(conv_id, n_turns, n_user, n_assistant, n_tool, len(tools),
+          chars, max_chars, span)],
+        columns=["conv_id", "n_turns", "n_user", "n_assistant",
+                 "n_tool_turns", "n_distinct_tools", "total_chars",
+                 "max_turn_chars", "span_seconds"])
 
 
 def streaming_conv_stats(turns: DataFrame) -> DataFrame:
@@ -181,7 +186,14 @@ def streaming_conv_stats(turns: DataFrame) -> DataFrame:
     emits the updated row for each conversation the micro-batch touched.
     State is O(1) per conversation plus a capped tool list; span uses
     microsecond timestamps (the w3 lesson: no whole-second truncation
-    class — integer floor only at the final seconds division)."""
+    class — integer floor only at the final seconds division).
+
+    Timezone caveat: the pandas frame carries ts as NAIVE datetimes
+    localized to spark.sql.session.timeZone, so span arithmetic is only
+    wall-clock-correct when the session runs UTC (this repo pins UTC in
+    pipeline/session.py and every jobs/ entrypoint); a DST-shifting
+    session tz would skew spans that straddle a transition by the DST
+    offset."""
     return (
         turns.groupBy("conv_id")
         .applyInPandasWithState(

@@ -168,6 +168,8 @@ def test_streaming_conv_stats_matches_batch(spark, tmp_path):
         spark.read.parquet(inp).groupBy("conv_id")
         .agg(F.count("*").alias("n_turns"),
              F.sum((F.col("role") == "user").cast("bigint")).alias("n_user"),
+             F.sum((F.col("role") == "assistant").cast("bigint"))
+             .alias("n_assistant"),
              F.sum((F.col("role") == "tool").cast("bigint"))
              .alias("n_tool_turns"),
              F.count_distinct("tool").alias("n_distinct_tools"),
@@ -177,10 +179,12 @@ def test_streaming_conv_stats_matches_batch(spark, tmp_path):
              .alias("span_seconds"))).collect()}
     for conv_id, b in batch.items():
         s = latest[conv_id]
-        got = (s.n_turns, s.n_user, s.n_tool_turns, s.n_distinct_tools,
-               s.total_chars, s.max_turn_chars, s.span_seconds)
-        want = (b.n_turns, b.n_user, b.n_tool_turns, b.n_distinct_tools,
-                b.total_chars, b.max_turn_chars, b.span_seconds)
+        got = (s.n_turns, s.n_user, s.n_assistant, s.n_tool_turns,
+               s.n_distinct_tools, s.total_chars, s.max_turn_chars,
+               s.span_seconds)
+        want = (b.n_turns, b.n_user, b.n_assistant, b.n_tool_turns,
+                b.n_distinct_tools, b.total_chars, b.max_turn_chars,
+                b.span_seconds)
         assert got == want, f"{conv_id}: {got} != {want}"
     # c1's span (28s) straddles the micro-batch boundary — the state, not
     # the batch window, carried min_ts across
