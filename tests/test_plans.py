@@ -147,3 +147,21 @@ def test_repetition_signals_shuffle_only_for_the_sort(spark):
     from ocr_spark.operators.quality import txt_repetition
     from ocr_spark.plans import exchange_count
     assert exchange_count(txt_repetition(spark, SF_DIR)) == 1
+
+
+def test_pack_prefix_sum_windows_are_bucketed(spark):
+    """The packing placement's DOC-GRAIN window must partition by
+    (shard, _id_bucket) — a window partitioned by the shard alone over
+    doc rows would serialize a whole language through one task at scale.
+    The only shard-only window allowed is the tiny bucket-offsets one
+    (it aggregates _bucket_total, not doc rows)."""
+    from ocr_spark.operators.quality import smp_pack_sequences
+
+    df = smp_pack_sequences(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    doc_grain = [ln for ln in plan.splitlines()
+                 if "windowspecdefinition" in ln and "n_tokens_b" in ln]
+    assert doc_grain, "doc-grain window missing from the plan"
+    for ln in doc_grain:
+        assert "_id_bucket" in ln, \
+            f"doc-grain window not bucket-partitioned: {ln.strip()[:160]}"
