@@ -145,6 +145,92 @@ ORDER BY b.doc_id
 """
 
 
+def dd_incremental_neardup(spark, sf_dir):
+    """Incremental NEAR-dup: the new batch is checked against the
+    corpus's banded MinHash index — the daily-crawl shape for fuzzy
+    dedup. The corpus side collapses to ONE row per (band, band_hash)
+    (min doc_id — what you persist between crawls), so the historical
+    corpus is never self-joined and the batch pass is one keyed
+    equi-join on the band key; per batch doc the verdict is the number
+    of matching bands and the smallest colliding corpus doc. Batch
+    membership and the planted light-mutation replays (doc_id % 20 == 7
+    carries doc_id-7's text plus a short suffix) are deterministic
+    doc_id functions, so the DuckDB oracle replays the identical
+    signature → banding → index-join chain end to end."""
+    docs = _docs(spark, sf_dir)
+    is_batch = F.col("doc_id") % 10 == INCR_BATCH_RESIDUE
+    donors = docs.select(
+        (F.col("doc_id") + INCR_BATCH_RESIDUE).alias("doc_id"),
+        F.col("text").alias("donor_text"))
+    batch = (docs.where(is_batch)
+             .join(donors, "doc_id")
+             .select("doc_id",
+                     F.when(F.col("doc_id") % 20 == INCR_BATCH_RESIDUE,
+                            F.concat(F.col("donor_text"),
+                                     F.lit(" near dup probe")))
+                     .otherwise(F.concat(
+                         F.col("text"), F.lit(" batch-new-"),
+                         F.col("doc_id").cast("string"))).alias("text")))
+    src = (docs.where(~is_batch).select("doc_id", "text")
+           .unionByName(batch))
+    sigs = src.mapInPandas(_minhash_sig_stage(),
+                           "doc_id long, sig array<long>")
+    bands = _minhash_bands(sigs)
+    corpus_idx = (bands.where(F.col("doc_id") % 10 != INCR_BATCH_RESIDUE)
+                  .groupBy("band", "band_hash")
+                  .agg(F.min("doc_id").alias("m")))
+    hits = (bands.where(F.col("doc_id") % 10 == INCR_BATCH_RESIDUE)
+            .join(corpus_idx, ["band", "band_hash"])
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_band_hits"),
+                 F.min("m").alias("match_id")))
+    return (docs.where(is_batch).select("doc_id")
+            .join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.when(F.col("match_id").isNotNull(),
+                           F.lit("near_dup"))
+                    .otherwise(F.lit("new")).alias("status"),
+                    "match_id",
+                    F.coalesce(F.col("n_band_hits"),
+                               F.lit(0).cast("long")).alias("n_band_hits"))
+            .orderBy("doc_id"))
+
+
+def _dd_incr_neardup_sql() -> str:
+    return f"""
+WITH src AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> {INCR_BATCH_RESIDUE}
+  UNION ALL
+  SELECT b.doc_id,
+         CASE WHEN b.doc_id % 20 = {INCR_BATCH_RESIDUE}
+              THEN d.text || ' near dup probe'
+              ELSE b.text || ' batch-new-' || CAST(b.doc_id AS VARCHAR)
+         END AS text
+  FROM documents b JOIN documents d ON d.doc_id = b.doc_id - {INCR_BATCH_RESIDUE}
+  WHERE b.doc_id % 10 = {INCR_BATCH_RESIDUE}
+),
+{{minhash}},
+corpus_idx AS (
+  SELECT band, band_hash, MIN(doc_id) AS m
+  FROM bands WHERE doc_id % 10 <> {INCR_BATCH_RESIDUE} GROUP BY 1, 2
+),
+hits AS (
+  SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_band_hits,
+         MIN(c.m) AS match_id
+  FROM bands b JOIN corpus_idx c USING (band, band_hash)
+  WHERE b.doc_id % 10 = {INCR_BATCH_RESIDUE} GROUP BY 1
+)
+SELECT d.doc_id,
+       CASE WHEN h.match_id IS NOT NULL THEN 'near_dup' ELSE 'new' END
+         AS status,
+       h.match_id,
+       CAST(COALESCE(h.n_band_hits, 0) AS BIGINT) AS n_band_hits
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = {INCR_BATCH_RESIDUE}) d
+LEFT JOIN hits h USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 DF_CAP = 100  # shingle document-frequency cap (boilerplate/skew guard)
 
 
@@ -1739,6 +1825,10 @@ QUERIES = {
     "txt_fingerprint": (txt_fingerprint, TXT_FP_SQL),
     "dd_exact_dup": (dd_exact_dup, DD_EXACT_SQL),
     "dd_incremental": (dd_incremental, DD_INCR_SQL),
+    "dd_incremental_neardup": (
+        dd_incremental_neardup,
+        _dd_incr_neardup_sql().format(
+            minhash=_MINHASH_CTES.format(src="src"))),
     "sim_cosine_topk": (sim_cosine_topk, SIM_COSINE_SQL),
     "dd_embedding_neardup": (dd_embedding_neardup, DD_EMB_SQL),
     "sim_lsh_buckets": (sim_lsh_buckets, SIM_LSH_BUCKETS_SQL),

@@ -466,3 +466,32 @@ def test_conv_stats_hand_computed(spark, tmp_path):
     # 1->assistant, 51->system
     assert c1.n_turns == 2 and c1.n_assistant == 1 and c1.n_tool_turns == 0
     assert c1.n_distinct_tools == 0 and c1.span_seconds == 50 * 7
+
+
+def test_incremental_neardup_planted_verdicts(spark, tmp_path):
+    """Batch docs that lightly mutate a corpus doc's text (planted at
+    doc_id % 20 == 7) must band-collide with their donor; batch docs
+    with per-doc disjoint vocabularies must come back 'new'."""
+    import os
+
+    from ocr_spark.operators.corpus import dd_incremental_neardup
+
+    docs = [(i, " ".join(f"d{i}w{j}" for j in range(60)),
+             "en", "s", 0) for i in range(40)]
+    d = str(tmp_path / "incrnd")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    rows = {r.doc_id: r for r in
+            dd_incremental_neardup(spark, d).collect()}
+    assert set(rows) == {7, 17, 27, 37}
+    # planted replays (7, 27) carry doc_id-7's text + a 3-token suffix:
+    # jaccard ~0.95 -> at least one of the 4 bands collides with the
+    # donor (deterministic for this fixed corpus)
+    assert rows[7].status == "near_dup" and rows[7].match_id == 0
+    assert rows[27].status == "near_dup" and rows[27].match_id == 20
+    assert rows[7].n_band_hits >= 1
+    # disjoint-vocab batch docs share no shingles with any corpus doc
+    assert rows[17].status == "new" and rows[17].match_id is None
+    assert rows[37].status == "new" and rows[37].n_band_hits == 0
