@@ -26,6 +26,12 @@ def main() -> None:
                     help="dir containing documents.parquet")
     ap.add_argument("--output", required=True)
     ap.add_argument("--grain", choices=["doc", "conv"], default="doc")
+    ap.add_argument("--transcripts-parquet", default=None,
+                    help="with --grain conv: parquet of REAL transcripts "
+                         "(conv_id, turn_idx, role, text, tool, ts) to "
+                         "curate instead of the transcripts synthesized "
+                         "from documents.parquet (the oracle-paired demo "
+                         "shape)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -36,10 +42,13 @@ def main() -> None:
              .getOrCreate())
     try:
         if args.grain == "conv":
-            from ocr_spark.operators.extraction import _agent_transcripts
             from ocr_spark.pipeline.curate_convs import run_conv_curation
-            manifest = run_conv_curation(
-                spark, _agent_transcripts(spark, args.input), args.output)
+            if args.transcripts_parquet:
+                t = spark.read.parquet(args.transcripts_parquet)
+            else:
+                from ocr_spark.operators.extraction import _agent_transcripts
+                t = _agent_transcripts(spark, args.input)
+            manifest = run_conv_curation(spark, t, args.output)
         else:
             from ocr_spark.pipeline.curate import run_curation
             docs = spark.read.parquet(f"{args.input}/documents.parquet")

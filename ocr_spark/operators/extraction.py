@@ -552,21 +552,33 @@ def _agent_transcripts(spark, sf_dir):
     """Transcripts in the exact input_hint shape (conv_id, turn_idx, role,
     text, tool, ts), synthesized deterministically from documents with a
     realistic role mix and tool names on tool turns — the input for the
-    transcript-native analytics queries (conv_stats)."""
+    transcript-native analytics queries (conv_stats).
+
+    All doc_id arithmetic uses pmod, not %: Spark's % keeps the
+    dividend's sign, so a NEGATIVE doc_id (production ids are md5-longs,
+    uniform over signed int64) would make element_at(roles, 0) throw and
+    doc_id * 7 overflow int64 in timestamp_seconds. pmod keeps every
+    index in range and the ts seed is bounded to 2^31 seconds-from-epoch
+    before the *7; the oracle CTE mirrors with ((x % n) + n) % n —
+    identical to % on the dense positive testdata ids, so the oracle
+    hash is unchanged."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
     role = F.element_at(F.array(*[F.lit(r) for r in _AGENT_ROLES]),
-                        (F.col("doc_id") % 4 + 1).cast("int"))
-    tool = F.when(F.col("doc_id") % 4 == 2,
+                        (F.pmod(did, F.lit(4)) + 1).cast("int"))
+    tool = F.when(F.pmod(did, F.lit(4)) == 2,
                   F.element_at(F.array(*[F.lit(t) for t in _AGENT_TOOLS]),
-                               (F.col("doc_id") % 3 + 1).cast("int")))
+                               (F.pmod(did, F.lit(3)) + 1).cast("int")))
     return docs.select(
-        F.format_string("conv-%06d", F.col("doc_id") % 50).alias("conv_id"),
-        (F.col("doc_id") % 1000).cast("int").alias("turn_idx"),
+        F.format_string("conv-%06d",
+                        F.pmod(did, F.lit(50))).alias("conv_id"),
+        F.pmod(did, F.lit(1000)).cast("int").alias("turn_idx"),
         role.alias("role"),
         F.col("text"),
         tool.alias("tool"),
         F.timestamp_seconds(
-            F.lit(1735689600) + F.col("doc_id") * 7).alias("ts"),
+            F.lit(1735689600)
+            + F.pmod(did, F.lit(2147483648)) * 7).alias("ts"),
     )
 
 
@@ -599,15 +611,17 @@ def conv_stats(spark, sf_dir):
 
 
 _AGENT_TRANSCRIPTS_CTE = """
-  SELECT printf('conv-%06d', doc_id % 50) AS conv_id,
-         CAST(doc_id % 1000 AS INTEGER) AS turn_idx,
-         ['user', 'assistant', 'tool', 'system'][CAST(doc_id % 4 AS INT) + 1]
-           AS role,
+  SELECT printf('conv-%06d', ((doc_id % 50) + 50) % 50) AS conv_id,
+         CAST(((doc_id % 1000) + 1000) % 1000 AS INTEGER) AS turn_idx,
+         ['user', 'assistant', 'tool', 'system']
+           [CAST(((doc_id % 4) + 4) % 4 AS INT) + 1] AS role,
          text,
-         CASE WHEN doc_id % 4 = 2
-              THEN ['search', 'code', 'browser'][CAST(doc_id % 3 AS INT) + 1]
+         CASE WHEN ((doc_id % 4) + 4) % 4 = 2
+              THEN ['search', 'code', 'browser']
+                     [CAST(((doc_id % 3) + 3) % 3 AS INT) + 1]
          END AS tool,
-         to_timestamp(1735689600 + doc_id * 7) AS ts
+         to_timestamp(1735689600
+           + (((doc_id % 2147483648) + 2147483648) % 2147483648) * 7) AS ts
   FROM documents
 """
 

@@ -10,10 +10,10 @@ key on conv_id:
                → exact dedup of assembled text (normalized md5,
                   first-wins by conv_id)
                → MinHash-LSH near-dup drop (the corpus layer's signature
-                  stage + banding reused verbatim; in any colliding pair
-                  the LARGER conv_id drops — one-hop first-wins over the
-                  quality+exact survivors, the same convention as the
-                  doc-level funnel's chunk gate)
+                  stage + banding reused verbatim; CLUSTER first-wins:
+                  connected components over the colliding-pair graph,
+                  the component's MIN conv_id keeps, every other member
+                  drops — one representative per duplicate cluster)
                → decontamination against an eval-suite slice of
                   conversations (broadcast CONTAM_NGRAM shingle overlap
                   on assembled text)
@@ -37,7 +37,7 @@ from pyspark.sql.window import Window
 
 from ..operators.corpus import (_lsh_candidate_pairs, _md5_long,
                                 _MINHASH_CTES, _minhash_bands,
-                                _minhash_sig_stage)
+                                _minhash_sig_stage, min_label_components)
 from ..operators.extraction import _AGENT_TRANSCRIPTS_CTE, _agent_transcripts
 from ..operators.quality import (CONTAM_NGRAM, _smp_threshold_u64,
                                  token_shingle_expr)
@@ -49,7 +49,8 @@ CONV_BENCH_RATE = 0.125  # md5 slice of convs that plays the eval suite
 CONV_CURATOR_VERSION = "curate-convs-v2"
 
 
-def conv_curation_flags(t: DataFrame) -> DataFrame:
+def conv_curation_flags(t: DataFrame,
+                        _track: list | None = None) -> DataFrame:
     """(conv_id, n_turns, drop_reason) for every conversation in the
     transcripts frame t (conv_id, turn_idx, role, text, ts, ...);
     drop_reason NULL = kept. Priority: quality > exact_dup > near_dup >
@@ -58,7 +59,10 @@ def conv_curation_flags(t: DataFrame) -> DataFrame:
     The assembled frame is persisted: the exact-dup window, the near-dup
     signature stage, and the final flag projection all branch from it
     (the caller's action releases it; bench/driver hermeticity clears
-    caches between queries)."""
+    caches between queries). Pass a list as _track to receive the
+    persisted intermediates — long-lived callers (run_conv_curation)
+    unpersist them after their action so a shared session doesn't
+    accumulate caches (the hermeticity failure mode in CLAUDE.md)."""
     conv = (
         t.groupBy("conv_id")
         .agg(F.count("*").alias("n_turns"),
@@ -74,6 +78,8 @@ def conv_curation_flags(t: DataFrame) -> DataFrame:
         # column would re-run the tokenizer per element (the HOF trap)
         .withColumn("ct", F.split(F.lower(F.col("doc")), r"\s+"))
         .persist())
+    if _track is not None:
+        _track.append(conv)
     quality_fail = ((F.col("n_user") < 1)
                     | (F.col("total_chars") < MIN_CONV_CHARS))
     wdup = Window.partitionBy(
@@ -86,6 +92,8 @@ def conv_curation_flags(t: DataFrame) -> DataFrame:
     flags0 = (conv.withColumn("quality_fail", quality_fail)
               .withColumn("dup_rank", F.row_number().over(wdup))
               .persist())
+    if _track is not None:
+        _track.append(flags0)
 
     # near-dup candidates among the quality+exact survivors only: the
     # MinHash surrogate ids are md5-derived longs so the oracle replays
@@ -99,14 +107,25 @@ def conv_curation_flags(t: DataFrame) -> DataFrame:
     pairs = (_lsh_candidate_pairs(_minhash_bands(sigs))
              .select("doc_a", "doc_b").distinct())
     ids = survivors.select("doc_id", "conv_id")
-    near_dropped = (
+    # CLUSTER first-wins, not one-hop: connected components over the
+    # conv-grain pair graph (min-label via the dd_dup_clusters
+    # machinery); every conversation except its component's MIN conv_id
+    # drops. The old one-hop rule (drop greatest of ANY colliding pair)
+    # over-dropped chains: pairs (A,C),(B,C) with A<B<C kept A and B —
+    # two near-dups of the same C surviving together — while the
+    # component keeps exactly one representative per duplicate cluster.
+    conv_pairs = (
         pairs
         .join(ids.withColumnRenamed("doc_id", "doc_a")
               .withColumnRenamed("conv_id", "conv_a"), "doc_a")
         .join(ids.withColumnRenamed("doc_id", "doc_b")
               .withColumnRenamed("conv_id", "conv_b"), "doc_b")
-        .select(F.greatest("conv_a", "conv_b").alias("conv_id")).distinct()
-        .withColumn("near_dup", F.lit(True)))
+        .select(F.col("conv_a").alias("src"), F.col("conv_b").alias("dst")))
+    labels = min_label_components(conv_pairs.sparkSession, conv_pairs,
+                                  warn_tag="conv_curation_flags")
+    near_dropped = (labels.where(F.col("doc_id") != F.col("label"))
+                    .select(F.col("doc_id").alias("conv_id"))
+                    .withColumn("near_dup", F.lit(True)))
 
     # decontamination against the eval-suite slice of conversations
     # (md5-bridge membership, engine-exact): a non-benchmark conversation
@@ -155,7 +174,7 @@ def conv_curate_funnel(spark, sf_dir) -> DataFrame:
 
 
 CONV_CURATE_SQL = f"""
-WITH t AS ({_AGENT_TRANSCRIPTS_CTE}),
+WITH RECURSIVE t AS ({_AGENT_TRANSCRIPTS_CTE}),
 conv AS (
   SELECT conv_id,
          CAST(COUNT(*) AS BIGINT) AS n_turns,
@@ -180,11 +199,27 @@ ids AS (
   FROM flags0 WHERE NOT quality_fail AND dup_rank = 1
 ),
 {_MINHASH_CTES.format(src="ids")},
-near AS (
-  SELECT DISTINCT greatest(ia.conv_id, ib.conv_id) AS conv_id
+near_edges AS (
+  SELECT ia.conv_id AS src, ib.conv_id AS dst
   FROM (SELECT DISTINCT doc_a, doc_b FROM cand_pairs) p
   JOIN ids ia ON ia.doc_id = p.doc_a
   JOIN ids ib ON ib.doc_id = p.doc_b
+),
+near_sym AS (
+  SELECT src, dst FROM near_edges UNION SELECT dst, src FROM near_edges
+),
+-- cluster first-wins: per-vertex MIN over the transitive closure of
+-- the colliding-pair graph; every conversation except its component's
+-- min conv_id drops (mirrors min_label_components' fixpoint)
+near_reach AS (
+  SELECT src AS conv_id, src AS label FROM near_sym
+  UNION
+  SELECT e.dst AS conv_id, r.label
+  FROM near_reach r JOIN near_sym e ON e.src = r.conv_id
+),
+near AS (
+  SELECT conv_id FROM near_reach GROUP BY conv_id
+  HAVING MIN(label) != conv_id
 ),
 csh AS (
   SELECT DISTINCT conv_id, is_bench, s FROM (
@@ -233,7 +268,8 @@ def run_conv_curation(spark, t: DataFrame, out_dir: str) -> dict:
     kept-set join is a broadcast-friendly semi join on conv_id (the flag
     frame is one row per conversation)."""
     t0 = time.time()
-    flags = conv_curation_flags(t).persist()
+    intermediates: list[DataFrame] = []
+    flags = conv_curation_flags(t, _track=intermediates).persist()
     try:
         funnel = {r["stage"]: r["n"] for r in
                   (flags.groupBy(F.coalesce("drop_reason", F.lit("kept"))
@@ -259,6 +295,8 @@ def run_conv_curation(spark, t: DataFrame, out_dir: str) -> dict:
         return manifest
     finally:
         flags.unpersist()
+        for df in intermediates:
+            df.unpersist()
 
 
 # self-registration for the curate-first import order (the

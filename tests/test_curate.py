@@ -264,3 +264,70 @@ def test_corpus_pipeline_resume_idempotent(spark, tmp_path):
     kept2 = sorted(r.doc_id for r in spark.read.parquet(
         os.path.join(wd, "curated", "curated")).select("doc_id").collect())
     assert kept1 == kept2
+
+
+def test_agent_transcripts_negative_doc_ids_engine_exact(spark, tmp_path):
+    """Production doc_ids are md5-longs — uniform over SIGNED int64, half
+    negative. _agent_transcripts must not throw (Spark % keeps the
+    dividend sign; element_at(roles, 0) used to raise) and must agree
+    with the DuckDB CTE row-for-row on a mixed-sign corpus."""
+    import duckdb
+
+    from ocr_spark.operators.extraction import conv_stats, CONV_STATS_SQL
+
+    docs = [(i, f"text body {i} " + "w " * (abs(i) % 7), "en", "s", 10)
+            for i in [-(2**63), -(2**62) - 3, -1001, -53, -4, -3, -2, -1,
+                      0, 1, 2, 3, 7, 999, 2**62 + 1, 2**63 - 1]]
+    d = str(tmp_path / "negdocs")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    rows = sorted(tuple(r) for r in conv_stats(spark, d).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{os.path.join(d, 'documents.parquet')}/*.parquet'")
+    orows = sorted(tuple(r) for r in con.execute(CONV_STATS_SQL).fetchall())
+    assert rows == orows
+
+
+def test_conv_neardup_cluster_first_wins_not_one_hop(spark):
+    """Chain structure A~C, B~C, A!~B (band collisions verified offline
+    with the module's own hash chain): CLUSTER first-wins keeps only the
+    component's min conv_id (A) and drops BOTH B and C. The old one-hop
+    rule (drop the greater of each colliding pair) kept A AND B — two
+    near-dups of the same C surviving together. B's flag is the
+    distinguishing assertion."""
+    import hashlib
+
+    from ocr_spark.pipeline.curate_convs import (CONV_BENCH_RATE,
+                                                 conv_curation_flags)
+    from ocr_spark.operators.quality import _smp_threshold_u64
+
+    c_text = " ".join(f"tok{i}" for i in range(40))
+    wa = c_text.split(); wa[0] = "mutA"
+    wb = c_text.split(); wb[5] = "mutB"
+    texts = {"a": " ".join(wa), "b": " ".join(wb), "c": c_text}
+
+    # pick a conv-id suffix where none of the three lands in the bench
+    # slice (contamination would otherwise co-fire on the shared grams)
+    bthr = _smp_threshold_u64(CONV_BENCH_RATE)
+    def in_bench(cid):
+        return int(hashlib.md5(f"{cid}:bench".encode())
+                   .hexdigest()[:16], 16) < bthr
+    sfx = next(s for s in range(100)
+               if not any(in_bench(f"conv-{k}{s}") for k in "abc"))
+
+    rows = []
+    for k, txt in texts.items():
+        words = txt.split()
+        rows.append((f"conv-{k}{sfx}", 0, "user", " ".join(words[:20])))
+        rows.append((f"conv-{k}{sfx}", 1, "assistant", " ".join(words[20:])))
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string")
+    flags = {r.conv_id: r.drop_reason
+             for r in conv_curation_flags(t).collect()}
+    assert flags[f"conv-b{sfx}"] == "near_dup"  # one-hop kept it
+    assert flags[f"conv-c{sfx}"] == "near_dup"
+    assert flags[f"conv-a{sfx}"] in (None, "sampled_out")

@@ -495,3 +495,77 @@ def test_incremental_neardup_planted_verdicts(spark, tmp_path):
     # disjoint-vocab batch docs share no shingles with any corpus doc
     assert rows[17].status == "new" and rows[17].match_id is None
     assert rows[37].status == "new" and rows[37].n_band_hits == 0
+
+
+def test_lsh_candidate_pairs_never_collects_degenerate_bucket(spark):
+    """The pair generator must bound EVERY row it materializes: a
+    degenerate bucket (here 10⁵ members — a boilerplate cluster) emits
+    its star pairs as a map-only projection, never as one collect_list
+    array (the old shape held the whole bucket in a single aggregation
+    row). Pinned two ways: the optimized plan filters the collect_list
+    input to n <= MAX_LSH_BUCKET, and a 10⁵-member bucket round-trips
+    with exact star output."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.corpus import MAX_LSH_BUCKET, _lsh_candidate_pairs
+
+    n = 100_000
+    big = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(0).alias("band"),
+        F.lit(111).cast("long").alias("band_hash"))
+    small = spark.createDataFrame(
+        [(5, 1, 222), (9, 1, 222)], "doc_id long, band int, band_hash long")
+    pairs = _lsh_candidate_pairs(big.unionByName(small))
+
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_list" in plan
+    # the only collect sits above the n <= cap filter
+    assert f"<= {MAX_LSH_BUCKET})" in plan
+
+    rows = pairs.collect()
+    got = {(r.doc_a, r.doc_b): r.n_band_collisions for r in rows}
+    assert got.pop((5, 9)) == 1
+    assert len(got) == n - 1
+    assert all(a == 0 and cnt == 1 for (a, _b), cnt in got.items())
+
+
+def test_emb_neardup_blocked_groups_bounded_and_pair_complete(spark, tmp_path,
+                                                              monkeypatch):
+    """The embedding near-dup verifier must never hold a whole degenerate
+    bucket in one task: a 330-strong same-direction cluster (every pair
+    cosine exactly 1.0, identical band codes everywhere) with the cap
+    forced to 50 must (a) split every verify group to <= 2*cap rows and
+    (b) still recover ALL C(330,2) pairs — block-splitting is
+    pair-complete, and cross-band duplicates collapse in the final
+    distinct."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators import corpus as C
+
+    monkeypatch.setattr(C, "EMB_BUCKET_CAP", 50)
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(64)
+    # vec_id % 10 == 0 rows get a planted 2x copy (operator convention):
+    # 300 organic + 30 planted = 330, all the same direction
+    rows = [(i, [float(x) for x in base * (1.0 + i)]) for i in range(300)]
+    d = str(tmp_path / "embdir")
+    spark.createDataFrame(rows, "vec_id long, embedding array<double>") \
+        .write.parquet(os.path.join(d, "embeddings.parquet"))
+
+    coded = (spark.read.parquet(os.path.join(d, "embeddings.parquet"))
+             .select("vec_id",
+                     F.col("embedding").cast("array<double>").alias("vec"))
+             .mapInPandas(C._neardup_band_stage(),
+                          "vec_id long, codes array<long>, vec array<double>")
+             .select("vec_id", "vec",
+                     F.posexplode("codes").alias("band", "bkt")))
+    max_group = (C._emb_blocked(coded)
+                 .groupBy("band", "bkt", "bi", "bj").count()
+                 .agg(F.max("count")).collect()[0][0])
+    assert max_group is not None and max_group <= 2 * 50
+
+    pairs = C.dd_embedding_neardup(spark, d).collect()
+    n = 330
+    assert len(pairs) == n * (n - 1) // 2
+    assert all(p.cosine == 1.0 for p in pairs)
