@@ -21,6 +21,7 @@ Scale notes:
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
@@ -234,13 +235,51 @@ ORDER BY d.doc_id
 DF_CAP = 100  # shingle document-frequency cap (boilerplate/skew guard)
 
 
+def _ngram_shingle_stage(batches):
+    """Arrow stage: (doc_id, text) → exploded (doc_id, s) rows where s is
+    the md5-derived 64-bit hash of each DISTINCT word 3-gram shingle.
+    Tokenization replicates the oracle SQL byte-for-byte: lowercase, Java/
+    RE2 \\s class ([ \\t\\n\\x0b\\f\\r]+) collapsed to one space, split on
+    ' ' KEEPING empty tokens (leading/trailing separators), 3-gram join
+    with ' '. The hash is corpus._md5_long's fold — first 8 md5 bytes as
+    a signed int64 — so DuckDB reproduces every value. Doing this in
+    Python beats the zip_with/array_distinct HOF chain: higher-order
+    array expressions don't enter whole-stage codegen (interpreted
+    per-element eval + a multi-second cold compile of the giant
+    projection), and hashing here shrinks the operator's one big shuffle
+    from ~30-byte shingle strings to 16-byte (long, long) rows."""
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    for pdf in batches:
+        ids, hs = [], []
+        for did, txt in zip(pdf["doc_id"], pdf["text"]):
+            toks = ws.sub(" ", txt.lower()).split(" ")
+            if len(toks) < 3:
+                continue
+            seen = set()
+            for i in range(len(toks) - 2):
+                sh = " ".join(toks[i:i + 3])
+                if sh not in seen:
+                    seen.add(sh)
+                    h = hashlib.md5(sh.encode("utf-8")).digest()
+                    hs.append(int.from_bytes(h[:8], "big") - (1 << 63))
+                    ids.append(did)
+        yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                            "s": pd.Series(hs, dtype="int64")})
+
+
 def dd_ngram_jaccard(spark, sf_dir):
-    """N-gram Jaccard near-dup: word 3-gram shingles (deduped map-side
-    with array_distinct — no distinct shuffle) → ONE groupBy(shingle)
-    collecting the capped posting list → ordered pairs exploded from each
-    list (≤ C(DF_CAP,2) per shingle by construction) → |∩| via pair
-    count, |∪| via per-doc counts over the same posting lists → Jaccard.
-    Returns candidate pairs with jaccard ≥ 0.5.
+    """N-gram Jaccard near-dup: word 3-gram shingles hashed to longs in a
+    map-only Arrow stage (deduped per doc in the stage — no distinct
+    shuffle) → document-frequency stats → capped posting lists → ordered
+    pairs exploded from each list (≤ C(DF_CAP,2) per shingle by
+    construction) → |∩| via pair count, |∪| via per-doc counts over the
+    same posting lists → Jaccard. Returns candidate pairs with
+    jaccard ≥ 0.5.
 
     Shingles with document frequency > DF_CAP (boilerplate 3-grams —
     headers, licenses, nav chrome) are dropped from the shingle sets on
@@ -249,35 +288,28 @@ def dd_ngram_jaccard(spark, sf_dir):
     definition change (jaccard over informative shingles), so the oracle
     stays exact.
 
-    The capped posting-list frame is persisted and BOTH downstream
-    branches (sizes, pairs) read the cache: the previous self-join shape
-    planned the shingle explode FOUR times (join a/b + sizes a/b, zero
-    reused exchanges) — the most expensive subtree in the operator ran
-    4x. Now the explode runs once and the only big shuffle is the single
-    groupBy on the shingle key."""
+    Memory-bounded posting build (the _lsh_candidate_pairs stats
+    pattern): a count aggregation FIRST (map-side-combinable scalars —
+    the shuffle is per-partition (s, partial_count) rows, never full
+    postings), then the join back on the shingle hash keeps only
+    df ≤ DF_CAP occurrences, so no collect_list row ever materializes a
+    hot shingle's unbounded posting array (collect-then-filter held an
+    O(df) array per boilerplate shingle in one aggregation task — a
+    10⁸-doc shingle was a multi-GB row). The join output is already
+    hash-partitioned on s, so the posting groupBy reuses the exchange:
+    still exactly ONE big shuffle of the exploded rows. The exploded
+    frame is persisted (MEMORY_AND_DISK) because both the stats and join
+    branches read it — uncached, the tokenizer stage would run twice."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    words = F.split(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "), " ")
-    # trigrams via zip_with chains: the lambdas touch only lambda
-    # variables, so the tokenizer split is evaluated once per ROW — an
-    # index lambda (words[i] over a sequence) re-evaluates the computed
-    # words column per element access after projection collapse (the
-    # quality._run_fold trap; this explode was the operator's hottest
-    # stage because of it). concat (not concat_ws) propagates the
-    # trailing NULLs from the slice length mismatch, which filter drops.
-    bi = F.zip_with(words, F.slice(words, 2, F.size(words)),
-                    lambda a, b: F.concat(a, F.lit(" "), b))
-    tri = F.zip_with(bi, F.slice(words, 3, F.size(words)),
-                     lambda ab, c: F.concat(ab, F.lit(" "), c))
-    shingles = F.array_distinct(F.filter(tri, lambda x: x.isNotNull()))
-    exploded = (
-        docs.where(F.size(words) >= 3)
-        .select("doc_id", F.explode(shingles).alias("shingle"))
-    )
-    # posting lists, df-capped; array_sort makes pair order (a < b) and
-    # the whole frame deterministic under any partitioning
-    posting = (exploded.groupBy("shingle")
+    exploded = (docs.mapInPandas(_ngram_shingle_stage, "doc_id long, s long")
+                .persist(StorageLevel.MEMORY_AND_DISK))
+    stats = (exploded.groupBy("s").agg(F.count("*").alias("df"))
+             .where(F.col("df") <= DF_CAP).drop("df"))
+    # array_sort makes pair order (a < b) and the whole frame
+    # deterministic under any partitioning
+    posting = (exploded.join(stats, "s")
+               .groupBy("s")
                .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
-               .where(F.size("docs") <= DF_CAP)
                .persist())
     sizes = (posting.select(F.explode("docs").alias("doc_id"))
              .groupBy("doc_id").agg(F.count("*").alias("n_shingles")))
@@ -321,17 +353,26 @@ WITH shingled_all AS (
     WHERE len(words) >= 3
   )
 ),
+hashed AS (
+  -- md5-first-8-bytes fold, the engine-agnostic 64-bit shingle hash the
+  -- Spark Arrow stage emits (hash AFTER the per-doc string distinct, so
+  -- both engines carry the identical (doc_id, s) multiset)
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(shingle), 1, 16))::UBIGINT AS HUGEINT)
+              - 9223372036854775808 AS BIGINT) AS s
+  FROM shingled_all
+),
 shingled AS (
-  SELECT doc_id, shingle FROM (
-    SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
-    FROM shingled_all
+  SELECT doc_id, s FROM (
+    SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df
+    FROM hashed
   ) WHERE df <= 100
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shingled GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
   FROM shingled a JOIN shingled b
-    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, n_common,

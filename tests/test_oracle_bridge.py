@@ -218,3 +218,50 @@ def test_minhash_sql_star_cap(n_dups):
         expect_pairs = {(dup_ids[0], d) for d in dup_ids[1:]}
     assert {(a, b) for a, b, _n in got
             if a in dup_ids and b in dup_ids} == expect_pairs
+
+
+def _py_ngram_jaccard(texts, df_cap=100):
+    """Pure-Python reference of dd_ngram_jaccard's semantics: the Arrow
+    stage's tokenization (Java/RE2 \\s class, split(' ') keeping empty
+    tokens), per-doc distinct 3-gram shingles hashed via md5-first-8,
+    df-capped, jaccard >= 0.5 pairs ordered (doc_a, doc_b)."""
+    import re
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    shingles = {}
+    for doc_id, text in enumerate(texts):
+        toks = ws.sub(" ", text.lower()).split(" ")
+        if len(toks) < 3:
+            continue
+        shingles[doc_id] = {
+            _md5_u64(" ".join(toks[i:i + 3]).encode()) - (1 << 63)
+            for i in range(len(toks) - 2)}
+    df = {}
+    for ss in shingles.values():
+        for s in ss:
+            df[s] = df.get(s, 0) + 1
+    kept = {d: {s for s in ss if df[s] <= df_cap}
+            for d, ss in shingles.items()}
+    out = []
+    ids = sorted(kept)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(kept[a] & kept[b])
+            if not inter:
+                continue
+            union = len(kept[a]) + len(kept[b]) - inter
+            j = round(inter / union, 4)
+            if j >= 0.5:
+                out.append((a, b, inter, j))
+    return out
+
+
+@given(st.lists(_TEXT, min_size=1, max_size=12))
+@settings(max_examples=50, deadline=None)
+def test_ngram_jaccard_sql_matches_python(texts):
+    """DD_NGRAM_SQL (hashed-shingle form) == the Arrow stage's Python
+    arithmetic, with a planted near-dup pair so the >= 0.5 branch fires."""
+    from ocr_spark.operators.corpus import DD_NGRAM_SQL
+    if texts and texts[0]:
+        texts = texts + [texts[0], texts[0] + " tailword"]
+    got = _con(texts).execute(DD_NGRAM_SQL).fetchall()
+    assert got == _py_ngram_jaccard(texts)
