@@ -53,6 +53,8 @@ HEADLINE = HEADLINE_R1 + [
     # screening + conversation-grain curation
     "smp_pack_sequences", "dd_incremental", "conv_stats",
     "conv_curate_funnel",
+    # round 3: source-mixture sampling + gate-threshold calibration
+    "smp_source_mix", "txt_quality_hist",
 ]
 
 

@@ -75,6 +75,20 @@ def main() -> None:
             (t.repartition(args.input_files, "conv_id",
                            (t.turn_idx / 64).cast("int"))
              .write.mode("overwrite").parquet(args.input_parquet))
+        if args.salt == 0 and os.environ.get("OCR_SPLIT_TUNE", "1") != "0":
+            # Map-only: scan partitions ARE the task granularity. Spark's
+            # default split sizing (bytesPerCore + 4 MB openCost) aims for
+            # ONE wave of tasks per core — stragglers in the payload mix
+            # then bound the wall directly, and the larger cluster loses
+            # more (its single wave has more stragglers to wait for).
+            # Size splits for ~4 waves per core instead, with openCost
+            # scaled to small bucketed files.
+            total = sum(os.path.getsize(os.path.join(args.input_parquet, f))
+                        for f in os.listdir(args.input_parquet)
+                        if f.endswith(".parquet"))
+            target = max(512 << 10, total // (4 * par))
+            spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
+            spark.conf.set("spark.sql.files.openCostInBytes", str(64 << 10))
         t = spark.read.parquet(args.input_parquet)
     else:
         t = synthesize_transcripts(spark, n_convs=args.n_convs)

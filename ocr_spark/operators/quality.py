@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
-from .corpus import _docs, _md5_long
+from .corpus import _STOPWORDS_EN, _docs, _md5_long
 
 # ---------------------------------------------------------------------------
 # Repetition signals (Gopher-style quality filters)
@@ -758,6 +758,165 @@ ORDER BY lang, source, seq_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Source-mixture sampling (data mixing to configured source weights)
+# ---------------------------------------------------------------------------
+
+# configured relative weights per source; sources not listed weigh 1.0
+MIX_WEIGHTS = {"src0": 4.0, "src1": 3.0, "src2": 2.0}
+MIX_BUDGET_SHARE = 0.5  # overall token budget as a share of corpus tokens
+
+
+def _mix_weight_col():
+    w = F.lit(1.0)
+    for s, wt in MIX_WEIGHTS.items():
+        w = F.when(F.col("source") == s, F.lit(wt)).otherwise(w)
+    return w
+
+
+def smp_source_mix(spark, sf_dir):
+    """Mixture sampling to configured source weights (the data-mixing
+    pass a pretraining pipeline runs to rebalance web/books/code/...):
+    each source s gets acceptance rate
+    min(1, (w_s / Σw) · (budget_share · total_tokens) / tokens_s) — its
+    token share is pulled toward the configured weight, never upsampled —
+    and docs are admitted by the deterministic md5 bridge (same doc, same
+    fate, any cluster/partitioning/engine).
+
+    Scale shape: one map-only projection (tokens + hash), one tiny
+    groupBy(source) for the per-source stats, a single-row total, and a
+    broadcast join of the per-source rates back onto the corpus — the
+    100 TB side never shuffles. The projection is persisted because the
+    stats and the final pass both read it. All rate arithmetic is IEEE
+    double with the association order written identically in the oracle
+    SQL (weights and token counts are integer-exact, so the operands are
+    bit-identical on both engines)."""
+    docs = _docs(spark, sf_dir)
+    h = _md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":mix")))
+    proj = (docs.selectExpr("doc_id", "source",
+                            f"CAST(size({_TOKENS}) AS BIGINT) AS n_tokens_b")
+            .withColumn("h", h)
+            .persist())
+    stats = (proj.groupBy("source")
+             .agg(F.sum("n_tokens_b").alias("src_tokens"))
+             .withColumn("w", _mix_weight_col()))
+    tot = stats.agg(F.sum("w").alias("total_w"),
+                    F.sum("src_tokens").alias("total_tokens"))
+    rates = (stats.crossJoin(broadcast(tot))
+             .withColumn("rate", F.least(
+                 F.lit(1.0),
+                 F.col("w") / F.col("total_w")
+                 * (F.lit(MIX_BUDGET_SHARE) * F.col("total_tokens"))
+                 / F.col("src_tokens")))
+             .select("source", "rate"))
+    # signed-space threshold; rate >= 1 keeps everything (casting the max
+    # long to double rounds UP to 2^63 and would drop one doc otherwise)
+    thr = (F.col("rate") * F.lit(18446744073709551616.0)
+           - F.lit(9223372036854775808.0))
+    kept = ((F.col("rate") >= 1.0)
+            | (F.col("h").cast("double") < thr)).cast("int")
+    return (proj.join(broadcast(rates), "source")
+            .withColumn("k", kept)
+            .groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_total"),
+                 F.sum("k").cast("long").alias("n_kept"),
+                 F.sum("n_tokens_b").cast("long").alias("tok_total"),
+                 F.sum(F.col("k") * F.col("n_tokens_b")).cast("long")
+                 .alias("tok_kept"),
+                 # floor-basis pattern: both engines floor the same IEEE
+                 # double (ROUND of an arbitrary double is engine-edgy)
+                 F.min(F.floor(F.col("rate") * 1000000).cast("long"))
+                 .alias("rate_ppm"))
+            .orderBy("source"))
+
+
+_MIX_CASES = "\n".join(
+    f"       WHEN source = '{s}' THEN CAST({w!r} AS DOUBLE)"
+    for s, w in MIX_WEIGHTS.items())
+
+# every fractional literal is CAST(... AS DOUBLE): DuckDB parses bare
+# decimal literals as DECIMAL and would run the rate arithmetic in
+# decimal, not the IEEE doubles the Spark plan uses
+SMP_MIX_SQL = f"""
+WITH proj AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT)
+           AS n_tokens_b,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 16))
+              ::UBIGINT::HUGEINT - 9223372036854775808 AS BIGINT) AS h
+  FROM documents WHERE doc_id IS NOT NULL
+), stats AS (
+  SELECT source, SUM(n_tokens_b) AS src_tokens,
+         CASE
+{_MIX_CASES}
+         ELSE CAST(1.0 AS DOUBLE) END AS w
+  FROM proj GROUP BY source
+), tot AS (
+  SELECT SUM(w) AS total_w, SUM(src_tokens) AS total_tokens FROM stats
+), rates AS (
+  SELECT source,
+         least(CAST(1.0 AS DOUBLE),
+               w / total_w * (CAST({MIX_BUDGET_SHARE!r} AS DOUBLE)
+                              * total_tokens) / src_tokens) AS rate
+  FROM stats, tot
+), flagged AS (
+  SELECT p.source, p.n_tokens_b, r.rate,
+         CASE WHEN r.rate >= CAST(1.0 AS DOUBLE)
+                OR CAST(p.h AS DOUBLE)
+                   < rate * CAST(18446744073709551616 AS DOUBLE)
+                     - CAST(9223372036854775808 AS DOUBLE)
+              THEN 1 ELSE 0 END AS k
+  FROM proj p JOIN rates r ON p.source = r.source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(k) AS BIGINT) AS n_kept,
+       CAST(SUM(n_tokens_b) AS BIGINT) AS tok_total,
+       CAST(SUM(k * n_tokens_b) AS BIGINT) AS tok_kept,
+       CAST(MIN(floor(rate * 1000000)) AS BIGINT) AS rate_ppm
+FROM flagged
+GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quality-score histogram (gate-threshold calibration)
+# ---------------------------------------------------------------------------
+
+
+def txt_quality_hist(spark, sf_dir):
+    """Stopword-ratio histogram per language — the calibration table a
+    curation pipeline reads before picking quality-gate thresholds.
+    Bin = floor(ratio · 10) (both engines floor the same IEEE double —
+    the repo's floor-basis-points pattern, no ROUND edge). Map-only
+    projection + one tiny groupBy(lang, bin); nothing else touches the
+    corpus."""
+    docs = _docs(spark, sf_dir)
+    tokens = F.split(F.col("text"), r"\s+")
+    n_tokens = F.size(tokens)
+    n_stop = F.size(F.filter(
+        tokens, lambda t: t.isin(*_STOPWORDS_EN)))
+    bin_ = F.when(n_tokens > 0,
+                  F.floor(n_stop / n_tokens * 10)).otherwise(F.lit(-1))
+    return (docs.select("lang", bin_.cast("long").alias("bin"))
+            .groupBy("lang", "bin")
+            .agg(F.count("*").cast("long").alias("n_docs"))
+            .orderBy("lang", "bin"))
+
+
+TXT_QUALITY_HIST_SQL = """
+SELECT lang,
+       CAST(CASE WHEN len(string_split_regex(text, '\\s+')) > 0
+            THEN floor(CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                   t -> t IN ('the','a','of','and','to','in','is','it','for','on')))
+                 AS DOUBLE) / len(string_split_regex(text, '\\s+')) * 10)
+            ELSE -1 END AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents WHERE doc_id IS NOT NULL
+GROUP BY 1, 2 ORDER BY lang, bin
+"""
+
+
 QUERIES = {
     "txt_repetition": (txt_repetition, TXT_REPETITION_SQL),
     "txt_pii_scrub": (txt_pii_scrub, TXT_PII_SQL),
@@ -768,4 +927,6 @@ QUERIES = {
     "smp_pack_assembly": (smp_pack_assembly, SMP_PACK_ASSEMBLY_SQL),
     "dd_chunk_dup": (dd_chunk_dup, DD_CHUNK_SQL),
     "dd_substring_dup": (dd_substring_dup, DD_SUBSTR_SQL),
+    "smp_source_mix": (smp_source_mix, SMP_MIX_SQL),
+    "txt_quality_hist": (txt_quality_hist, TXT_QUALITY_HIST_SQL),
 }

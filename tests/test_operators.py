@@ -569,3 +569,35 @@ def test_emb_neardup_blocked_groups_bounded_and_pair_complete(spark, tmp_path,
     n = 330
     assert len(pairs) == n * (n - 1) // 2
     assert all(p.cosine == 1.0 for p in pairs)
+
+
+def test_ngram_jaccard_bounded_posting_and_df_cap(spark, tmp_path):
+    """The posting build must bound memory BEFORE any collect_list: the
+    document-frequency join keeps only df <= DF_CAP occurrences, so a
+    boilerplate shingle (here: 150 identical docs, every shingle at
+    df=150) never materializes its O(df) posting array — and those
+    shingles drop out of the jaccard universe entirely, while a planted
+    near-dup pair with informative shingles is still recovered exactly."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.corpus import DF_CAP, dd_ngram_jaccard
+
+    boiler = [(i, "all rights reserved terms of service apply here")
+              for i in range(150)]
+    planted = [(1000, "quick brown fox jumps over the lazy sleeping dog"),
+               (1001, "quick brown fox jumps over the lazy sleeping cat")]
+    df = spark.createDataFrame(boiler + planted, "doc_id long, text string")
+    sf = str(tmp_path / "sf")
+    df.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    res = dd_ngram_jaccard(spark, sf)
+    plan = res._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_list" in plan
+    # the df-cap filter sits on the count aggregation feeding the join,
+    # i.e. BEFORE the collect_list ever sees a hot shingle
+    assert f"<= {DF_CAP})" in plan
+
+    rows = res.collect()
+    assert [(r.doc_a, r.doc_b) for r in rows] == [(1000, 1001)]
+    # 9 tokens -> 7 shingles; the pair shares the first 6 -> 6/8
+    assert rows[0].n_common == 6 and abs(rows[0].jaccard - 0.75) < 1e-9
