@@ -64,7 +64,8 @@ _MEASURED_COST = {
     'extract_pdf_layout': 1.4, 'extract_synthetic': 1.4,
     'txt_quality_hist': 0.5, 'smp_source_mix': 1.1,
     'dd_embedding_neardup': 1.5, 'curate_funnel': 1.6, 'dd_simhash': 1.6,
-    't19_code_gen': 1.6, 'dd_ngram_jaccard': 1.7, 'import_sales': 1.8,
+    't19_code_gen': 1.6, 'dd_ngram_jaccard': 1.7, 'dd_minhash_verified': 1.3,
+    'import_sales': 1.8,
     'import_star_schema': 1.8, 'dd_conv_neardup': 2.2,
     'dd_substring_dup': 2.3, 'sim_ivf_topk': 2.3, 'dd_dup_clusters': 4.3,
 }

@@ -53,8 +53,9 @@ HEADLINE = HEADLINE_R1 + [
     # screening + conversation-grain curation
     "smp_pack_sequences", "dd_incremental", "conv_stats",
     "conv_curate_funnel",
-    # round 3: source-mixture sampling + gate-threshold calibration
-    "smp_source_mix", "txt_quality_hist",
+    # round 3: source-mixture sampling, gate-threshold calibration,
+    # two-stage verified fuzzy dedup
+    "smp_source_mix", "txt_quality_hist", "dd_minhash_verified",
 ]
 
 

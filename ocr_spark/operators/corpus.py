@@ -492,6 +492,88 @@ def dd_minhash_lsh(spark, sf_dir):
     return _lsh_candidate_pairs(_minhash_bands(sigs))
 
 
+VERIFY_JACCARD_BP = 7000  # exact-jaccard floor (basis points) for verified dedup
+
+
+def _minhash_sig_shingle_stage():
+    """Like _minhash_sig_stage, but also emits each doc's distinct shingle
+    hashes as a sorted array — one tokenize+md5 pass feeds BOTH the LSH
+    candidate generator and the exact-jaccard verifier (two separate
+    stages would run the most expensive per-doc work twice)."""
+    import numpy as np
+    import pandas as pd
+
+    P = MINHASH_P
+    A = np.array(MINHASH_A, dtype=np.uint64)
+    B = np.array(MINHASH_B, dtype=np.uint64)
+
+    def _sigs(batches):
+        import hashlib
+        for pdf in batches:
+            out_ids, out_sigs, out_sets = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = " ".join((text or "").lower().split()).split(" ")
+                if len(words) < 3:
+                    continue
+                shingles = {" ".join(words[i:i + 3])
+                            for i in range(len(words) - 2)}
+                h = np.fromiter(
+                    (int.from_bytes(hashlib.md5(s.encode()).digest()[:8],
+                                    "big") for s in shingles),
+                    dtype=np.uint64, count=len(shingles))
+                sig = ((A[:, None] * h[None, :] + B[:, None]) % P).min(axis=1)
+                out_ids.append(int(doc_id))
+                out_sigs.append(sig.astype(np.int64).tolist())
+                out_sets.append(np.sort(h.astype(np.int64)).tolist())
+            yield pd.DataFrame({"doc_id": out_ids, "sig": out_sigs,
+                                "shingles": out_sets})
+
+    return _sigs
+
+
+def dd_minhash_verified(spark, sf_dir):
+    """Two-stage fuzzy dedup — the shape a production pipeline actually
+    runs: MinHash/LSH banding proposes candidate pairs (sublinear, never
+    all-pairs), then each candidate is VERIFIED with the exact jaccard
+    over the same shingle universe, keeping pairs at ≥ 0.7 (banding
+    alone over-reports: one colliding band proves nothing at the
+    threshold). Reuses the banding + bounded candidate machinery of
+    dd_minhash_lsh verbatim; one combined Arrow stage emits signatures
+    AND per-doc sorted shingle-hash arrays so the corpus is tokenized
+    once. Verification attaches the two shingle arrays by joining the
+    candidate pairs (small — near-dup pairs, not the corpus) back to the
+    cached per-doc sets and intersects JVM-side (array_intersect on
+    sorted distinct longs); jaccard is emitted as floor basis points
+    (both engines floor the same IEEE double — no ROUND edge).
+
+    Scale: candidate count is O(near-dups + band collisions), orders of
+    magnitude under the corpus; the two attach joins shuffle the sets
+    frame by doc_id — linear, co-partitioned, AQE-broadcastable when the
+    candidate side is tiny. No unkeyed join anywhere."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    both = (docs.mapInPandas(_minhash_sig_shingle_stage(),
+                             "doc_id long, sig array<long>, "
+                             "shingles array<long>")
+            .persist())
+    cand = _lsh_candidate_pairs(_minhash_bands(both.select("doc_id", "sig")))
+    sets = both.select("doc_id", "shingles")
+    sa = sets.select(F.col("doc_id").alias("doc_a"),
+                     F.col("shingles").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"),
+                     F.col("shingles").alias("sh_b"))
+    n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - F.col("n_common")
+    return (cand.select("doc_a", "doc_b")
+            .join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("n_common", n_common.cast("long"))
+            .withColumn("jaccard_bp",
+                        F.floor(F.col("n_common") / union * 10000)
+                        .cast("long"))
+            .where(F.col("jaccard_bp") >= VERIFY_JACCARD_BP)
+            .select("doc_a", "doc_b", "n_common", "jaccard_bp")
+            .orderBy("doc_a", "doc_b"))
+
+
 def _lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
     """(doc_id, band, band_hash) → candidate pairs; every row, list, and
     task bounded.
@@ -600,6 +682,30 @@ DD_MINHASH_SQL = f"""
 WITH {_MINHASH_CTES.format(src="documents")}
 SELECT doc_a, doc_b, COUNT(*) AS n_band_collisions
 FROM cand_pairs GROUP BY 1, 2 ORDER BY doc_a, doc_b
+"""
+
+DD_MINHASH_VERIFIED_SQL = f"""
+WITH {_MINHASH_CTES.format(src="documents")},
+sets AS (SELECT doc_id, COUNT(*) AS n_sh FROM hashed GROUP BY doc_id),
+uniq AS (SELECT DISTINCT doc_a, doc_b FROM cand_pairs),
+inter AS (
+  SELECT u.doc_a, u.doc_b, COUNT(*) AS n_common
+  FROM uniq u
+  JOIN hashed ha ON ha.doc_id = u.doc_a
+  JOIN hashed hb ON hb.doc_id = u.doc_b AND hb.h = ha.h
+  GROUP BY 1, 2
+), scored AS (
+  SELECT i.doc_a, i.doc_b, CAST(i.n_common AS BIGINT) AS n_common,
+         CAST(floor(CAST(i.n_common AS DOUBLE)
+                    / (sa.n_sh + sb.n_sh - i.n_common) * 10000) AS BIGINT)
+           AS jaccard_bp
+  FROM inter i
+  JOIN sets sa ON sa.doc_id = i.doc_a
+  JOIN sets sb ON sb.doc_id = i.doc_b
+)
+SELECT doc_a, doc_b, n_common, jaccard_bp
+FROM scored WHERE jaccard_bp >= {VERIFY_JACCARD_BP}
+ORDER BY doc_a, doc_b
 """
 
 DD_CLUSTERS_SQL = f"""
@@ -1984,5 +2090,6 @@ QUERIES = {
     "sim_ivf_topk": (sim_ivf_topk, None),
     "dd_ngram_jaccard": (dd_ngram_jaccard, DD_NGRAM_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
+    "dd_minhash_verified": (dd_minhash_verified, DD_MINHASH_VERIFIED_SQL),
     "dd_dup_clusters": (dd_dup_clusters, DD_CLUSTERS_SQL),
 }

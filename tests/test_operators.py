@@ -601,3 +601,36 @@ def test_ngram_jaccard_bounded_posting_and_df_cap(spark, tmp_path):
     assert [(r.doc_a, r.doc_b) for r in rows] == [(1000, 1001)]
     # 9 tokens -> 7 shingles; the pair shares the first 6 -> 6/8
     assert rows[0].n_common == 6 and abs(rows[0].jaccard - 0.75) < 1e-9
+
+
+def test_minhash_verified_prunes_band_collisions(spark, tmp_path):
+    """Two-stage fuzzy dedup semantics: banding alone over-reports (a
+    subset doc shares a whole band with its superset at jaccard 0.29),
+    and the exact-jaccard verification must prune it while keeping the
+    true near-dup pair. Both pairs provably collide in a band first —
+    the test asserts the candidate stage saw them, so the pruning is the
+    verifier's doing, not luck."""
+    from ocr_spark.operators.corpus import (_lsh_candidate_pairs,
+                                            _minhash_bands,
+                                            _minhash_sig_stage,
+                                            dd_minhash_verified)
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    tail = ("kilo lima mike november oscar papa quebec romeo sierra tango "
+            "uniform victor whiskey xray yankee zulu one two three four")
+    docs = [(1, base), (2, base + " " + tail),
+            (10, "the quick brown fox jumps over the lazy dog today"),
+            (11, "the quick brown fox jumps over the lazy dog tonight")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sf = str(tmp_path / "sf")
+    df.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    sigs = df.mapInPandas(_minhash_sig_stage(), "doc_id long, sig array<long>")
+    cand = {(r.doc_a, r.doc_b)
+            for r in _lsh_candidate_pairs(_minhash_bands(sigs)).collect()}
+    assert {(1, 2), (10, 11)} <= cand
+
+    rows = dd_minhash_verified(spark, sf).collect()
+    assert [(r.doc_a, r.doc_b) for r in rows] == [(10, 11)]
+    # 8 shingles each, 7 shared -> floor(7/9 * 10000)
+    assert rows[0].n_common == 7 and rows[0].jaccard_bp == 7777

@@ -165,3 +165,28 @@ def test_pack_prefix_sum_windows_are_bucketed(spark):
     for ln in doc_grain:
         assert "_id_bucket" in ln, \
             f"doc-grain window not bucket-partitioned: {ln.strip()[:160]}"
+
+
+def test_source_mix_corpus_side_stays_mapside(spark):
+    """smp_source_mix must attach the per-source rates by BROADCAST: the
+    corpus side is projected map-only and never shuffles before the
+    final per-source aggregation (whose map-side partial combine makes
+    the exchange carry per-partition scalars only)."""
+    from ocr_spark.operators.quality import smp_source_mix
+    from ocr_spark.plans import formatted_plan
+    df = smp_source_mix(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the only sort-merge-join candidate would be rates x corpus — banned
+    assert "SortMergeJoin" not in plan
+
+
+def test_minhash_verified_tokenizes_corpus_once(spark):
+    """dd_minhash_verified's combined Arrow stage feeds BOTH the banding
+    branch and the two shingle-set attach branches through the persisted
+    frame — the plan must read the cache (InMemoryTableScan), not plan
+    the mapInPandas stage per branch."""
+    from ocr_spark.operators.corpus import dd_minhash_verified
+    df = dd_minhash_verified(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 3

@@ -360,3 +360,26 @@ def test_pack_two_level_scan_matches_naive_window(spark):
         # spread ids actually exercise many coarse buckets
     n_buckets = len({r[0] >> 52 for r in spread})
     assert n_buckets > 40, "spread fixture no longer spans buckets"
+
+
+def test_source_mix_partition_invariant(spark, tmp_path):
+    """The md5-bridge admission makes smp_source_mix's decision per-doc
+    deterministic: the same corpus repartitioned arbitrarily must yield
+    byte-identical per-source keep counts (the property that makes the
+    mixing pass reproducible and resumable at 100 TB)."""
+    from ocr_spark.operators.quality import smp_source_mix
+
+    docs = [(i, f"src{i % 3}", " ".join(f"w{j}" for j in range(i % 17 + 1)))
+            for i in range(300)]
+    base = spark.createDataFrame(docs, "doc_id long, source string, text string") \
+        .selectExpr("doc_id", "text", "'en' AS lang", "source",
+                    "length(text) AS n_chars")
+    out = {}
+    for n, tag in [(1, "one"), (7, "seven"), (32, "many")]:
+        sf = str(tmp_path / tag)
+        base.repartition(n).write.mode("overwrite") \
+            .parquet(f"{sf}/documents.parquet")
+        out[tag] = [tuple(r) for r in
+                    smp_source_mix(spark, sf).collect()]
+    assert out["one"] == out["seven"] == out["many"]
+    assert sum(r[2] for r in out["one"]) > 0  # something kept
