@@ -83,12 +83,15 @@ def main() -> None:
             # more (its single wave has more stragglers to wait for).
             # Size splits for ~4 waves per core instead, with openCost
             # scaled to small bucketed files.
-            total = sum(os.path.getsize(os.path.join(args.input_parquet, f))
-                        for f in os.listdir(args.input_parquet)
-                        if f.endswith(".parquet"))
-            target = max(512 << 10, total // (4 * par))
-            spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
-            spark.conf.set("spark.sql.files.openCostInBytes", str(64 << 10))
+            total = sum(os.path.getsize(os.path.join(dp, f))
+                        for dp, _dirs, files in os.walk(args.input_parquet)
+                        for f in files if f.endswith(".parquet"))
+            if total > 0:  # unknown layout: keep Spark's default sizing
+                target = max(512 << 10, total // (4 * par))
+                spark.conf.set("spark.sql.files.maxPartitionBytes",
+                               str(target))
+                spark.conf.set("spark.sql.files.openCostInBytes",
+                               str(64 << 10))
         t = spark.read.parquet(args.input_parquet)
     else:
         t = synthesize_transcripts(spark, n_convs=args.n_convs)

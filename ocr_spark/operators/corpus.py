@@ -238,10 +238,13 @@ DF_CAP = 100  # shingle document-frequency cap (boilerplate/skew guard)
 def _ngram_shingle_stage(batches):
     """Arrow stage: (doc_id, text) → exploded (doc_id, s) rows where s is
     the md5-derived 64-bit hash of each DISTINCT word 3-gram shingle.
-    Tokenization replicates the oracle SQL byte-for-byte: lowercase, Java/
-    RE2 \\s class ([ \\t\\n\\x0b\\f\\r]+) collapsed to one space, split on
-    ' ' KEEPING empty tokens (leading/trailing separators), 3-gram join
-    with ' '. The hash is corpus._md5_long's fold — first 8 md5 bytes as
+    Tokenization replicates the oracle SQL: lowercase, the Java \\s class
+    ([ \\t\\n\\x0b\\f\\r]+) collapsed to one space, split on ' ' KEEPING
+    empty tokens (leading/trailing separators), 3-gram join with ' '.
+    (RE2's \\s excludes \\x0b — a \\v-bearing doc would tokenize
+    differently in DuckDB; inside the repo's documented ASCII-whitespace
+    oracle boundary, same as every shipped text oracle.) The hash is
+    corpus._md5_long's fold — first 8 md5 bytes as
     a signed int64 — so DuckDB reproduces every value. Doing this in
     Python beats the zip_with/array_distinct HOF chain: higher-order
     array expressions don't enter whole-stage codegen (interpreted
@@ -257,7 +260,9 @@ def _ngram_shingle_stage(batches):
     for pdf in batches:
         ids, hs = [], []
         for did, txt in zip(pdf["doc_id"], pdf["text"]):
-            toks = ws.sub(" ", txt.lower()).split(" ")
+            # null text must degrade like the column-expression form did
+            # (null-propagate then drop), never kill the Arrow task
+            toks = ws.sub(" ", (txt or "").lower()).split(" ")
             if len(toks) < 3:
                 continue
             seen = set()
@@ -329,12 +334,16 @@ def dd_ngram_jaccard(spark, sf_dir):
                       F.col("n_shingles").alias("size_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"),
                       F.col("n_shingles").alias("size_b"))
+    # the threshold compares the RAW IEEE quotient (bit-identical on both
+    # engines, exactly as the oracle's WHERE does); rounding only the
+    # DISPLAY column — filtering on round(x,4)>=0.5 would admit
+    # quotients in [0.49995, 0.5) that the SQL drops
+    raw_j = (F.col("n_common")
+             / (F.col("size_a") + F.col("size_b") - F.col("n_common")))
     return (
         inter.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn("jaccard", F.round(
-            F.col("n_common")
-            / (F.col("size_a") + F.col("size_b") - F.col("n_common")), 4))
-        .where(F.col("jaccard") >= 0.5)
+        .where(raw_j >= 0.5)
+        .withColumn("jaccard", F.round(raw_j, 4))
         .select("doc_a", "doc_b", "n_common", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
@@ -399,7 +408,7 @@ MINHASH_B = [(k * 0xC2B2AE3D27D4EB4F + 1) % MINHASH_P
              for k in range(N_MINHASH)]
 
 
-def _minhash_sig_stage():
+def _minhash_sig_stage(emit_shingles: bool = False):
     """MinHash signatures in one Arrow batch stage: md5-first-8-bytes per
     shingle (engine-agnostic — DuckDB reproduces it as
     ('0x'||substr(md5(s),1,16))::UBIGINT, which makes the whole operator
@@ -409,7 +418,13 @@ def _minhash_sig_stage():
     transform per (shingle, k) — is interpreted, not codegen'd, and ~6x
     slower). The mod-2^64 is numpy's native uint64 wraparound, mirrored
     explicitly in HUGEINT on the oracle side. Deterministic: fixed
-    (a_k, b_k) derived from k."""
+    (a_k, b_k) derived from k.
+
+    emit_shingles=True additionally yields each doc's distinct shingle
+    hashes as a sorted array (the dd_minhash_verified input) — ONE
+    parameterized body, because the verified-dedup oracle assumes the
+    candidate and verify stages share the exact shingle universe; two
+    copies of the tokenize/permutation arithmetic could drift apart."""
     import numpy as np
     import pandas as pd
 
@@ -420,7 +435,7 @@ def _minhash_sig_stage():
     def _sigs(batches):
         import hashlib
         for pdf in batches:
-            out_ids, out_sigs = [], []
+            out_ids, out_sigs, out_sets = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 words = " ".join((text or "").lower().split()).split(" ")
                 if len(words) < 3:
@@ -436,7 +451,12 @@ def _minhash_sig_stage():
                 sig = ((A[:, None] * h[None, :] + B[:, None]) % P).min(axis=1)
                 out_ids.append(int(doc_id))
                 out_sigs.append(sig.astype(np.int64).tolist())
-            yield pd.DataFrame({"doc_id": out_ids, "sig": out_sigs})
+                if emit_shingles:
+                    out_sets.append(np.sort(h.astype(np.int64)).tolist())
+            cols = {"doc_id": out_ids, "sig": out_sigs}
+            if emit_shingles:
+                cols["shingles"] = out_sets
+            yield pd.DataFrame(cols)
 
     return _sigs
 
@@ -496,39 +516,13 @@ VERIFY_JACCARD_BP = 7000  # exact-jaccard floor (basis points) for verified dedu
 
 
 def _minhash_sig_shingle_stage():
-    """Like _minhash_sig_stage, but also emits each doc's distinct shingle
-    hashes as a sorted array — one tokenize+md5 pass feeds BOTH the LSH
-    candidate generator and the exact-jaccard verifier (two separate
-    stages would run the most expensive per-doc work twice)."""
-    import numpy as np
-    import pandas as pd
-
-    P = MINHASH_P
-    A = np.array(MINHASH_A, dtype=np.uint64)
-    B = np.array(MINHASH_B, dtype=np.uint64)
-
-    def _sigs(batches):
-        import hashlib
-        for pdf in batches:
-            out_ids, out_sigs, out_sets = [], [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                words = " ".join((text or "").lower().split()).split(" ")
-                if len(words) < 3:
-                    continue
-                shingles = {" ".join(words[i:i + 3])
-                            for i in range(len(words) - 2)}
-                h = np.fromiter(
-                    (int.from_bytes(hashlib.md5(s.encode()).digest()[:8],
-                                    "big") for s in shingles),
-                    dtype=np.uint64, count=len(shingles))
-                sig = ((A[:, None] * h[None, :] + B[:, None]) % P).min(axis=1)
-                out_ids.append(int(doc_id))
-                out_sigs.append(sig.astype(np.int64).tolist())
-                out_sets.append(np.sort(h.astype(np.int64)).tolist())
-            yield pd.DataFrame({"doc_id": out_ids, "sig": out_sigs,
-                                "shingles": out_sets})
-
-    return _sigs
+    """_minhash_sig_stage with per-doc sorted shingle-hash arrays — one
+    tokenize+md5 pass feeds BOTH the LSH candidate generator and the
+    exact-jaccard verifier (two separate stages would run the most
+    expensive per-doc work twice, and two copies of the arithmetic could
+    drift apart under the verified-dedup oracle's shared-universe
+    assumption)."""
+    return _minhash_sig_stage(emit_shingles=True)
 
 
 def dd_minhash_verified(spark, sf_dir):
@@ -2010,6 +2004,11 @@ def min_label_components(spark, pairs: DataFrame,
              .select("e.src", "e.dst")
              .distinct()
              .persist())
+    # materialize edges BEFORE releasing pairs: persist() is lazy, and
+    # dropping the pair cache first would make edges' first action
+    # recompute the whole upstream pair pipeline (MinHash banding +
+    # candidate join) a second time
+    edges.count()
     pairs.unpersist()
 
     # hard safety cap only — iterate to the FIXPOINT. With pointer

@@ -102,8 +102,14 @@ def conv_curation_flags(t: DataFrame,
                               & (F.col("dup_rank") == 1))
                  .select(_md5_long(F.col("conv_id")).alias("doc_id"),
                          "conv_id", F.col("doc").alias("text")))
+    # cached: _lsh_candidate_pairs consumes the bands through two
+    # exchange subtrees (stats aggregation + join probe) that
+    # ReuseExchange cannot dedup — uncached, the tokenize+md5 signature
+    # stage (the hottest per-conv work here) would run twice
     sigs = survivors.select("doc_id", "text").mapInPandas(
-        _minhash_sig_stage(), "doc_id long, sig array<long>")
+        _minhash_sig_stage(), "doc_id long, sig array<long>").persist()
+    if _track is not None:
+        _track.append(sigs)
     pairs = (_lsh_candidate_pairs(_minhash_bands(sigs))
              .select("doc_a", "doc_b").distinct())
     ids = survivors.select("doc_id", "conv_id")

@@ -243,15 +243,21 @@ def _py_ngram_jaccard(texts, df_cap=100):
             for d, ss in shingles.items()}
     out = []
     ids = sorted(kept)
+    from decimal import ROUND_HALF_UP, Decimal
     for i, a in enumerate(ids):
         for b in ids[i + 1:]:
             inter = len(kept[a] & kept[b])
             if not inter:
                 continue
             union = len(kept[a]) + len(kept[b]) - inter
-            j = round(inter / union, 4)
-            if j >= 0.5:
-                out.append((a, b, inter, j))
+            if inter / union < 0.5:  # threshold on the RAW quotient
+                continue
+            # DuckDB ROUND = half-away-from-zero on the BINARY value;
+            # Python round() is half-even and would flip exact ties
+            # (e.g. 17/32 = 0.53125 -> 0.5312 vs DuckDB 0.5313)
+            j = float(Decimal(inter / union).quantize(
+                Decimal("0.0001"), rounding=ROUND_HALF_UP))
+            out.append((a, b, inter, j))
     return out
 
 
