@@ -1289,6 +1289,43 @@ FROM documents ORDER BY doc_id
 """
 
 
+VOCAB_TOP_K = 100
+
+
+def txt_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary head — the table a tokenizer-training run reads
+    first (coverage planning, stopword candidates, merge seeding): top-K
+    whitespace words by occurrence count with document frequency.
+    Classic wordcount shape: explode → groupBy(word) with map-side
+    partial combine (the shuffle carries per-partition (word, count)
+    rows, never the token stream); the top-K runs as TakeOrdered —
+    per-partition heads merged on the driver, K rows, no global sort of
+    the vocabulary. Ties break on the word itself so the K-boundary is
+    deterministic on both engines."""
+    docs = _docs(spark, sf_dir)
+    words = (docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"))
+        .where(F.col("word") != ""))
+    return (words.groupBy("word")
+            .agg(F.count("*").cast("long").alias("n_occ"),
+                 F.countDistinct("doc_id").cast("long").alias("n_docs"))
+            .orderBy(F.desc("n_occ"), "word")
+            .limit(VOCAB_TOP_K))
+
+
+TXT_VOCAB_SQL = f"""
+SELECT word, CAST(COUNT(*) AS BIGINT) AS n_occ,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word
+  FROM documents WHERE doc_id IS NOT NULL
+)
+WHERE word <> ''
+GROUP BY word ORDER BY n_occ DESC, word LIMIT {VOCAB_TOP_K}
+"""
+
+
 def txt_fingerprint(spark, sf_dir):
     """Document fingerprint: md5 of case/whitespace-normalized text (the
     SQL-checkable variant; the winnowing rolling-hash variant is
@@ -2072,6 +2109,7 @@ QUERIES = {
     "txt_quality": (txt_quality, TXT_QUALITY_SQL),
     "txt_langid": (txt_langid, TXT_LANGID_SQL),
     "txt_token_count": (txt_token_count, TXT_TOKEN_SQL),
+    "txt_vocab_topk": (txt_vocab_topk, TXT_VOCAB_SQL),
     "txt_fingerprint": (txt_fingerprint, TXT_FP_SQL),
     "dd_exact_dup": (dd_exact_dup, DD_EXACT_SQL),
     "dd_incremental": (dd_incremental, DD_INCR_SQL),
