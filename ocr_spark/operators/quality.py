@@ -793,8 +793,12 @@ def smp_source_mix(spark, sf_dir):
     bit-identical on both engines)."""
     docs = _docs(spark, sf_dir)
     h = _md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":mix")))
-    proj = (docs.selectExpr("doc_id", "source",
-                            f"CAST(size({_TOKENS}) AS BIGINT) AS n_tokens_b")
+    # coalesce: size(split(NULL)) is -1 in Spark but NULL (SUM-skipped) in
+    # DuckDB — NULL text must count 1 empty token on both engines
+    proj = (docs.selectExpr(
+        "doc_id", "source",
+        "CAST(size(split(lower(coalesce(text, '')), '\\\\s+')) AS BIGINT)"
+        " AS n_tokens_b")
             .withColumn("h", h)
             .persist())
     stats = (proj.groupBy("source")
@@ -840,8 +844,8 @@ _MIX_CASES = "\n".join(
 SMP_MIX_SQL = f"""
 WITH proj AS (
   SELECT doc_id, source,
-         CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT)
-           AS n_tokens_b,
+         CAST(len(string_split_regex(lower(coalesce(text, '')), '\\s+'))
+              AS BIGINT) AS n_tokens_b,
          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 16))
               ::UBIGINT::HUGEINT - 9223372036854775808 AS BIGINT) AS h
   FROM documents WHERE doc_id IS NOT NULL
@@ -892,7 +896,9 @@ def txt_quality_hist(spark, sf_dir):
     projection + one tiny groupBy(lang, bin); nothing else touches the
     corpus."""
     docs = _docs(spark, sf_dir)
-    tokens = F.split(F.col("text"), r"\s+")
+    # lowercase before matching the lowercase stopword list (sentence-
+    # initial 'The'/'It' must count, like every other op via _TOKENS)
+    tokens = F.split(F.lower(F.col("text")), r"\s+")
     n_tokens = F.size(tokens)
     n_stop = F.size(F.filter(
         tokens, lambda t: t.isin(*_STOPWORDS_EN)))
@@ -906,10 +912,11 @@ def txt_quality_hist(spark, sf_dir):
 
 TXT_QUALITY_HIST_SQL = """
 SELECT lang,
-       CAST(CASE WHEN len(string_split_regex(text, '\\s+')) > 0
-            THEN floor(CAST(len(list_filter(string_split_regex(text, '\\s+'),
+       CAST(CASE WHEN len(string_split_regex(lower(text), '\\s+')) > 0
+            THEN floor(CAST(len(list_filter(
+                   string_split_regex(lower(text), '\\s+'),
                    t -> t IN ('the','a','of','and','to','in','is','it','for','on')))
-                 AS DOUBLE) / len(string_split_regex(text, '\\s+')) * 10)
+                 AS DOUBLE) / len(string_split_regex(lower(text), '\\s+')) * 10)
             ELSE -1 END AS BIGINT) AS bin,
        CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM documents WHERE doc_id IS NOT NULL

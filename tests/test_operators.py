@@ -557,9 +557,7 @@ def test_emb_neardup_blocked_groups_bounded_and_pair_complete(spark, tmp_path,
              .select("vec_id",
                      F.col("embedding").cast("array<double>").alias("vec"))
              .mapInPandas(C._neardup_band_stage(),
-                          "vec_id long, codes array<long>, vec array<double>")
-             .select("vec_id", "vec",
-                     F.posexplode("codes").alias("band", "bkt")))
+                          "vec_id long, codes array<long>, vec array<double>"))
     max_group = (C._emb_blocked(coded)
                  .groupBy("band", "bkt", "bi", "bj").count()
                  .agg(F.max("count")).collect()[0][0])
