@@ -78,6 +78,15 @@ def _run_queries(spark, sf_dir: str) -> dict[str, float]:
         # the leaky session vs 18 s cold standalone. Drop them so each
         # timing is the query, not its predecessors' leftovers.
         spark.catalog.clearCache()
+        # ...and make Spark's ContextCleaner actually reclaim the dropped
+        # blocks plus dead broadcasts/shuffles NOW: cleanup is triggered
+        # by JVM GC noticing unreferenced refs, and with a large
+        # ParallelGC heap full GCs are rare enough that 40+ queries of
+        # state pile up and squeeze later queries (the round-3 driver
+        # bench recorded sim_ivf_topk at 7.8 s in-suite vs a stable
+        # ~2.2 s hermetic/alternating — zero code diff). The GC tick sits
+        # OUTSIDE the timed window.
+        spark.sparkContext._jvm.System.gc()
     return timings
 
 
@@ -170,12 +179,20 @@ def _machine_canary(spark) -> dict:
 
     This shared VM's absolute speed drifts (observed 2.1x between the
     round-1 bench and a round-2 rerun of the IDENTICAL round-1 code —
-    see BENCH/BASELINE.md 'Cross-round drift evidence'). The canary
-    measures the same machine the query walls were taken on:
+    see BENCH/BASELINE.md 'Cross-round drift evidence'; the round-4 A/B
+    then caught the numpy canary swinging 3-5x WITHIN one 15-minute
+    session). The canary measures the same machine the query walls were
+    taken on:
       - numpy_mm_s: single-thread 1500^2 float64 matmul (median of 3)
       - spark_range_s: sum over range(200M) on all cores (median of 3)
+      - spark_stages_s: a fixed two-shuffle groupBy+join+window probe
+        (median of 3) — multi-stage Spark queries stress shuffle,
+        codegen, and memory bandwidth that a range-sum never touches,
+        so this is the number to normalize multi-stage query walls by
     Divide another round's wall by (its canary / this round's canary)
-    to compare like-for-like."""
+    to compare like-for-like — and even then prefer a same-session
+    alternating A/B (BENCH/BASELINE.md round-4 section): intra-session
+    drift makes single-point normalization ±30% at best."""
     import numpy as np
     rng = np.random.default_rng(7)
     a = rng.random((1500, 1500))
@@ -187,7 +204,19 @@ def _machine_canary(spark) -> dict:
     rg = sorted(
         _timed(lambda: spark.range(200_000_000).selectExpr(q).collect())
         for _ in range(3))[1]
-    return {"numpy_mm_s": round(mm, 4), "spark_range_s": round(rg, 4)}
+
+    def _stages():
+        df = (spark.range(4_000_000)
+              .selectExpr("id % 9973 AS k", "id % 101 AS v"))
+        agg = df.groupBy("k").agg({"v": "sum"})
+        j = df.join(agg, "k").selectExpr("k", "v", "`sum(v)` AS sv")
+        j.selectExpr("k", "v + sv AS w").groupBy("k").count() \
+            .orderBy("count", "k").limit(5).collect()
+
+    _stages()  # warm (codegen compile)
+    st = sorted(_timed(_stages) for _ in range(3))[1]
+    return {"numpy_mm_s": round(mm, 4), "spark_range_s": round(rg, 4),
+            "spark_stages_s": round(st, 4)}
 
 
 def _timed(fn) -> float:
@@ -216,6 +245,11 @@ def main_bench() -> None:
         extract_turns(synthesize_transcripts(spark, n_convs=64)
                       .repartition(cpus),  # one task per worker slot
                       salt_partitions=None).count()
+        # two-point canary: the VM's speed drifts WITHIN a session (3-5x
+        # numpy swing observed inside 15 minutes) — pre+post bounds the
+        # weather the query walls were taken in
+        canary_pre = _machine_canary(spark)
+        print(f"  machine canary (pre): {canary_pre}", file=sys.stderr)
         timings = _run_queries(spark, sf_dir)
         # extraction throughput at a turn count scaled to sf
         n_convs = max(200, int(20000 * sf))
@@ -224,7 +258,7 @@ def main_bench() -> None:
         if parity:
             print(f"  golden parity: {parity}", file=sys.stderr)
         canary = _machine_canary(spark)
-        print(f"  machine canary: {canary}", file=sys.stderr)
+        print(f"  machine canary (post): {canary}", file=sys.stderr)
         total = round(sum(timings.values()) + ext["wall_sec"], 3)
         result = {
             "metric": "headline queries + extraction wall time",
@@ -240,6 +274,7 @@ def main_bench() -> None:
             "extraction": ext,
             "golden_parity": parity,
             "machine_canary": canary,
+            "machine_canary_pre": canary_pre,
             "cpus": cpus,
         }
         print(json.dumps(result))
