@@ -70,6 +70,125 @@ GROUP BY 1 ORDER BY text_hash
 """
 
 
+def dd_url_dup(spark, sf_dir):
+    """URL dedup — the first dedup a real crawl runs, BEFORE any text
+    dedup: collapse fetch variants of the same resource on a normalized
+    URL key. The documents table carries no URL, so one is synthesized
+    deterministically from doc_id with the same expression on BOTH
+    engines (the txt_pii_scrub pattern): scheme http/https, optional
+    'www.', mixed-case host, optional trailing slash, query params in
+    both orders plus a tracking param, optional fragment — all of which
+    normalization must erase. Normalization (identical regex chain in
+    the oracle): lowercase → strip fragment → strip scheme → strip
+    leading www. → split query off → drop utm_* params → sort remaining
+    params → strip trailing slash → md5-fold to a 64-bit url_key
+    (corpus._md5_long). Dedup is first-wins by min(doc_id) per key.
+
+    Scale shape: the normalization is ONE codegen'd map-only projection
+    (regex + array exprs, no Python); the only shuffle is the
+    groupBy(url_key) — map-side combinable scalars — plus the keyed join
+    back. Unlike text dedup there is no payload wider than the
+    normalized string, so this runs ahead of everything else at 100 TB."""
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 3 == 0, F.lit("https://")).otherwise(F.lit("http://")),
+        F.when(did % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.lit("EXAMPLE")).otherwise(F.lit("example")),
+        (did % 50).cast("string"), F.lit(".com"),
+        F.lit("/docs/page-"), (did % 1000).cast("string"),
+        F.when(did % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.lit(""))
+        .when(did % 2 == 0, F.lit("?a=1&b=2")).otherwise(F.lit("?b=2&a=1")),
+        F.when((did % 4 == 0) & (did % 11 != 0),
+               F.lit("&utm_source=feed")).otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.lit("#sec1")).otherwise(F.lit("")))
+    stripped = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(url), "#.*$", ""),
+            "^https?://", ""),
+        r"^www\.", "")
+    pre = F.regexp_replace(
+        F.regexp_extract(stripped, "^[^?]*", 0), "/$", "")
+    # params: drop tracking keys, canonicalize order; lambdas touch only
+    # lambda variables (HOF trap — CLAUDE.md)
+    qn = F.concat_ws("&", F.array_sort(F.filter(
+        F.split(F.regexp_extract(stripped, r"\?(.*)$", 1), "&"),
+        lambda x: ~x.startswith("utm_"))))
+    norm = F.concat(pre,
+                    F.when(qn != "", F.concat(F.lit("?"), qn))
+                    .otherwise(F.lit("")))
+    per_doc = docs.select("doc_id", norm.alias("url_norm"),
+                          _md5_long(norm).alias("url_key"))
+    groups = (per_doc.groupBy("url_key")
+              .agg(F.min("doc_id").alias("canonical_id"),
+                   F.count("*").alias("n_variants")))
+    return (per_doc.join(groups, "url_key")
+            .select("doc_id", "url_norm", "url_key", "canonical_id",
+                    F.col("n_variants").cast("long").alias("n_variants"),
+                    F.when(F.col("doc_id") == F.col("canonical_id"),
+                           F.lit("canonical")).otherwise(F.lit("dup"))
+                    .alias("status"))
+            .orderBy("doc_id"))
+
+
+DD_URL_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 3 = 0 THEN 'https://' ELSE 'http://' END)
+         || (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
+         || (CASE WHEN doc_id % 7 = 0 THEN 'EXAMPLE' ELSE 'example' END)
+         || CAST(doc_id % 50 AS VARCHAR) || '.com'
+         || '/docs/page-' || CAST(doc_id % 1000 AS VARCHAR)
+         || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+         || (CASE WHEN doc_id % 11 = 0 THEN ''
+                  WHEN doc_id % 2 = 0 THEN '?a=1&b=2' ELSE '?b=2&a=1' END)
+         || (CASE WHEN doc_id % 4 = 0 AND doc_id % 11 <> 0
+                  THEN '&utm_source=feed' ELSE '' END)
+         || (CASE WHEN doc_id % 7 = 0 THEN '#sec1' ELSE '' END) AS url
+  FROM documents WHERE doc_id IS NOT NULL
+),
+n AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(lower(url), '#.*$', ''),
+             '^https?://', ''),
+           '^www\\.', '') AS stripped
+  FROM u
+),
+parts AS (
+  SELECT doc_id,
+         regexp_replace(regexp_extract(stripped, '^[^?]*'), '/$', '') AS pre,
+         array_to_string(list_sort(list_filter(
+           string_split(regexp_extract(stripped, '\\?(.*)$', 1), '&'),
+           x -> NOT starts_with(x, 'utm_'))), '&') AS qn
+  FROM n
+),
+normed AS (
+  SELECT doc_id,
+         pre || (CASE WHEN qn <> '' THEN '?' || qn ELSE '' END) AS url_norm
+  FROM parts
+),
+keyed AS (
+  SELECT doc_id, url_norm,
+         CAST(CAST(('0x' || substr(md5(url_norm), 1, 16))::UBIGINT AS HUGEINT)
+              - 9223372036854775808 AS BIGINT) AS url_key
+  FROM normed
+),
+grp AS (
+  SELECT url_key, MIN(doc_id) AS canonical_id,
+         CAST(COUNT(*) AS BIGINT) AS n_variants
+  FROM keyed GROUP BY 1
+)
+SELECT k.doc_id, k.url_norm, k.url_key, g.canonical_id, g.n_variants,
+       CASE WHEN k.doc_id = g.canonical_id
+            THEN 'canonical' ELSE 'dup' END AS status
+FROM keyed k JOIN grp g USING (url_key)
+ORDER BY k.doc_id
+"""
+
+
 INCR_BATCH_RESIDUE = 7  # doc_id % 10 == 7 plays the "new crawl batch"
 
 
@@ -2132,6 +2251,7 @@ QUERIES = {
     "txt_vocab_topk": (txt_vocab_topk, TXT_VOCAB_SQL),
     "txt_fingerprint": (txt_fingerprint, TXT_FP_SQL),
     "dd_exact_dup": (dd_exact_dup, DD_EXACT_SQL),
+    "dd_url_dup": (dd_url_dup, DD_URL_SQL),
     "dd_incremental": (dd_incremental, DD_INCR_SQL),
     "dd_incremental_neardup": (
         dd_incremental_neardup,

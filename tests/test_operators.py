@@ -436,6 +436,34 @@ def test_incremental_dedup_planted_verdicts(spark, tmp_path):
     assert rows2 == {k: (v.status, v.dup_of) for k, v in rows.items()}
 
 
+def test_url_dup_planted_variants(spark, tmp_path):
+    """dd_url_dup must collapse synthesized fetch variants of one
+    resource: ids 212/1212/2212 share (id%50, id%1000) so they normalize
+    to the same URL despite differing in scheme (http/https), host case
+    (2212%7==0 -> 'EXAMPLE'), and fragment — while 999 is a singleton."""
+    import os
+
+    from ocr_spark.operators.corpus import dd_url_dup
+
+    ids = [212, 1212, 2212, 999]
+    d = str(tmp_path / "url")
+    spark.createDataFrame(
+        [(i, f"body {i}", "en", "s", 10) for i in ids],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long").write.parquet(os.path.join(d, "documents.parquet"))
+    rows = {r.doc_id: r for r in dd_url_dup(spark, d).collect()}
+    assert set(rows) == set(ids)
+    trio = [rows[i] for i in (212, 1212, 2212)]
+    assert len({r.url_key for r in trio}) == 1
+    assert len({r.url_norm for r in trio}) == 1
+    assert trio[0].url_norm == "example12.com/docs/page-212?a=1&b=2"
+    assert all(r.canonical_id == 212 and r.n_variants == 3 for r in trio)
+    assert rows[212].status == "canonical"
+    assert rows[1212].status == "dup" and rows[2212].status == "dup"
+    assert rows[999].status == "canonical" and rows[999].n_variants == 1
+    assert rows[999].url_key != rows[212].url_key
+
+
 def test_conv_stats_hand_computed(spark, tmp_path):
     """conv_stats on a corpus small enough to check by hand: one conv of
     four docs (ids 0, 50, 100, 150 -> conv-000000) with known roles
