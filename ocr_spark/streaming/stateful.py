@@ -204,6 +204,55 @@ def streaming_conv_stats(turns: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming conversation quality verdict (the conv-grain curation gate
+# as turns arrive)
+# ---------------------------------------------------------------------------
+
+CONV_QUALITY_OUTPUT_SCHEMA = ("conv_id string, n_turns long, n_user long, "
+                              "total_chars long, quality_ok int")
+CONV_QUALITY_STATE_SCHEMA = "n_turns long, n_user long, chars long"
+
+
+def _make_conv_quality_fn(min_chars: int):
+    def _fn(key, pdfs, state: GroupState):
+        import pandas as pd
+        (conv_id,) = key
+        n_turns, n_user, chars = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            n_turns += len(pdf)
+            n_user += int((pdf["role"] == "user").sum())
+            chars += int(pdf["text"].fillna("").str.len().sum())
+        state.update((n_turns, n_user, chars))
+        ok = 1 if (n_user >= 1 and chars >= min_chars) else 0
+        yield pd.DataFrame(
+            [(conv_id, n_turns, n_user, chars, ok)],
+            columns=["conv_id", "n_turns", "n_user", "total_chars",
+                     "quality_ok"])
+    return _fn
+
+
+def streaming_conv_quality(turns: DataFrame) -> DataFrame:
+    """The conversation-grain curation QUALITY gate (user-turn floor +
+    assembled-char floor, pipeline/curate_convs.conv_curation_flags) as
+    turns ARRIVE: per-conversation state accumulates n_user and the
+    per-turn char sum, and every micro-batch emits the conversation's
+    CURRENT verdict. Both gate inputs are monotone non-decreasing, so a
+    conversation's verdict can only flip fail→pass as more turns land —
+    the latest emitted row per conv equals the batch gate over the full
+    transcript (pinned across micro-batch splits in
+    tests/test_stateful_streaming.py). State is three longs per
+    conversation — O(1), no text retained."""
+    from ..pipeline.curate_convs import MIN_CONV_CHARS
+    return (
+        turns.groupBy("conv_id")
+        .applyInPandasWithState(
+            _make_conv_quality_fn(MIN_CONV_CHARS),
+            CONV_QUALITY_OUTPUT_SCHEMA, CONV_QUALITY_STATE_SCHEMA,
+            "append", GroupStateTimeout.NoTimeout)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Cross-micro-batch near-duplicate detection (streaming MinHash-LSH)
 # ---------------------------------------------------------------------------
 

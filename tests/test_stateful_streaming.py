@@ -189,3 +189,68 @@ def test_streaming_conv_stats_matches_batch(spark, tmp_path):
     # c1's span (28s) straddles the micro-batch boundary — the state, not
     # the batch window, carried min_ts across
     assert latest["c1"].span_seconds == 28
+
+
+def test_streaming_conv_quality_matches_batch_gate(spark, tmp_path):
+    """streaming_conv_quality must converge to the batch conv-grain
+    quality verdict (conv_curation_flags' drop_reason == 'quality') at
+    ANY micro-batch split, and a conversation crossing the char floor in
+    a LATER batch must flip fail -> pass (monotone gate)."""
+    import datetime as dt
+
+    from ocr_spark.pipeline.curate_convs import conv_curation_flags
+    from ocr_spark.streaming.stateful import streaming_conv_quality
+
+    inp = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    schema_str = ("conv_id string, turn_idx int, role string, text string, "
+                  "ts timestamp")
+
+    def ts(s):
+        return dt.datetime(2025, 1, 1, 0, 0, s)
+
+    pad60 = "x" * 55  # 55 chars/turn: two turns cross the 100-char floor
+    # c1: user turn + 55 chars in batch 1 (fails char floor), crosses it
+    # in batch 2. c2: assistant-only forever (fails user floor). c3:
+    # passes outright in batch 1.
+    batch1 = [("c1", 0, "user", pad60, ts(0)),
+              ("c2", 0, "assistant", pad60 + pad60, ts(1)),
+              ("c3", 0, "user", pad60 + "different words here padpadpad"
+                                + pad60, ts(2))]
+    batch2 = [("c1", 1, "assistant", pad60 + " more reply body", ts(9))]
+
+    def write(rows):
+        spark.createDataFrame(rows, schema_str).coalesce(1) \
+            .write.mode("append").parquet(inp)
+
+    write(batch1)
+    schema = spark.read.parquet(inp).schema
+    stream = spark.readStream.schema(schema).parquet(inp)
+    res1 = _run_available_now(spark, streaming_conv_quality(stream),
+                              out, ckpt)
+    first = {r.conv_id: r for r in res1.collect()}
+    assert first["c1"].quality_ok == 0, "below char floor in batch 1"
+    assert first["c2"].quality_ok == 0, "no user turn"
+    assert first["c3"].quality_ok == 1
+
+    write(batch2)
+    stream = spark.readStream.schema(schema).parquet(inp)
+    res = _run_available_now(spark, streaming_conv_quality(stream),
+                             out, ckpt)
+    latest = {}
+    for r in res.collect():
+        cur = latest.get(r.conv_id)
+        if cur is None or r.n_turns > cur.n_turns:
+            latest[r.conv_id] = r
+    assert latest["c1"].quality_ok == 1, "state carried chars across batches"
+    assert latest["c1"].total_chars == first["c1"].total_chars + len(
+        pad60 + " more reply body")
+
+    # batch reference: the conv-grain funnel's quality gate over ALL turns
+    flags = {r.conv_id: r.drop_reason
+             for r in conv_curation_flags(
+                 spark.read.parquet(inp)).collect()}
+    for cid, r in latest.items():
+        assert r.quality_ok == int(flags[cid] != "quality"), \
+            f"{cid}: streaming {r.quality_ok} vs batch {flags[cid]}"
