@@ -42,6 +42,23 @@ def _emb(spark, sf_dir):
                    & F.col("embedding").isNotNull()))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Redistribute a narrow input across the session's parallelism
+    before an Arrow stage. A small corpus arrives as ONE parquet file =
+    one row group = one scan task (row groups are the split unit, so
+    file-split tuning can't help), and the Python stage downstream then
+    runs single-core — measured 3.4 s single-task vs sub-second spread
+    for the sf0.1 shingle stage. At real scale the scan already plans at
+    least as many splits as cores and this is a NO-OP: no shuffle is
+    added at 100 TB; the small-input repartition moves only the rows the
+    Python stage was about to eat anyway."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -293,7 +310,7 @@ def dd_incremental_neardup(spark, sf_dir):
                          F.col("doc_id").cast("string"))).alias("text")))
     src = (docs.where(~is_batch).select("doc_id", "text")
            .unionByName(batch))
-    sigs = src.mapInPandas(_minhash_sig_stage(),
+    sigs = _spread(src).mapInPandas(_minhash_sig_stage(),
                            "doc_id long, sig array<long>")
     bands = _minhash_bands(sigs)
     corpus_idx = (bands.where(F.col("doc_id") % 10 != INCR_BATCH_RESIDUE)
@@ -399,11 +416,9 @@ def _ngram_shingle_stage(batches):
 def dd_ngram_jaccard(spark, sf_dir):
     """N-gram Jaccard near-dup: word 3-gram shingles hashed to longs in a
     map-only Arrow stage (deduped per doc in the stage — no distinct
-    shuffle) → document-frequency stats → capped posting lists → ordered
-    pairs exploded from each list (≤ C(DF_CAP,2) per shingle by
-    construction) → |∩| via pair count, |∪| via per-doc counts over the
-    same posting lists → Jaccard. Returns candidate pairs with
-    jaccard ≥ 0.5.
+    shuffle) → document-frequency stats → df-capped self-join on the
+    shingle hash → |∩| via pair count, |∪| via per-doc shingle counts →
+    Jaccard. Returns candidate pairs with jaccard ≥ 0.5.
 
     Shingles with document frequency > DF_CAP (boilerplate 3-grams —
     headers, licenses, nav chrome) are dropped from the shingle sets on
@@ -412,42 +427,35 @@ def dd_ngram_jaccard(spark, sf_dir):
     definition change (jaccard over informative shingles), so the oracle
     stays exact.
 
-    Memory-bounded posting build (the _lsh_candidate_pairs stats
-    pattern): a count aggregation FIRST (map-side-combinable scalars —
-    the shuffle is per-partition (s, partial_count) rows, never full
-    postings), then the join back on the shingle hash keeps only
-    df ≤ DF_CAP occurrences, so no collect_list row ever materializes a
-    hot shingle's unbounded posting array (collect-then-filter held an
-    O(df) array per boilerplate shingle in one aggregation task — a
-    10⁸-doc shingle was a multi-GB row). The join output is already
-    hash-partitioned on s, so the posting groupBy reuses the exchange:
-    still exactly ONE big shuffle of the exploded rows. The exploded
-    frame is persisted (MEMORY_AND_DISK) because both the stats and join
-    branches read it — uncached, the tokenizer stage would run twice."""
+    Memory-bounded pairing: a count aggregation FIRST (map-side-
+    combinable scalars — the shuffle is per-partition (s, partial_count)
+    rows), then the join back on the shingle hash keeps only df ≤ DF_CAP
+    occurrences, so pair generation is a keyed sort-merge SELF-JOIN
+    whose per-key output is ≤ C(DF_CAP, 2) rows by construction — no
+    row ever materializes a posting array at all. (The previous shape
+    collected capped posting lists and exploded ordered pairs from them
+    with higher-order array functions; HOFs never enter whole-stage
+    codegen, and their one-time codegen compile of the giant pair
+    projection dominated the wall at bench scale — the self-join is the
+    same shuffle volume, all JVM-side, and mirrors the oracle SQL's own
+    plan.) The exploded frame is persisted (MEMORY_AND_DISK) because the
+    stats and join branches both read it — uncached, the tokenizer stage
+    would run twice; `filtered` is persisted because the sizes branch
+    and both self-join sides read it."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    exploded = (docs.mapInPandas(_ngram_shingle_stage, "doc_id long, s long")
+    exploded = (_spread(docs)
+                .mapInPandas(_ngram_shingle_stage, "doc_id long, s long")
                 .persist(StorageLevel.MEMORY_AND_DISK))
     stats = (exploded.groupBy("s").agg(F.count("*").alias("df"))
              .where(F.col("df") <= DF_CAP).drop("df"))
-    # array_sort makes pair order (a < b) and the whole frame
-    # deterministic under any partitioning
-    posting = (exploded.join(stats, "s")
-               .groupBy("s")
-               .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
-               .persist())
-    sizes = (posting.select(F.explode("docs").alias("doc_id"))
-             .groupBy("doc_id").agg(F.count("*").alias("n_shingles")))
-    ds = F.col("docs")
-    pair_structs = F.flatten(F.transform(
-        F.sequence(F.lit(0), F.size(ds) - 2),
-        lambda i: F.transform(
-            F.sequence(i + 1, F.size(ds) - 1),
-            lambda j: F.struct(F.element_at(ds, i + 1).alias("doc_a"),
-                               F.element_at(ds, j + 1).alias("doc_b")))))
-    inter = (posting.where(F.size(ds) >= 2)
-             .select(F.explode(pair_structs).alias("p"))
-             .groupBy(F.col("p.doc_a").alias("doc_a"),
-                      F.col("p.doc_b").alias("doc_b"))
+    filtered = (exploded.join(stats, "s")
+                .persist(StorageLevel.MEMORY_AND_DISK))
+    sizes = (filtered.groupBy("doc_id")
+             .agg(F.count("*").alias("n_shingles")))
+    inter = (filtered.select(F.col("doc_id").alias("doc_a"), "s")
+             .join(filtered.select(F.col("doc_id").alias("doc_b"), "s"), "s")
+             .where(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b")
              .agg(F.count("*").alias("n_common")))
     sa = sizes.select(F.col("doc_id").alias("doc_a"),
                       F.col("n_shingles").alias("size_a"))
@@ -623,8 +631,8 @@ def dd_minhash_lsh(spark, sf_dir):
     band-hash buckets → within-bucket pair explode. The only shuffle is
     the band-bucket groupBy, keyed by (band_idx, hash)."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    sigs = docs.mapInPandas(_minhash_sig_stage(),
-                            "doc_id long, sig array<long>")
+    sigs = _spread(docs).mapInPandas(_minhash_sig_stage(),
+                                     "doc_id long, sig array<long>")
     # pipeline break: signatures are tiny (K longs/doc); caching prevents
     # the band explode from re-deriving shingles+hashes per band reference
     sigs = sigs.cache()
@@ -664,7 +672,7 @@ def dd_minhash_verified(spark, sf_dir):
     frame by doc_id — linear, co-partitioned, AQE-broadcastable when the
     candidate side is tiny. No unkeyed join anywhere."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    both = (docs.mapInPandas(_minhash_sig_shingle_stage(),
+    both = (_spread(docs).mapInPandas(_minhash_sig_shingle_stage(),
                              "doc_id long, sig array<long>, "
                              "shingles array<long>")
             .persist())
@@ -908,8 +916,8 @@ def dd_simhash(spark, sf_dir):
     all replayed in DuckDB (DD_SIMHASH_SQL); planted-mutation recovery
     additionally pinned in pytest."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    sigs = docs.mapInPandas(_simhash_sig_stage(),
-                            "doc_id long, simhash long")
+    sigs = _spread(docs).mapInPandas(_simhash_sig_stage(),
+                                     "doc_id long, simhash long")
     # dedup to one row per distinct signature BEFORE banding: the member
     # list rides along, so banding/pairing cost scales with distinct
     # signatures, not documents
@@ -1252,7 +1260,7 @@ def sim_lsh_buckets(spark, sf_dir):
            .select("vec_id",
                    F.col("embedding").cast("array<double>").alias("vec")))
     return (
-        emb.mapInPandas(_lsh_bucket_stage(_SIM_BUCKET_PLANES),
+        _spread(emb).mapInPandas(_lsh_bucket_stage(_SIM_BUCKET_PLANES),
                         "vec_id long, bucket long")
         .groupBy("bucket")
         .agg(F.count("*").alias("n_vectors"),
@@ -1495,7 +1503,8 @@ def mm_winnow_fingerprint(spark, sf_dir):
             yield pd.DataFrame({"doc_id": pdf["doc_id"],
                                 "n_fingerprints": fps})
 
-    return (docs.mapInPandas(_winnow, "doc_id long, n_fingerprints int")
+    return (_spread(docs)
+            .mapInPandas(_winnow, "doc_id long, n_fingerprints int")
             .orderBy("doc_id"))
 
 
@@ -1555,7 +1564,7 @@ def mm_binary_features(spark, sf_dir):
                 "head_hex": heads, "n_bytes": sizes,
             })
 
-    return (docs.mapInPandas(
+    return (_spread(docs).mapInPandas(
         _decode, "doc_id long, mime string, head_hex string, n_bytes int")
         .orderBy("doc_id"))
 
@@ -1697,7 +1706,7 @@ def dd_embedding_neardup(spark, sf_dir):
     # happens only downstream of the n>=2 broadcast filter in
     # _emb_blocked, so singleton-bucket vectors (the overwhelming
     # majority) never copy their payload 4x.
-    coded = (emb.unionByName(planted)
+    coded = (_spread(emb.unionByName(planted))
              .mapInPandas(_neardup_band_stage(),
                           "vec_id long, codes array<long>, "
                           "vec array<double>")
@@ -1846,7 +1855,7 @@ def sim_lsh_topk(spark, sf_dir):
             yield pd.DataFrame({"vec_id": pdf["vec_id"], "code": code,
                                 "vec": pdf["vec"], "norm": pdf["norm"]})
 
-    coded = emb.mapInPandas(
+    coded = _spread(emb).mapInPandas(
         _code_stage, "vec_id long, code long, vec array<double>, norm double")
     coded = coded.cache()
 
@@ -2017,7 +2026,7 @@ def sim_ivf_topk(spark, sf_dir):
 
     # corpus → nearest centroid: map-only Arrow stage, centroids in the
     # closure (the broadcast-variables pattern; no join, no shuffle)
-    assigned = emb.mapInPandas(
+    assigned = _spread(emb).mapInPandas(
         _ivf_assign_stage(C),
         "vec_id long, cell_id int, vec array<double>, norm double")
 

@@ -598,12 +598,14 @@ def test_emb_neardup_blocked_groups_bounded_and_pair_complete(spark, tmp_path,
 
 
 def test_ngram_jaccard_bounded_posting_and_df_cap(spark, tmp_path):
-    """The posting build must bound memory BEFORE any collect_list: the
-    document-frequency join keeps only df <= DF_CAP occurrences, so a
-    boilerplate shingle (here: 150 identical docs, every shingle at
-    df=150) never materializes its O(df) posting array — and those
-    shingles drop out of the jaccard universe entirely, while a planted
-    near-dup pair with informative shingles is still recovered exactly."""
+    """Pair generation must bound memory BEFORE pairing: the document-
+    frequency join keeps only df <= DF_CAP occurrences, so a boilerplate
+    shingle (here: 150 identical docs, every shingle at df=150) never
+    reaches the self-join — and those shingles drop out of the jaccard
+    universe entirely, while a planted near-dup pair with informative
+    shingles is still recovered exactly. No posting array is ever
+    materialized (no collect_list anywhere in the plan): pairs come from
+    a keyed self-join whose per-key output is <= C(DF_CAP, 2) rows."""
     from pyspark.sql import functions as F
 
     from ocr_spark.operators.corpus import DF_CAP, dd_ngram_jaccard
@@ -618,9 +620,10 @@ def test_ngram_jaccard_bounded_posting_and_df_cap(spark, tmp_path):
 
     res = dd_ngram_jaccard(spark, sf)
     plan = res._jdf.queryExecution().optimizedPlan().toString()
-    assert "collect_list" in plan
+    assert "collect_list" not in plan, \
+        "no row may hold a posting array — pairing is a keyed self-join"
     # the df-cap filter sits on the count aggregation feeding the join,
-    # i.e. BEFORE the collect_list ever sees a hot shingle
+    # i.e. BEFORE any shingle reaches the pair-generating self-join
     assert f"<= {DF_CAP})" in plan
 
     rows = res.collect()
