@@ -64,6 +64,8 @@ _MEASURED_COST = {
     'extract_pdf_layout': 1.4, 'extract_synthetic': 1.4,
     'txt_quality_hist': 0.5, 'txt_vocab_topk': 0.6, 'dd_url_dup': 0.6,
     'smp_source_mix': 1.1,
+    'txt_bpe_pair_counts': 0.7, 'conv_dialogue_balance': 0.7,
+    'txt_lm_unigram_score': 1.3, 'smp_temperature_mix': 1.3,
     'dd_embedding_neardup': 1.5, 'curate_funnel': 1.6, 'dd_simhash': 1.6,
     't19_code_gen': 1.6, 'dd_ngram_jaccard': 1.7, 'dd_minhash_verified': 1.3,
     'import_sales': 1.8,

@@ -56,6 +56,10 @@ HEADLINE = HEADLINE_R1 + [
     # round 3: source-mixture sampling, gate-threshold calibration,
     # two-stage verified fuzzy dedup
     "smp_source_mix", "txt_quality_hist", "dd_minhash_verified",
+    # round 4: URL dedup, unigram-LM quality scoring, temperature-scaled
+    # source mixing, BPE merge statistics, dialogue-shape screening
+    "dd_url_dup", "txt_lm_unigram_score", "smp_temperature_mix",
+    "txt_bpe_pair_counts", "conv_dialogue_balance",
 ]
 
 

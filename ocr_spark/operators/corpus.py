@@ -1453,6 +1453,52 @@ GROUP BY word ORDER BY n_occ DESC, word LIMIT {VOCAB_TOP_K}
 """
 
 
+BPE_PAIR_TOP_K = 50
+
+
+def txt_bpe_pair_counts(spark, sf_dir):
+    """Tokenizer-training support: adjacent token-pair frequencies — the
+    statistic the first BPE merge step maximizes (and the next ones
+    recompute). Top-K pairs by occurrence with deterministic tie order.
+
+    Plan: the pair stream is built map-only from two shifted slices of
+    the per-doc token array zipped elementwise — the zip_with lambda
+    touches ONLY its lambda variables (the outer-column-in-lambda trap
+    re-evaluates the defining expression per element after projection
+    collapse; two precomputed slice columns don't). Then the wordcount
+    shape: explode → groupBy(pair) with map-side combine → TakeOrdered
+    top-K. One shuffle of (pair, partial count) rows."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.filter(F.split(F.lower(F.col("text")), r"\s+"),
+                 lambda x: x != "").alias("t"))
+    lhs = F.slice(F.col("t"), 1, F.size("t") - 1)
+    rhs = F.slice(F.col("t"), 2, F.size("t") - 1)
+    pairs = (toks.where(F.size("t") >= 2)
+             .select(F.explode(F.zip_with(
+                 lhs, rhs,
+                 lambda a, b: F.concat(a, F.lit(" "), b))).alias("pair")))
+    return (pairs.groupBy("pair")
+            .agg(F.count("*").cast("long").alias("n_occ"))
+            .orderBy(F.desc("n_occ"), "pair")
+            .limit(BPE_PAIR_TOP_K))
+
+
+TXT_BPE_PAIRS_SQL = f"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents WHERE doc_id IS NOT NULL
+), pairs AS (
+  SELECT unnest(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i + 1])) AS pair
+  FROM toks WHERE len(t) >= 2
+)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_occ
+FROM pairs GROUP BY pair ORDER BY n_occ DESC, pair LIMIT {BPE_PAIR_TOP_K}
+"""
+
+
 def txt_fingerprint(spark, sf_dir):
     """Document fingerprint: md5 of case/whitespace-normalized text (the
     SQL-checkable variant; the winnowing rolling-hash variant is
@@ -2258,6 +2304,7 @@ QUERIES = {
     "txt_langid": (txt_langid, TXT_LANGID_SQL),
     "txt_token_count": (txt_token_count, TXT_TOKEN_SQL),
     "txt_vocab_topk": (txt_vocab_topk, TXT_VOCAB_SQL),
+    "txt_bpe_pair_counts": (txt_bpe_pair_counts, TXT_BPE_PAIRS_SQL),
     "txt_fingerprint": (txt_fingerprint, TXT_FP_SQL),
     "dd_exact_dup": (dd_exact_dup, DD_EXACT_SQL),
     "dd_url_dup": (dd_url_dup, DD_URL_SQL),

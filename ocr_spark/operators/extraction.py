@@ -9,6 +9,7 @@ the whole query is a pure function of the testdata — no external data.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _transcripts_from_documents(spark, sf_dir):
@@ -610,6 +611,52 @@ def conv_stats(spark, sf_dir):
     )
 
 
+def conv_dialogue_balance(spark, sf_dir):
+    """Per-conversation dialogue-shape signals for chat-training-data
+    curation: role alternation rate (monologue dumps score low), the
+    assistant share of the user+assistant character volume (lopsided
+    conversations are poor SFT data), and the starts-with-user /
+    ends-with-assistant flags a chat formatter requires.
+
+    One window (lag of role over turn order — the same shuffle the
+    downstream assembly pays anyway, so at pipeline level this is free)
+    plus one keyed aggregation. All ratios are integer-division basis
+    points — exact on both engines. Tie determinism: the synthesized
+    transcripts can repeat a turn_idx within a conversation, but any two
+    rows sharing (conv_id, turn_idx) carry the SAME role by
+    construction, so the role sequence — and hence the alternation
+    count, min_by/max_by role — is invariant under tie order."""
+    t = _agent_transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    flagged = t.select(
+        "conv_id", "turn_idx", "role",
+        F.length("text").cast("long").alias("n_chars"),
+        F.lag("role").over(w).alias("prev_role"))
+    g = (flagged.groupBy("conv_id")
+         .agg(F.count("*").cast("long").alias("n_turns"),
+              F.sum((F.col("prev_role").isNotNull()
+                     & (F.col("prev_role") != F.col("role")))
+                    .cast("long")).alias("n_alternations"),
+              F.sum(F.when(F.col("role") == "user", F.col("n_chars"))
+                    .otherwise(F.lit(0))).cast("long").alias("user_chars"),
+              F.sum(F.when(F.col("role") == "assistant", F.col("n_chars"))
+                    .otherwise(F.lit(0))).cast("long").alias("asst_chars"),
+              F.expr("min_by(role, turn_idx)").alias("first_role"),
+              F.expr("max_by(role, turn_idx)").alias("last_role")))
+    return (g.select(
+        "conv_id", "n_turns", "n_alternations",
+        F.when(F.col("n_turns") >= 2,
+               F.expr("n_alternations * 10000 DIV (n_turns - 1)"))
+        .otherwise(F.lit(-1)).cast("long").alias("alt_bp"),
+        F.when(F.col("user_chars") + F.col("asst_chars") > 0,
+               F.expr("asst_chars * 10000 DIV (user_chars + asst_chars)"))
+        .otherwise(F.lit(-1)).cast("long").alias("asst_share_bp"),
+        (F.col("first_role") == "user").cast("int").alias("starts_user"),
+        (F.col("last_role") == "assistant").cast("int")
+        .alias("ends_assistant"))
+        .orderBy("conv_id"))
+
+
 _AGENT_TRANSCRIPTS_CTE = """
   SELECT printf('conv-%06d', ((doc_id % 50) + 50) % 50) AS conv_id,
          CAST(((doc_id % 1000) + 1000) % 1000 AS INTEGER) AS turn_idx,
@@ -643,9 +690,45 @@ FROM t GROUP BY conv_id ORDER BY conv_id
 """
 
 
+CONV_BALANCE_SQL = f"""
+WITH t AS ({_AGENT_TRANSCRIPTS_CTE}),
+flagged AS (
+  SELECT conv_id, turn_idx, role,
+         CAST(len(text) AS BIGINT) AS n_chars,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+  FROM t
+), g AS (
+  SELECT conv_id,
+         CAST(COUNT(*) AS BIGINT) AS n_turns,
+         CAST(SUM(CASE WHEN prev_role IS NOT NULL AND prev_role <> role
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_alternations,
+         CAST(SUM(CASE WHEN role = 'user' THEN n_chars ELSE 0 END)
+              AS BIGINT) AS user_chars,
+         CAST(SUM(CASE WHEN role = 'assistant' THEN n_chars ELSE 0 END)
+              AS BIGINT) AS asst_chars,
+         arg_min(role, turn_idx) AS first_role,
+         arg_max(role, turn_idx) AS last_role
+  FROM flagged GROUP BY conv_id
+)
+SELECT conv_id, n_turns, n_alternations,
+       CAST(CASE WHEN n_turns >= 2
+            THEN n_alternations * 10000 // (n_turns - 1)
+            ELSE -1 END AS BIGINT) AS alt_bp,
+       CAST(CASE WHEN user_chars + asst_chars > 0
+            THEN asst_chars * 10000 // (user_chars + asst_chars)
+            ELSE -1 END AS BIGINT) AS asst_share_bp,
+       CAST(CASE WHEN first_role = 'user' THEN 1 ELSE 0 END AS INTEGER)
+         AS starts_user,
+       CAST(CASE WHEN last_role = 'assistant' THEN 1 ELSE 0 END AS INTEGER)
+         AS ends_assistant
+FROM g ORDER BY conv_id
+"""
+
+
 QUERIES = {
     "conv_assemble": (conv_assemble, CONV_ASSEMBLE_SQL),
     "conv_stats": (conv_stats, CONV_STATS_SQL),
+    "conv_dialogue_balance": (conv_dialogue_balance, CONV_BALANCE_SQL),
     "import_sales": (import_sales, IMPORT_SALES_SQL),
     "extract_html_readability": (extract_html_readability, EXTRACT_HTML_SQL),
     "extract_pdf_layout": (extract_pdf_layout_q, EXTRACT_PDF_SQL),

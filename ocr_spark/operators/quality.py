@@ -924,6 +924,196 @@ GROUP BY 1, 2 ORDER BY lang, bin
 """
 
 
+# ---------------------------------------------------------------------------
+# Unigram-LM quality score (CCNet-style perplexity filter, self-trained)
+# ---------------------------------------------------------------------------
+
+
+def txt_lm_unigram_score(spark, sf_dir):
+    """Language-model quality score: per-document mean self-information
+    under a unigram LM trained on the corpus itself — the CCNet-style
+    perplexity filter (low mean surprise ≈ fluent/common text, high ≈
+    gibberish or rare-token soup). Self-information is quantized to
+    whole BITS via integer arithmetic so both engines agree exactly:
+    bits(w) = length(bin(N DIV c_w)) — i.e. floor(log2(N/c_w))+1 computed
+    without any transcendental (log of a double is the one primitive
+    whose last ulp is NOT guaranteed identical between JVM libm and
+    DuckDB's; integer division + binary length is). The per-doc mean is
+    an integer-division basis-point value, exact on both engines.
+
+    Scale shape: classic wordcount aggregation (map-side combine — the
+    shuffle carries per-partition (word, count) rows), one single-row
+    total joined by broadcast, then the token stream joins the vocab
+    keyed on word (sort-merge; AQE broadcasts the vocab side when it is
+    small — at web scale a top-V vocab + OOV-floor constant would make
+    the broadcast unconditional) and reduces per doc. No Python
+    anywhere."""
+    docs = _docs(spark, sf_dir)
+    words = (docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"))
+        .where(F.col("word") != "")
+        .persist())
+    counts = words.groupBy("word").agg(F.count("*").alias("c"))
+    tot = counts.agg(F.sum("c").alias("n"))
+    bits = (counts.crossJoin(broadcast(tot))
+            .select("word",
+                    F.length(F.bin(F.expr("n DIV c"))).cast("long")
+                    .alias("b")))
+    return (words.join(bits, "word")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_tokens"),
+                 F.sum("b").cast("long").alias("sum_bits"))
+            .select("doc_id", "n_tokens", "sum_bits",
+                    F.expr("sum_bits * 10000 DIV n_tokens").cast("long")
+                    .alias("mean_bits_bp"))
+            .orderBy("doc_id"))
+
+
+TXT_LM_SCORE_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(text), '\\s+')) AS word
+  FROM documents WHERE doc_id IS NOT NULL
+), words AS (
+  SELECT * FROM w WHERE word <> ''
+), counts AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM words GROUP BY word
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n FROM counts
+), bits AS (
+  SELECT word, CAST(length(bin(n // c)) AS BIGINT) AS b FROM counts, tot
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(b) AS BIGINT) AS sum_bits,
+       CAST(CAST(SUM(b) AS BIGINT) * 10000 // COUNT(*) AS BIGINT)
+         AS mean_bits_bp
+FROM words JOIN bits USING (word)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixing (multinomial sampling at alpha = 0.5)
+# ---------------------------------------------------------------------------
+
+# alpha = 0.5 (square-root temperature scaling, the common pretraining
+# choice): implemented as sqrt() because IEEE 754 guarantees sqrt is
+# correctly rounded — bit-identical on both engines, unlike pow().
+TEMP_BUDGET_SHARE = 0.5
+# quantization scale for the sqrt weights: summing raw double weights is
+# association-order-dependent across engines; summing their floor at 1e-9
+# precision is exact integer arithmetic
+_TEMP_W_SCALE = 1_000_000_000
+
+
+def smp_temperature_mix(spark, sf_dir):
+    """Temperature-scaled source mixing: each source's acceptance rate
+    pulls its token share toward p_s^0.5 / Σ p^0.5 (upweights small
+    sources, damps dominant ones — the standard multilingual/multi-source
+    pretraining mix), capped at 1 (never upsampled). Doc admission uses
+    the deterministic md5 bridge.
+
+    Engine-exactness: p_s = tokens_s / total is an exact-int division
+    (correctly rounded, identical doubles); sqrt is IEEE-correctly-
+    rounded; the sqrt weights are quantized to integers BEFORE the
+    cross-source sum (a double sum's association order is engine-
+    dependent; an integer sum is not). Scale shape = smp_source_mix:
+    one map-only projection, one tiny groupBy(source), broadcast rates
+    back — the corpus side never shuffles."""
+    docs = _docs(spark, sf_dir)
+    h = _md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":tmix")))
+    proj = (docs.selectExpr(
+        "doc_id", "source",
+        "CAST(size(split(lower(coalesce(text, '')), '\\\\s+')) AS BIGINT)"
+        " AS n_tokens_b")
+            .withColumn("h", h)
+            .persist())
+    stats = proj.groupBy("source").agg(
+        F.sum("n_tokens_b").cast("long").alias("src_tokens"))
+    tot = stats.agg(F.sum("src_tokens").cast("long").alias("total_tokens"))
+    wq = (stats.crossJoin(broadcast(tot))
+          .withColumn("wsq", F.floor(
+              F.sqrt(F.col("src_tokens").cast("double")
+                     / F.col("total_tokens").cast("double"))
+              * F.lit(float(_TEMP_W_SCALE))).cast("long")))
+    wtot = wq.agg(F.sum("wsq").cast("long").alias("wsq_tot"))
+    rates = (wq.crossJoin(broadcast(wtot))
+             .withColumn("rate", F.least(
+                 F.lit(1.0),
+                 F.col("wsq").cast("double") / F.col("wsq_tot").cast("double")
+                 * (F.lit(TEMP_BUDGET_SHARE)
+                    * F.col("total_tokens").cast("double"))
+                 / F.col("src_tokens").cast("double")))
+             .select("source", "rate"))
+    thr = (F.col("rate") * F.lit(18446744073709551616.0)
+           - F.lit(9223372036854775808.0))
+    kept = ((F.col("rate") >= 1.0)
+            | (F.col("h").cast("double") < thr)).cast("int")
+    return (proj.join(broadcast(rates), "source")
+            .withColumn("k", kept)
+            .groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_total"),
+                 F.sum("k").cast("long").alias("n_kept"),
+                 F.sum("n_tokens_b").cast("long").alias("tok_total"),
+                 F.sum(F.col("k") * F.col("n_tokens_b")).cast("long")
+                 .alias("tok_kept"),
+                 F.min(F.floor(F.col("rate") * 1000000).cast("long"))
+                 .alias("rate_ppm"))
+            .orderBy("source"))
+
+
+SMP_TEMP_MIX_SQL = f"""
+WITH proj AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(lower(coalesce(text, '')), '\\s+'))
+              AS BIGINT) AS n_tokens_b,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':tmix'), 1, 16))
+              ::UBIGINT::HUGEINT - 9223372036854775808 AS BIGINT) AS h
+  FROM documents WHERE doc_id IS NOT NULL
+), stats AS (
+  SELECT source, CAST(SUM(n_tokens_b) AS BIGINT) AS src_tokens
+  FROM proj GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens FROM stats
+), wq AS (
+  SELECT source, src_tokens, total_tokens,
+         CAST(floor(sqrt(CAST(src_tokens AS DOUBLE)
+                         / CAST(total_tokens AS DOUBLE))
+                    * CAST({float(_TEMP_W_SCALE)!r} AS DOUBLE)) AS BIGINT)
+           AS wsq
+  FROM stats, tot
+), wtot AS (
+  SELECT CAST(SUM(wsq) AS BIGINT) AS wsq_tot FROM wq
+), rates AS (
+  SELECT source,
+         least(CAST(1.0 AS DOUBLE),
+               CAST(wsq AS DOUBLE) / CAST(wsq_tot AS DOUBLE)
+               * (CAST({TEMP_BUDGET_SHARE!r} AS DOUBLE)
+                  * CAST(total_tokens AS DOUBLE))
+               / CAST(src_tokens AS DOUBLE)) AS rate
+  FROM wq, wtot
+), flagged AS (
+  SELECT p.source, p.n_tokens_b, r.rate,
+         CASE WHEN r.rate >= CAST(1.0 AS DOUBLE)
+                OR CAST(p.h AS DOUBLE)
+                   < rate * CAST(18446744073709551616 AS DOUBLE)
+                     - CAST(9223372036854775808 AS DOUBLE)
+              THEN 1 ELSE 0 END AS k
+  FROM proj p JOIN rates r ON p.source = r.source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(k) AS BIGINT) AS n_kept,
+       CAST(SUM(n_tokens_b) AS BIGINT) AS tok_total,
+       CAST(SUM(k * n_tokens_b) AS BIGINT) AS tok_kept,
+       CAST(MIN(floor(rate * 1000000)) AS BIGINT) AS rate_ppm
+FROM flagged
+GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "txt_repetition": (txt_repetition, TXT_REPETITION_SQL),
     "txt_pii_scrub": (txt_pii_scrub, TXT_PII_SQL),
@@ -936,4 +1126,6 @@ QUERIES = {
     "dd_substring_dup": (dd_substring_dup, DD_SUBSTR_SQL),
     "smp_source_mix": (smp_source_mix, SMP_MIX_SQL),
     "txt_quality_hist": (txt_quality_hist, TXT_QUALITY_HIST_SQL),
+    "txt_lm_unigram_score": (txt_lm_unigram_score, TXT_LM_SCORE_SQL),
+    "smp_temperature_mix": (smp_temperature_mix, SMP_TEMP_MIX_SQL),
 }

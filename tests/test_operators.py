@@ -663,3 +663,57 @@ def test_minhash_verified_prunes_band_collisions(spark, tmp_path):
     assert [(r.doc_a, r.doc_b) for r in rows] == [(10, 11)]
     # 8 shingles each, 7 shared -> floor(7/9 * 10000)
     assert rows[0].n_common == 7 and rows[0].jaccard_bp == 7777
+
+
+def test_bpe_pair_counts_hand_computed(spark, tmp_path):
+    """Adjacent-pair frequencies on a hand corpus: 'lo w' dominates (the
+    classic BPE example), ties break on the pair string, single-token
+    docs contribute nothing."""
+    import os
+
+    from ocr_spark.operators.corpus import txt_bpe_pair_counts
+
+    docs = [
+        (0, "lo w lo w lo w", "en", "s", 14),   # 'lo w' x3, 'w lo' x2
+        (1, "lo w er", "en", "s", 7),           # 'lo w', 'w er'
+        (2, "solo", "en", "s", 4),              # no pairs
+        (3, "  lo   w  ", "en", "s", 10),       # empty tokens filtered
+    ]
+    d = str(tmp_path / "bpe")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    rows = [(r.pair, r.n_occ) for r in txt_bpe_pair_counts(spark, d).collect()]
+    assert rows[0] == ("lo w", 5)
+    assert ("w lo", 2) in rows
+    assert ("w er", 1) in rows
+    assert all(not p.startswith(" ") and "  " not in p for p, _ in rows)
+
+
+def test_conv_dialogue_balance_hand_computed(spark, tmp_path):
+    """Dialogue-shape signals on the synthesized transcript arithmetic:
+    conv-000000 (docs 0,50,100,150 -> user/tool/user/tool) alternates
+    every turn, has zero assistant share, starts with user; a single-turn
+    conv reports alt_bp = -1."""
+    import os
+
+    from ocr_spark.operators.extraction import conv_dialogue_balance
+
+    docs = [(i, "x" * (i + 10), "en", "s", i + 10)
+            for i in (0, 50, 100, 150, 1)]
+    d = str(tmp_path / "bal")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    rows = {r.conv_id: r for r in conv_dialogue_balance(spark, d).collect()}
+    c0 = rows["conv-000000"]
+    assert c0.n_turns == 4 and c0.n_alternations == 3
+    assert c0.alt_bp == 10000          # alternates at every boundary
+    assert c0.asst_share_bp == 0       # user chars only, no assistant
+    assert c0.starts_user == 1 and c0.ends_assistant == 0
+    c1 = rows["conv-000001"]           # doc 1 -> role assistant, 1 turn
+    assert c1.n_turns == 1 and c1.alt_bp == -1
+    assert c1.asst_share_bp == 10000   # all chars are assistant's
+    assert c1.starts_user == 0 and c1.ends_assistant == 1

@@ -190,3 +190,28 @@ def test_minhash_verified_tokenizes_corpus_once(spark):
     df = dd_minhash_verified(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("InMemoryTableScan") >= 3
+
+
+def test_temperature_mix_corpus_side_stays_mapside(spark):
+    """smp_temperature_mix (like smp_source_mix) must attach rates by
+    BROADCAST: the corpus projection never shuffles before the final
+    per-source aggregation."""
+    from ocr_spark.operators.quality import smp_temperature_mix
+    from ocr_spark.plans import formatted_plan
+    df = smp_temperature_mix(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_lm_unigram_partial_aggregates(spark):
+    """txt_lm_unigram_score's wordcount must partially aggregate map-side
+    (HashAggregate pairs around the exchange) — the shuffle carries
+    per-partition (word, count) rows, never the raw token stream — and
+    the single-row total must attach by broadcast, not a shuffle."""
+    from ocr_spark.operators.quality import txt_lm_unigram_score
+    from ocr_spark.plans import formatted_plan
+    df = txt_lm_unigram_score(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "partial_count" in plan or "partial count" in plan.lower()
+    assert "BroadcastNestedLoopJoin" in plan  # single-row total crossJoin

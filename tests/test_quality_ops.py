@@ -383,3 +383,71 @@ def test_source_mix_partition_invariant(spark, tmp_path):
                     smp_source_mix(spark, sf).collect()]
     assert out["one"] == out["seven"] == out["many"]
     assert sum(r[2] for r in out["one"]) > 0  # something kept
+
+
+def test_lm_unigram_score_hand_computed_and_rarity_orders(spark, tmp_path):
+    """Bit-quantized self-information on a corpus small enough to check
+    by hand, plus the semantic property: a doc of corpus-common tokens
+    scores LOWER mean surprise than a doc of corpus-unique tokens."""
+    import os
+
+    from ocr_spark.operators.quality import txt_lm_unigram_score
+
+    docs = [
+        (0, "a a a", "en", "s", 5),     # 'a' x3
+        (1, "b", "en", "s", 1),         # 'b' x1 -> N=4
+        (2, "rare1 rare2 rare3", "en", "s", 17),
+    ]
+    d = str(tmp_path / "lm")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    rows = {r.doc_id: r for r in txt_lm_unigram_score(spark, d).collect()}
+    # N = 7 tokens total; c(a)=3 -> bits=len(bin(7//3=2))=2;
+    # c(b)=1 -> bits=len(bin(7))=3; c(rare*)=1 -> 3 each
+    assert rows[0].n_tokens == 3 and rows[0].sum_bits == 6
+    assert rows[0].mean_bits_bp == 20000
+    assert rows[1].sum_bits == 3 and rows[1].mean_bits_bp == 30000
+    assert rows[2].sum_bits == 9 and rows[2].mean_bits_bp == 30000
+    # common-token doc scores strictly lower surprise than unique-token doc
+    assert rows[0].mean_bits_bp < rows[2].mean_bits_bp
+
+
+def test_temperature_mix_flattens_shares(spark, tmp_path):
+    """alpha=0.5 temperature mixing must damp the dominant source and
+    relatively upweight the small one: the dominant source's acceptance
+    rate is strictly below the small source's, and kept token shares sit
+    closer together than input shares. Also partition-invariant (md5
+    bridge)."""
+    import os
+
+    from ocr_spark.operators.quality import smp_temperature_mix
+
+    docs = []
+    for i in range(270):        # big: 270 docs x 20 tokens
+        docs.append((i, " ".join(f"w{j}" for j in range(20)),
+                     "en", "big", 100))
+    for i in range(30):         # small: 30 docs x 20 tokens
+        docs.append((1000 + i, " ".join(f"v{j}" for j in range(20)),
+                     "en", "small", 100))
+    base = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    out = {}
+    for n, tag in [(1, "one"), (13, "many")]:
+        d = str(tmp_path / tag)
+        base.repartition(n).write.mode("overwrite").parquet(
+            os.path.join(d, "documents.parquet"))
+        out[tag] = {r.source: r for r in
+                    smp_temperature_mix(spark, d).collect()}
+    assert ({(s, r.n_kept, r.tok_kept) for s, r in out["one"].items()}
+            == {(s, r.n_kept, r.tok_kept) for s, r in out["many"].items()})
+    big, small = out["one"]["big"], out["one"]["small"]
+    # sqrt temperature: small source rate strictly above dominant's
+    assert small.rate_ppm > big.rate_ppm
+    # kept shares closer than input shares (flattening, never upsampling)
+    in_share = big.tok_total / (big.tok_total + small.tok_total)
+    kept_share = big.tok_kept / max(1, big.tok_kept + small.tok_kept)
+    assert kept_share < in_share
+    assert small.tok_kept <= small.tok_total  # capped at 1: no upsample
