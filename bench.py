@@ -59,7 +59,7 @@ HEADLINE = HEADLINE_R1 + [
     # round 4: URL dedup, unigram-LM quality scoring, temperature-scaled
     # source mixing, BPE merge statistics, dialogue-shape screening
     "dd_url_dup", "txt_lm_unigram_score", "smp_temperature_mix",
-    "txt_bpe_pair_counts", "conv_dialogue_balance",
+    "txt_bpe_pair_counts", "conv_dialogue_balance", "smp_shard_assign",
 ]
 
 

@@ -31,6 +31,9 @@ def main() -> None:
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--salt", type=int, default=None,
                     help="salt partitions for the extract stage")
+    ap.add_argument("--shards", type=int, default=None,
+                    help="also export the kept docs as this many "
+                         "deterministic ordered training shards")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -49,7 +52,8 @@ def main() -> None:
             t = synthesize_transcripts(spark, n_convs=args.n_convs)
         manifest = run_corpus_pipeline(
             spark, t, args.workdir, run_id=args.run_id,
-            resume=args.resume, salt_partitions=args.salt)
+            resume=args.resume, salt_partitions=args.salt,
+            n_shards=args.shards)
         print(json.dumps(manifest, sort_keys=True))
     finally:
         spark.stop()

@@ -1114,6 +1114,65 @@ GROUP BY source ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# Training-shard assignment (deterministic global shuffle)
+# ---------------------------------------------------------------------------
+
+N_TRAIN_SHARDS = 16
+
+
+def shard_key_column():
+    """The canonical training-shuffle key: md5 long of doc_id||':shard'.
+    pipeline/shards.py derives shard membership AND within-shard order
+    from this same column, so the stats view below audits exactly the
+    placement the export writes."""
+    return _md5_long(F.concat(F.col("doc_id").cast("string"),
+                              F.lit(":shard")))
+
+
+def smp_shard_assign(spark, sf_dir):
+    """Per-shard audit of the deterministic training shuffle
+    (pipeline/shards.py): doc/token balance plus the min/max order keys
+    as engine-checkable witnesses of the exact membership. Map-only
+    projection + one tiny groupBy(shard) — at 100 TB the corpus side
+    emits per-partition partial aggregates for at most n_shards keys."""
+    docs = _docs(spark, sf_dir)
+    key = shard_key_column()
+    return (docs.select(
+        "doc_id",
+        F.expr("CAST(size(split(lower(coalesce(text, '')), '\\\\s+'))"
+               " AS BIGINT)").alias("n_tokens_b"))
+        .withColumn("k", key)
+        .select(F.pmod(F.col("k"), F.lit(N_TRAIN_SHARDS)).cast("int")
+                .alias("shard"), "n_tokens_b", "k")
+        .groupBy("shard")
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.sum("n_tokens_b").cast("long").alias("tok_total"),
+             F.min("k").alias("min_key"),
+             F.max("k").alias("max_key"))
+        .orderBy("shard"))
+
+
+SMP_SHARD_SQL = f"""
+WITH proj AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(lower(coalesce(text, '')), '\\s+'))
+              AS BIGINT) AS n_tokens_b,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard'),
+                              1, 16))
+              ::UBIGINT::HUGEINT - 9223372036854775808 AS BIGINT) AS k
+  FROM documents WHERE doc_id IS NOT NULL
+)
+SELECT CAST(((k % {N_TRAIN_SHARDS}) + {N_TRAIN_SHARDS}) % {N_TRAIN_SHARDS}
+            AS INTEGER) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens_b) AS BIGINT) AS tok_total,
+       CAST(MIN(k) AS BIGINT) AS min_key,
+       CAST(MAX(k) AS BIGINT) AS max_key
+FROM proj GROUP BY 1 ORDER BY shard
+"""
+
+
 QUERIES = {
     "txt_repetition": (txt_repetition, TXT_REPETITION_SQL),
     "txt_pii_scrub": (txt_pii_scrub, TXT_PII_SQL),
@@ -1128,4 +1187,5 @@ QUERIES = {
     "txt_quality_hist": (txt_quality_hist, TXT_QUALITY_HIST_SQL),
     "txt_lm_unigram_score": (txt_lm_unigram_score, TXT_LM_SCORE_SQL),
     "smp_temperature_mix": (smp_temperature_mix, SMP_TEMP_MIX_SQL),
+    "smp_shard_assign": (smp_shard_assign, SMP_SHARD_SQL),
 }

@@ -76,11 +76,14 @@ def documents_from_extracted(extracted: DataFrame) -> DataFrame:
 def run_corpus_pipeline(spark, transcripts: DataFrame, workdir: str,
                         run_id: str = "corpus",
                         resume: bool = False,
-                        salt_partitions: int | None = None) -> dict:
+                        salt_partitions: int | None = None,
+                        n_shards: int | None = None) -> dict:
     """Run extract → document → curate → pack under workdir; returns (and
     writes) the composed manifest. resume=True resumes the extract
     stage's bucket manifest; downstream stages re-run deterministically
-    over the (now complete) extract output."""
+    over the (now complete) extract output. n_shards additionally
+    exports the kept docs as deterministic ordered training shards
+    (pipeline/shards.py) under workdir/shards."""
     t0 = time.time()
     extract_metrics = run_extract_job(
         spark, transcripts, os.path.join(workdir, "extracted"),
@@ -111,6 +114,15 @@ def run_corpus_pipeline(spark, transcripts: DataFrame, workdir: str,
             (F.max(F.col("first_seq") + F.col("n_seqs"))).alias("n_seqs"))
             .collect())
 
+    shard_manifest = None
+    if n_shards and curate_manifest["n_kept"] > 0:
+        from .shards import write_training_shards
+        kept = spark.read.parquet(
+            os.path.join(workdir, "curated", "curated"))
+        shard_manifest = write_training_shards(
+            spark, kept.select("doc_id", "lang", "text"),
+            os.path.join(workdir, "shards"), n_shards=n_shards)
+
     manifest = {
         "pipeline_version": CORPUS_PIPELINE_VERSION,
         "run_id": run_id,
@@ -128,5 +140,8 @@ def run_corpus_pipeline(spark, transcripts: DataFrame, workdir: str,
         "n_kept": curate_manifest["n_kept"],
         "wall_sec": round(time.time() - t0, 3),
     }
+    if shard_manifest is not None:
+        manifest["shards"] = {"n_shards": shard_manifest["n_shards"],
+                              "rows_out": shard_manifest["rows_out"]}
     write_manifest(workdir, manifest)
     return manifest

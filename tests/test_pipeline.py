@@ -312,3 +312,57 @@ def test_malformed_rows_survive_extraction(spark):
     quarantined = [r for r in out if r.conv_id == "" or r.turn_idx == -1]
     assert len(quarantined) == 3
     assert all(r.bucket is not None for r in out)
+
+
+def test_training_shards_deterministic_ordered_balanced(spark, tmp_path):
+    """write_training_shards: (a) conservation — every input doc lands in
+    exactly one shard; (b) each shard file's row order IS the order_key
+    order; (c) the placement is invariant under input partitioning
+    (byte-identical membership and order); (d) the manifest stats match
+    the oracle-paired smp_shard_assign view."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.quality import N_TRAIN_SHARDS
+    from ocr_spark.pipeline.shards import write_training_shards
+
+    docs = spark.createDataFrame(
+        [(i, f"doc text number {i} with words", "en")
+         for i in range(500)],
+        "doc_id long, text string, lang string")
+
+    outs = {}
+    for n, tag in [(1, "one"), (17, "many")]:
+        out = str(tmp_path / tag)
+        m = write_training_shards(spark, docs.repartition(n), out)
+        got = spark.read.parquet(os.path.join(out, "shards"))
+        outs[tag] = sorted(
+            tuple(r) for r in
+            got.select("shard", "doc_id", "order_key").collect())
+        assert m["rows_out"] == 500
+        assert m["n_shards"] == N_TRAIN_SHARDS
+        assert sum(s["n_docs"] for s in m["shards"].values()) == 500
+    assert outs["one"] == outs["many"]
+
+    # per-shard files are internally ordered by order_key and membership
+    # follows pmod(order_key, n)
+    out = str(tmp_path / "one")
+    for shard in list(range(N_TRAIN_SHARDS))[:4]:
+        part = os.path.join(out, "shards", f"shard={shard}")
+        rows = spark.read.parquet(part).select("order_key").collect()
+        keys = [r.order_key for r in rows]
+        assert keys == sorted(keys), f"shard {shard} not ordered"
+        assert all(k % N_TRAIN_SHARDS == shard
+                   or (k % N_TRAIN_SHARDS) + N_TRAIN_SHARDS == shard
+                   for k in keys)
+
+    # the audit view aggregates the same placement
+    from ocr_spark.operators.quality import smp_shard_assign
+    sf = str(tmp_path / "sf")
+    (docs.withColumn("source", F.lit("s"))
+     .withColumn("n_chars", F.length("text"))
+     .write.parquet(os.path.join(sf, "documents.parquet")))
+    stats = {r.shard: r.n_docs for r in smp_shard_assign(spark, sf).collect()}
+    m = write_training_shards(spark, docs, str(tmp_path / "audit"))
+    assert stats == {s: v["n_docs"] for s, v in m["shards"].items()}
