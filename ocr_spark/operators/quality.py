@@ -1173,6 +1173,242 @@ FROM proj GROUP BY 1 ORDER BY shard
 """
 
 
+# ---------------------------------------------------------------------------
+# Gopher document gate (the full published rule set, integer-exact)
+# ---------------------------------------------------------------------------
+
+# Gopher (Rae et al. 2021, §A1.1) repetition-free document rules. Each
+# rule is a ratio threshold; we evaluate every one by INTEGER
+# cross-multiplication (10*x <= n, 5*a >= 4*n, ...) so no double division
+# ever happens — the flags are bit-free of engine rounding by
+# construction (stronger than the floor-basis-points pattern: there is
+# no floating point at all).
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def txt_gopher_gate(spark, sf_dir):
+    """The full Gopher quality-rule gate as one map-only projection:
+    word-count bounds, mean-word-length bounds, symbol-to-word ratio,
+    bullet-line and ellipsis-line shares, alphabetic-word share, and
+    required-stopword presence — the publicly documented rule set a
+    web-scale curation pipeline runs doc-locally before any dedup.
+
+    Engine-exactness: every ratio rule is an integer cross-multiply
+    (e.g. mean word length in [3,10] ⇔ 3·n_words ≤ n_word_chars ≤
+    10·n_words), so there is NO floating point anywhere — no division,
+    no floor-quantization needed. Scale shape: pure per-doc column
+    expressions; nothing shuffles (the orderBy is the driver-compare
+    convention, not part of the operator)."""
+    docs = _docs(spark, sf_dir)
+    stop_lit = ", ".join(f"'{w}'" for w in _GOPHER_STOPWORDS)
+    return (docs.selectExpr(
+        "doc_id",
+        "split(lower(coalesce(text, '')), '\\\\s+') AS tk",
+        "split(coalesce(text, ''), '\\n') AS ln",
+        "CAST(length(regexp_replace(coalesce(text, ''), '\\\\s', ''))"
+        " AS BIGINT) AS n_word_chars",
+        "CAST(length(coalesce(text, ''))"
+        " - length(replace(coalesce(text, ''), '#', '')) AS BIGINT)"
+        " AS n_hash",
+        "CAST((length(coalesce(text, ''))"
+        " - length(replace(coalesce(text, ''), '...', ''))) DIV 3"
+        " AS BIGINT) AS n_ellipsis")
+        .selectExpr(
+            "doc_id", "n_word_chars", "n_hash", "n_ellipsis",
+            "CAST(size(tk) AS BIGINT) AS n_words",
+            "CAST(size(filter(tk, x -> x rlike '[a-z]')) AS BIGINT)"
+            " AS n_alpha",
+            f"CAST(size(array_intersect(tk, array({stop_lit})))"
+            " AS BIGINT) AS n_stop_hits",
+            "CAST(size(ln) AS BIGINT) AS n_lines",
+            "CAST(size(filter(ln, x -> x rlike '^[-*\\u2022]')) AS BIGINT)"
+            " AS n_bullet",
+            "CAST(size(filter(ln, x -> x rlike '\\\\.\\\\.\\\\.$'))"
+            " AS BIGINT) AS n_ell_lines")
+        .selectExpr(
+            "doc_id", "n_words",
+            "CAST(n_words BETWEEN 50 AND 100000 AS INT) AS f_words",
+            "CAST(3 * n_words <= n_word_chars"
+            " AND n_word_chars <= 10 * n_words AS INT) AS f_meanlen",
+            "CAST(10 * (n_hash + n_ellipsis) <= n_words AS INT) AS f_symbol",
+            "CAST(10 * n_bullet <= 9 * n_lines AS INT) AS f_bullet",
+            "CAST(10 * n_ell_lines <= 3 * n_lines AS INT) AS f_ellip",
+            "CAST(5 * n_alpha >= 4 * n_words AS INT) AS f_alpha",
+            "CAST(n_stop_hits >= 2 AS INT) AS f_stop")
+        .selectExpr(
+            "*",
+            "CAST(f_words * f_meanlen * f_symbol * f_bullet * f_ellip"
+            " * f_alpha * f_stop AS INT) AS passed")
+        .orderBy("doc_id"))
+
+
+_GOPHER_STOP_SQL = ", ".join(f"'{w}'" for w in _GOPHER_STOPWORDS)
+
+TXT_GOPHER_SQL = f"""
+WITH feat AS (
+  SELECT doc_id,
+         string_split_regex(lower(coalesce(text, '')), '\\s+') AS tk,
+         string_split_regex(coalesce(text, ''), '\\n') AS ln,
+         CAST(length(regexp_replace(coalesce(text, ''), '\\s', '', 'g'))
+              AS BIGINT) AS n_word_chars,
+         CAST(length(coalesce(text, ''))
+              - length(replace(coalesce(text, ''), '#', '')) AS BIGINT)
+           AS n_hash,
+         CAST((length(coalesce(text, ''))
+               - length(replace(coalesce(text, ''), '...', ''))) // 3
+              AS BIGINT) AS n_ellipsis
+  FROM documents WHERE doc_id IS NOT NULL
+), cnt AS (
+  SELECT doc_id, n_word_chars, n_hash, n_ellipsis,
+         CAST(len(tk) AS BIGINT) AS n_words,
+         CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]')))
+              AS BIGINT) AS n_alpha,
+         CAST(len(list_intersect(tk, [{_GOPHER_STOP_SQL}]))
+              AS BIGINT) AS n_stop_hits,
+         CAST(len(ln) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(ln, x -> regexp_matches(x, '^[-*\\x{{2022}}]')))
+              AS BIGINT) AS n_bullet,
+         CAST(len(list_filter(ln, x -> regexp_matches(x, '\\.\\.\\.$')))
+              AS BIGINT) AS n_ell_lines
+  FROM feat
+), flags AS (
+  SELECT doc_id, n_words,
+         CAST(n_words BETWEEN 50 AND 100000 AS INTEGER) AS f_words,
+         CAST(3 * n_words <= n_word_chars
+              AND n_word_chars <= 10 * n_words AS INTEGER) AS f_meanlen,
+         CAST(10 * (n_hash + n_ellipsis) <= n_words AS INTEGER) AS f_symbol,
+         CAST(10 * n_bullet <= 9 * n_lines AS INTEGER) AS f_bullet,
+         CAST(10 * n_ell_lines <= 3 * n_lines AS INTEGER) AS f_ellip,
+         CAST(5 * n_alpha >= 4 * n_words AS INTEGER) AS f_alpha,
+         CAST(n_stop_hits >= 2 AS INTEGER) AS f_stop
+  FROM cnt
+)
+SELECT *,
+       CAST(f_words * f_meanlen * f_symbol * f_bullet * f_ellip
+            * f_alpha * f_stop AS INTEGER) AS passed
+FROM flags ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Epoch up-sampling (per-source repeat factors, fractional last epoch)
+# ---------------------------------------------------------------------------
+
+# Per-source epoch counts (how many times each source is seen per
+# training run — the standard way small high-quality sources are
+# upweighted without touching the sampler). Non-integer epochs admit a
+# deterministic md5-bridge fraction of docs to one extra epoch.
+EPOCH_RATES = {"src0": 3.0, "src1": 2.5, "src2": 1.5}
+
+
+def _epoch_rate_col():
+    r = F.lit(1.0)
+    for s, rate in EPOCH_RATES.items():
+        r = F.when(F.col("source") == s, F.lit(rate)).otherwise(r)
+    return r
+
+
+def epoch_copies_column():
+    """copies = ⌊epochs⌋ + (md5-bridge admits the fractional epoch).
+    Requires columns `source` and `h` (signed md5 long). The threshold
+    maps the fraction onto the signed 64-bit space exactly like the
+    sampling ops; an integer rate has fraction 0 → threshold -2^63 →
+    strict `<` admits nobody."""
+    rate = _epoch_rate_col()
+    frac = rate - F.floor(rate)
+    thr = (frac * F.lit(18446744073709551616.0)
+           - F.lit(9223372036854775808.0))
+    return (F.floor(rate).cast("long")
+            + (F.col("h").cast("double") < thr).cast("long"))
+
+
+def epoch_replicate(docs: DataFrame) -> DataFrame:
+    """The materializing form: one row per (doc, epoch) with an `epoch`
+    index — what the training-shard writer consumes. Map-only explode;
+    guarded so copies=0 emits nothing (Spark's sequence(1, 0) would
+    DESCEND and emit [1, 0])."""
+    h = _md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":epoch")))
+    return (docs.withColumn("h", h)
+            .withColumn("copies", epoch_copies_column())
+            .where(F.col("copies") >= 1)
+            .withColumn("epoch", F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("copies"))))
+            .drop("h", "copies"))
+
+
+def smp_epoch_mix(spark, sf_dir):
+    """Epoch up-sampling audit: per-source doc/copy/token totals under
+    the configured EPOCH_RATES — the replication plan a pretraining run
+    applies to over-sample small high-quality sources (epochs > 1)
+    without mutating the corpus. Deterministic: the fractional epoch is
+    admitted per-doc by the md5 bridge, so the same doc replicates the
+    same way on any cluster, partitioning, or engine.
+
+    Scale shape: one map-only projection (rate is a CASE over a
+    broadcast-sized config, not a join) + one tiny groupBy(source); the
+    audit never explodes the copies — `epoch_replicate` is the
+    materializing twin and its row count equals sum(n_copies) here
+    (pinned in tests)."""
+    docs = _docs(spark, sf_dir)
+    h = _md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":epoch")))
+    rate = _epoch_rate_col()
+    proj = (docs.selectExpr(
+        "doc_id", "source",
+        "CAST(size(split(lower(coalesce(text, '')), '\\\\s+')) AS BIGINT)"
+        " AS n_tokens_b")
+        .withColumn("h", h)
+        .withColumn("copies", epoch_copies_column())
+        .withColumn("epochs_ppm",
+                    F.floor(rate * F.lit(1000000.0)).cast("long")))
+    return (proj.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("copies").cast("long").alias("n_copies"),
+                 F.sum("n_tokens_b").cast("long").alias("tok_total"),
+                 F.sum(F.col("copies") * F.col("n_tokens_b")).cast("long")
+                 .alias("tok_replicated"),
+                 F.min("epochs_ppm").cast("long").alias("epochs_ppm"))
+            .orderBy("source"))
+
+
+def _epoch_rate_sql() -> str:
+    branches = " ".join(
+        f"WHEN source = '{s}' THEN CAST({r!r} AS DOUBLE)"
+        for s, r in EPOCH_RATES.items())
+    return f"CASE {branches} ELSE CAST(1.0 AS DOUBLE) END"
+
+
+SMP_EPOCH_SQL = f"""
+WITH proj AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(lower(coalesce(text, '')), '\\s+'))
+              AS BIGINT) AS n_tokens_b,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':epoch'),
+                              1, 16))
+              ::UBIGINT::HUGEINT - 9223372036854775808 AS BIGINT) AS h,
+         {_epoch_rate_sql()} AS rate
+  FROM documents WHERE doc_id IS NOT NULL
+), cop AS (
+  SELECT source, n_tokens_b,
+         CAST(floor(rate) AS BIGINT)
+         + CASE WHEN CAST(h AS DOUBLE)
+                     < (rate - floor(rate))
+                       * CAST(18446744073709551616 AS DOUBLE)
+                       - CAST(9223372036854775808 AS DOUBLE)
+                THEN 1 ELSE 0 END AS copies,
+         CAST(floor(rate * CAST(1000000.0 AS DOUBLE)) AS BIGINT)
+           AS epochs_ppm
+  FROM proj
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(copies) AS BIGINT) AS n_copies,
+       CAST(SUM(n_tokens_b) AS BIGINT) AS tok_total,
+       CAST(SUM(copies * n_tokens_b) AS BIGINT) AS tok_replicated,
+       CAST(MIN(epochs_ppm) AS BIGINT) AS epochs_ppm
+FROM cop GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "txt_repetition": (txt_repetition, TXT_REPETITION_SQL),
     "txt_pii_scrub": (txt_pii_scrub, TXT_PII_SQL),
@@ -1188,4 +1424,6 @@ QUERIES = {
     "txt_lm_unigram_score": (txt_lm_unigram_score, TXT_LM_SCORE_SQL),
     "smp_temperature_mix": (smp_temperature_mix, SMP_TEMP_MIX_SQL),
     "smp_shard_assign": (smp_shard_assign, SMP_SHARD_SQL),
+    "txt_gopher_gate": (txt_gopher_gate, TXT_GOPHER_SQL),
+    "smp_epoch_mix": (smp_epoch_mix, SMP_EPOCH_SQL),
 }

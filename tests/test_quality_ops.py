@@ -66,7 +66,8 @@ def _duck_on(d, sql):
 @pytest.mark.parametrize("name", [
     "txt_repetition", "txt_pii_scrub", "txt_contamination",
     "smp_stratified", "smp_token_budget", "smp_pack_sequences",
-    "smp_pack_assembly", "dd_chunk_dup", "dd_substring_dup"])
+    "smp_pack_assembly", "dd_chunk_dup", "dd_substring_dup",
+    "txt_gopher_gate", "smp_epoch_mix"])
 def test_edge_corpus_matches_oracle(spark, tmp_path, name):
     """Single-token docs, empty text, maximal repetition, planted shared
     chunks/shingles: Spark and DuckDB must agree row-for-row on the edge
@@ -451,3 +452,86 @@ def test_temperature_mix_flattens_shares(spark, tmp_path):
     kept_share = big.tok_kept / max(1, big.tok_kept + small.tok_kept)
     assert kept_share < in_share
     assert small.tok_kept <= small.tok_total  # capped at 1: no upsample
+
+
+def _gopher_dir(spark, tmp_path, docs):
+    d = str(tmp_path / "gopher")
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    return d
+
+
+def test_gopher_gate_flags_planted_violations(spark, tmp_path):
+    """One doc violating each Gopher rule in isolation (plus one clean
+    pass): the gate must fail exactly the planted flag, and the whole
+    frame must match the DuckDB oracle on the same corpus (the integer
+    cross-multiply math is engine-identical by construction)."""
+    from ocr_spark.operators.quality import txt_gopher_gate, TXT_GOPHER_SQL
+
+    clean = " ".join(["the", "cat", "sat", "with", "food"] * 12)  # 60 words
+    docs = [
+        (1, clean, "en", "s", len(clean)),                 # passes all
+        (2, "the cat with dog", "en", "s", 16),            # too few words
+        (3, " ".join(["extraordinarily", "incomprehensibilities"] * 30),
+         "en", "s", 0),                                    # mean len > 10
+        (4, clean + " " + " ".join(["#"] * 7), "en", "s", 0),  # symbols
+        (5, "\n".join(["- " + clean[:20]] * 10), "en", "s", 0),  # bullets
+        (6, "\n".join([clean[:20] + "..."] * 10), "en", "s", 0),  # ellipsis
+        (7, " ".join(["123", "456"] * 30), "en", "s", 0),  # non-alpha
+        (8, " ".join(["cat", "dog", "fox"] * 20), "en", "s", 0),  # no stops
+    ]
+    d = _gopher_dir(spark, tmp_path, docs)
+    rows = {r.doc_id: r for r in txt_gopher_gate(spark, d).collect()}
+    assert rows[1].passed == 1
+    expect_fail = {2: "f_words", 3: "f_meanlen", 4: "f_symbol",
+                   5: "f_bullet", 6: "f_ellip", 7: "f_alpha", 8: "f_stop"}
+    for doc_id, flag in expect_fail.items():
+        assert rows[doc_id][flag] == 0, f"doc {doc_id} should fail {flag}"
+        assert rows[doc_id].passed == 0
+    # the isolated-violation docs keep the clean doc's OTHER flags green
+    assert rows[2].f_meanlen == 1 and rows[2].f_alpha == 1
+    assert rows[5].f_words == 0 or rows[5].f_bullet == 0  # bullet is the gate
+    # differential vs the oracle on this corpus
+    sdf = txt_gopher_gate(spark, d)
+    drows, dcols = _duck_on(d, TXT_GOPHER_SQL)
+    assert _canon([tuple(r) for r in sdf.collect()], sdf.columns) == \
+        _canon(drows, dcols)
+
+
+def test_epoch_mix_copies_and_replicate(spark, tmp_path):
+    """Integer rates replicate exactly (src0 -> 3 copies each, default
+    sources -> 1), fractional rates admit the md5-bridge fraction into
+    {floor, floor+1}, and the materializing epoch_replicate twin emits
+    exactly sum(n_copies) rows with 1-based epoch indices (the
+    sequence(1, 0) descent guard)."""
+    from ocr_spark.operators.corpus import _docs
+    from ocr_spark.operators.quality import (
+        smp_epoch_mix, epoch_replicate, EPOCH_RATES)
+    import pyspark.sql.functions as F
+
+    assert EPOCH_RATES["src0"] == 3.0 and EPOCH_RATES["src1"] == 2.5
+    docs = []
+    for i in range(40):
+        docs.append((i, "w " * 10, "en", "src0", 20))
+        docs.append((100 + i, "w " * 10, "en", "src1", 20))
+        docs.append((200 + i, "w " * 10, "en", "plain", 20))
+    d = _gopher_dir(spark, tmp_path, docs)
+    audit = {r.source: r for r in smp_epoch_mix(spark, d).collect()}
+    assert audit["src0"].n_copies == 3 * audit["src0"].n_docs
+    assert audit["plain"].n_copies == audit["plain"].n_docs
+    assert audit["plain"].epochs_ppm == 1_000_000
+    s1 = audit["src1"]
+    assert 2 * s1.n_docs <= s1.n_copies <= 3 * s1.n_docs
+    assert s1.n_copies not in (2 * s1.n_docs, 3 * s1.n_docs)  # bridge split
+    rep = epoch_replicate(_docs(spark, d))
+    per = {r.source: r for r in
+           rep.groupBy("source").agg(
+               F.count("*").alias("n"),
+               F.min("epoch").alias("emin"),
+               F.max("epoch").alias("emax")).collect()}
+    total = sum(a.n_copies for a in audit.values())
+    assert rep.count() == total
+    assert per["src0"].emin == 1 and per["src0"].emax == 3
+    assert per["plain"].emax == 1
