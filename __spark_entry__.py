@@ -71,7 +71,8 @@ _MEASURED_COST = {
     't19_code_gen': 1.6, 'dd_ngram_jaccard': 1.7, 'dd_minhash_verified': 1.3,
     'import_sales': 1.8,
     'import_star_schema': 1.8, 'dd_conv_neardup': 2.2,
-    'dd_substring_dup': 2.3, 'sim_ivf_topk': 2.3, 'dd_dup_clusters': 4.3,
+    'dd_substring_dup': 2.3, 'sim_ivf_topk': 2.3, 'sim_pq_topk': 2.4,
+    'dd_dup_clusters': 4.3,
 }
 
 

@@ -60,6 +60,9 @@ HEADLINE = HEADLINE_R1 + [
     # source mixing, BPE merge statistics, dialogue-shape screening
     "dd_url_dup", "txt_lm_unigram_score", "smp_temperature_mix",
     "txt_bpe_pair_counts", "conv_dialogue_balance", "smp_shard_assign",
+    # round 4 continuation: full Gopher rule gate, epoch up-sampling,
+    # product-quantization ANN (codes-only ADC scan + exact re-rank)
+    "txt_gopher_gate", "smp_epoch_mix", "sim_pq_topk",
 ]
 
 

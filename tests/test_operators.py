@@ -717,3 +717,33 @@ def test_conv_dialogue_balance_hand_computed(spark, tmp_path):
     assert c1.n_turns == 1 and c1.alt_bp == -1
     assert c1.asst_share_bp == 10000   # all chars are assistant's
     assert c1.starts_user == 0 and c1.ends_assistant == 1
+
+
+def test_pq_recall_vs_bruteforce(spark):
+    """PQ + ADC shortlist + exact re-rank must recover nearly all of the
+    brute-force top-10: the 4-bit codes only pick the 50-candidate
+    shortlist; the final ranking is exact cosine, so the floor is higher
+    than raw-ADC ANN (0.9 vs IVF's 0.8)."""
+    from ocr_spark.operators.corpus import sim_cosine_topk, sim_pq_topk
+    bf = {(r.query_id, r.cand_id)
+          for r in sim_cosine_topk(spark, SF_DIR).collect()}
+    pq = {(r.query_id, r.cand_id)
+          for r in sim_pq_topk(spark, SF_DIR).collect()}
+    recall = len(bf & pq) / len(bf)
+    assert recall >= 0.9, f"PQ recall {recall:.2f} below floor"
+
+
+def test_pq_deterministic_under_partitioning(spark, tmp_path):
+    """Codebooks train on the vec_id-sorted driver sample and the ADC
+    shortlist is a per-partition-top-S union whose global top-S is exact
+    with vec_id tie-break — the returned top-k must not depend on the
+    input partition layout."""
+    import os
+
+    from ocr_spark.operators.corpus import sim_pq_topk
+    a = [tuple(r) for r in sim_pq_topk(spark, SF_DIR).collect()]
+    d = str(tmp_path / "pq_clone")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    emb.repartition(11).write.parquet(os.path.join(d, "embeddings.parquet"))
+    b = [tuple(r) for r in sim_pq_topk(spark, d).collect()]
+    assert a == b
