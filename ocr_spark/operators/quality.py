@@ -1409,6 +1409,81 @@ FROM cop GROUP BY source ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# Sliding-window chunking (embedding-model / RAG preprocessing)
+# ---------------------------------------------------------------------------
+
+CHUNK_WINDOW = 64   # tokens per chunk
+CHUNK_STRIDE = 48   # tokens between chunk starts (overlap = 16)
+
+
+def txt_chunk_windows(spark, sf_dir):
+    """Overlapping token-window chunking — the preprocessing step that
+    feeds long documents to a bounded-context embedding model (or RAG
+    index): stride-48 windows of 64 tokens, each chunk carrying its
+    reconstructed text and an 8-byte md5 fold for downstream chunk-grain
+    dedup/indexing. The last window starts at the first stride multiple
+    covering the tail, so every token lands in at least one chunk and
+    chunk count is ⌈(n−W)/S⌉+1.
+
+    Scale shape: one map-only projection + explode — the blow-up factor
+    is ~n/S per doc and each output row is one chunk, exactly the frame
+    the embedding stage consumes; nothing shuffles. Engine-exact: token
+    split, slice, and join are pure string ops; the hash is the repo's
+    md5-fold bridge."""
+    docs = _docs(spark, sf_dir)
+    w, s = CHUNK_WINDOW, CHUNK_STRIDE
+    return (docs.selectExpr(
+        "doc_id", "split(coalesce(text, ''), '\\\\s+') AS tk")
+        .selectExpr("doc_id", "tk", "CAST(size(tk) AS BIGINT) AS n")
+        .selectExpr(
+            "doc_id", "tk",
+            f"explode(sequence(CAST(0 AS BIGINT), "
+            f"IF(n <= {w}, CAST(0 AS BIGINT), ((n - {w}) + {s} - 1)"
+            f" DIV {s}))) AS chunk_idx")
+        .selectExpr(
+            "doc_id", "chunk_idx",
+            f"slice(tk, CAST(chunk_idx * {s} + 1 AS INT), {w}) AS ck")
+        .selectExpr(
+            "doc_id", "chunk_idx",
+            "CAST(size(ck) AS BIGINT) AS n_tok_c",
+            "array_join(ck, ' ') AS chunk_text")
+        .withColumn("chunk_hash", _md5_long(F.col("chunk_text")))
+        .orderBy("doc_id", "chunk_idx"))
+
+
+TXT_CHUNK_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         string_split_regex(coalesce(text, ''), '\\s+') AS tk,
+         CAST(len(string_split_regex(coalesce(text, ''), '\\s+'))
+              AS BIGINT) AS n
+  FROM documents WHERE doc_id IS NOT NULL
+), idx AS (
+  SELECT doc_id, tk,
+         CAST(unnest(range(0,
+           CASE WHEN n <= {CHUNK_WINDOW} THEN 1
+                ELSE ((n - {CHUNK_WINDOW}) + {CHUNK_STRIDE} - 1)
+                     // {CHUNK_STRIDE} + 1 END)) AS BIGINT) AS chunk_idx
+  FROM tok
+), ck AS (
+  SELECT doc_id, chunk_idx,
+         array_to_string(list_slice(tk,
+           chunk_idx * {CHUNK_STRIDE} + 1,
+           chunk_idx * {CHUNK_STRIDE} + {CHUNK_WINDOW}), ' ') AS chunk_text,
+         CAST(len(list_slice(tk,
+           chunk_idx * {CHUNK_STRIDE} + 1,
+           chunk_idx * {CHUNK_STRIDE} + {CHUNK_WINDOW})) AS BIGINT)
+           AS n_tok_c
+  FROM idx
+)
+SELECT doc_id, chunk_idx, n_tok_c, chunk_text,
+       CAST(('0x' || substr(md5(chunk_text), 1, 16))::UBIGINT::HUGEINT
+            - 9223372036854775808 AS BIGINT) AS chunk_hash
+FROM ck ORDER BY doc_id, chunk_idx
+"""
+
+
 QUERIES = {
     "txt_repetition": (txt_repetition, TXT_REPETITION_SQL),
     "txt_pii_scrub": (txt_pii_scrub, TXT_PII_SQL),
@@ -1426,4 +1501,5 @@ QUERIES = {
     "smp_shard_assign": (smp_shard_assign, SMP_SHARD_SQL),
     "txt_gopher_gate": (txt_gopher_gate, TXT_GOPHER_SQL),
     "smp_epoch_mix": (smp_epoch_mix, SMP_EPOCH_SQL),
+    "txt_chunk_windows": (txt_chunk_windows, TXT_CHUNK_SQL),
 }

@@ -67,7 +67,7 @@ def _duck_on(d, sql):
     "txt_repetition", "txt_pii_scrub", "txt_contamination",
     "smp_stratified", "smp_token_budget", "smp_pack_sequences",
     "smp_pack_assembly", "dd_chunk_dup", "dd_substring_dup",
-    "txt_gopher_gate", "smp_epoch_mix"])
+    "txt_gopher_gate", "smp_epoch_mix", "txt_chunk_windows"])
 def test_edge_corpus_matches_oracle(spark, tmp_path, name):
     """Single-token docs, empty text, maximal repetition, planted shared
     chunks/shingles: Spark and DuckDB must agree row-for-row on the edge
@@ -535,3 +535,30 @@ def test_epoch_mix_copies_and_replicate(spark, tmp_path):
     assert rep.count() == total
     assert per["src0"].emin == 1 and per["src0"].emax == 3
     assert per["plain"].emax == 1
+
+
+def test_chunk_windows_cover_and_overlap(spark, tmp_path):
+    """A 200-token doc chunks into ceil((200-64)/48)+1 = 4 windows; every
+    token appears in at least one chunk; consecutive chunks overlap by
+    W-S = 16 tokens (position 48 of chunk i == position 0 of chunk i+1);
+    short and empty docs emit exactly one chunk."""
+    from ocr_spark.operators.quality import (
+        txt_chunk_windows, CHUNK_WINDOW, CHUNK_STRIDE)
+    docs = [(1, " ".join(f"t{i}" for i in range(200)), "en", "s", 0),
+            (2, "short doc", "en", "s", 0),
+            (3, "", "en", "s", 0)]
+    d = _gopher_dir(spark, tmp_path, docs)
+    rows = {}
+    for r in txt_chunk_windows(spark, d).collect():
+        rows.setdefault(r.doc_id, []).append(r)
+    c1 = sorted(rows[1], key=lambda r: r.chunk_idx)
+    assert len(c1) == 4
+    assert [r.n_tok_c for r in c1] == [64, 64, 64, 200 - 3 * 48]
+    covered = set()
+    for r in c1:
+        covered.update(r.chunk_text.split())
+    assert len(covered) == 200
+    for a, b in zip(c1, c1[1:]):
+        assert a.chunk_text.split()[CHUNK_STRIDE] == b.chunk_text.split()[0]
+    assert len(rows[2]) == 1 and rows[2][0].chunk_text == "short doc"
+    assert len(rows[3]) == 1 and rows[3][0].n_tok_c == 1  # [''] token
