@@ -73,7 +73,7 @@ _MEASURED_COST = {
     'import_sales': 1.8,
     'import_star_schema': 1.8, 'dd_conv_neardup': 2.2,
     'dd_substring_dup': 2.3, 'sim_ivf_topk': 2.3, 'sim_pq_topk': 2.4,
-    'dd_dup_clusters': 4.3,
+    'dd_dup_clusters': 4.3, 'dd_cluster_canonical': 4.5,
 }
 
 

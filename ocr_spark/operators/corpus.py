@@ -2483,6 +2483,94 @@ def dd_dup_clusters(spark, sf_dir):
     )
 
 
+def dd_cluster_canonical(spark, sf_dir):
+    """Quality-aware canonical selection per duplicate cluster: the keep
+    document is the LONGEST member (max token count, ties → min doc_id)
+    instead of min doc_id — what production dedup actually ships, since
+    near-dup clusters usually contain one full article plus truncated or
+    boilerplate-wrapped copies, and min-id keeps an arbitrary one.
+
+    Same component machinery as dd_dup_clusters (exact-hash edges ∪
+    MinHash-LSH candidate pairs → min-label components); the selection
+    is a row_number window over the label frame joined to a map-only
+    token-count projection. The window partitions on cluster_id over
+    edge-touched vertices only — orders of magnitude smaller than the
+    corpus, so the extra ranking shuffle is on the small side. Token
+    count is an exact integer on both engines (no float argmax)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    norm = F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    exact = (docs.withColumn("h", norm)
+             .withColumn("keep", F.min("doc_id").over(Window.partitionBy("h")))
+             .where(F.col("doc_id") != F.col("keep"))
+             .select(F.col("keep").alias("src"), F.col("doc_id").alias("dst")))
+    lsh = dd_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    labels = min_label_components(spark, exact.unionByName(lsh))
+
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                       r"\s+")).cast("long").alias("n_tokens"))
+    wk = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id"))
+    ranked = (labels.withColumnRenamed("label", "cluster_id")
+              .join(toks, "doc_id")
+              .withColumn("rk", F.row_number().over(wk)))
+    return (
+        ranked.groupBy("cluster_id")
+        .agg(F.count("*").alias("n_docs"),
+             F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias("keep_id"),
+             F.max(F.when(F.col("rk") == 1,
+                          F.col("n_tokens"))).alias("keep_tokens"))
+        .where(F.col("n_docs") >= 2)
+        .orderBy("cluster_id")
+    )
+
+
+DD_CANONICAL_SQL = f"""
+WITH RECURSIVE {_MINHASH_CTES.format(src="documents")},
+lsh_pairs AS (SELECT DISTINCT doc_a, doc_b FROM cand_pairs),
+exact_pairs AS (
+  SELECT keep AS doc_a, doc_id AS doc_b FROM (
+    SELECT doc_id,
+           MIN(doc_id) OVER (
+             PARTITION BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+           ) AS keep
+    FROM documents
+  ) WHERE doc_id != keep
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+  UNION SELECT doc_b, doc_a FROM lsh_pairs
+  UNION SELECT doc_a, doc_b FROM exact_pairs
+  UNION SELECT doc_b, doc_a FROM exact_pairs
+),
+verts AS (SELECT DISTINCT src AS doc_id FROM edges),
+reach AS (
+  SELECT doc_id, doc_id AS label FROM verts
+  UNION
+  SELECT e.dst AS doc_id, r.label FROM reach r JOIN edges e ON e.src = r.doc_id
+),
+lab AS (SELECT doc_id, MIN(label) AS label FROM reach GROUP BY doc_id),
+toks AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(lower(coalesce(text, '')), '\\s+'))
+              AS BIGINT) AS n_tokens
+  FROM documents
+),
+ranked AS (
+  SELECT l.label AS cluster_id, l.doc_id, t.n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY l.label
+                            ORDER BY t.n_tokens DESC, l.doc_id ASC) AS rk
+  FROM lab l JOIN toks t USING (doc_id)
+)
+SELECT cluster_id, COUNT(*) AS n_docs,
+       MAX(CASE WHEN rk = 1 THEN doc_id END) AS keep_id,
+       MAX(CASE WHEN rk = 1 THEN n_tokens END) AS keep_tokens
+FROM ranked GROUP BY cluster_id HAVING COUNT(*) >= 2 ORDER BY cluster_id
+"""
+
+
 # registry order = driver check order: cheap oracle-paired first, the
 # heavy dedup candidates last, so a bounded driver budget scores the
 # whole board before the expensive tails
@@ -2513,4 +2601,5 @@ QUERIES = {
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
     "dd_minhash_verified": (dd_minhash_verified, DD_MINHASH_VERIFIED_SQL),
     "dd_dup_clusters": (dd_dup_clusters, DD_CLUSTERS_SQL),
+    "dd_cluster_canonical": (dd_cluster_canonical, DD_CANONICAL_SQL),
 }

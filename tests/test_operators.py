@@ -286,6 +286,45 @@ def test_dup_clusters_match_union_find(spark):
         assert got[root] == (len(members), members[0])
 
 
+def test_cluster_canonical_keeps_longest(spark):
+    """dd_cluster_canonical must keep the LONGEST member of each cluster
+    (ties -> min doc_id), distinguishing it from dd_dup_clusters' min-id
+    rule: a cluster whose longest member has the HIGHEST doc_id must
+    still elect it."""
+    from ocr_spark.operators import corpus as C
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi "
+            "psi omega one two three four five six seven eight nine ten "
+            "eleven twelve thirteen fourteen")
+    rows = [
+        # near-dup cluster: 101 and 105 are exact copies (after
+        # whitespace normalization), 109 is the same text with a tail
+        # appended — longest, and the max doc_id
+        (101, base),
+        (105, base.replace(" beta ", "  beta ")),
+        (109, base + " plus six extra boilerplate tail words"),
+        # exact-dup cluster of equal lengths: tie-break -> min id
+        (200, "identical short duplicate payload shared by this pair "
+              "of documents exactly word for word"),
+        (201, "identical short duplicate payload shared by this pair "
+              "of documents exactly word for word"),
+        # singletons — must not appear
+        (900, " ".join(f"unique{j}stuff" for j in range(40))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    import os
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        got = {r.cluster_id: (r.n_docs, r.keep_id, r.keep_tokens)
+               for r in C.dd_cluster_canonical(spark, d).collect()}
+    assert got[101] == (3, 109, 38 + 6)   # longest wins over min id
+    assert got[200] == (2, 200, 14)       # equal lengths -> min id
+    assert 900 not in got
+
+
 def test_simhash_recovers_planted_mutations(spark):
     """Banded-Hamming SimHash must pair a document with its lightly
     mutated copy (one token changed out of ~40) and must NOT pair
