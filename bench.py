@@ -63,6 +63,10 @@ HEADLINE = HEADLINE_R1 + [
     # round 4 continuation: full Gopher rule gate, epoch up-sampling,
     # product-quantization ANN (codes-only ADC scan + exact re-rank)
     "txt_gopher_gate", "smp_epoch_mix", "sim_pq_topk",
+    # round 4 continuation: RAG chunking, quality-proportional sampling,
+    # canonical-per-cluster dedup, iterative BPE merge training
+    "txt_chunk_windows", "smp_quality_weighted", "dd_cluster_canonical",
+    "bpe_train_merges",
 ]
 
 

@@ -1499,6 +1499,81 @@ FROM pairs GROUP BY pair ORDER BY n_occ DESC, pair LIMIT {BPE_PAIR_TOP_K}
 """
 
 
+BPE_TRAIN_MERGES = 8   # merge rules to learn
+
+
+def bpe_train_merges(spark, sf_dir):
+    """Iterative BPE merge training (the tokenizer-training loop itself,
+    not just the first pair count): learn BPE_TRAIN_MERGES merge rules
+    by repeated most-frequent-adjacent-pair argmax over the corpus.
+
+    Plan shape for 100 TB: ONE corpus pass builds the distinct-word
+    frequency table — the classic reduction; BPE statistics depend only
+    on (word, freq), which is orders of magnitude smaller than the
+    corpus, so the token explode + groupBy with map-side combine is the
+    only stage that touches the full data. Every one of the K iterations
+    then runs over the vocab frame alone: an adjacent-pair aggregation
+    (zip of two shifted slices, lambda touches only lambda vars) whose
+    argmax is the ONLY row collected, and a map-only Arrow stage that
+    greedily rewrites symbol arrays left-to-right. localCheckpoint per
+    iteration truncates the otherwise K-deep lineage.
+
+    Iterative argmax is not SQL-expressible — rows-only at the driver;
+    exact-equality with a pure-Python reference trainer is pinned by
+    tests/test_operators.py::test_bpe_train_matches_reference (count
+    desc, then lexicographic (left, right) tie order on both sides)."""
+    docs = _docs(spark, sf_dir)
+    vocab = (docs.select(F.explode(F.split(F.lower(
+                 F.coalesce(F.col("text"), F.lit(""))), r"\s+")).alias("w"))
+             .where(F.col("w") != "")
+             .groupBy("w").agg(F.count("*").cast("long").alias("freq"))
+             .select(F.split("w", "").alias("syms"), "freq")
+             .localCheckpoint(eager=True))
+
+    merges = []
+    for rank in range(1, BPE_TRAIN_MERGES + 1):
+        lhs = F.slice(F.col("syms"), 1, F.size("syms") - 1)
+        rhs = F.slice(F.col("syms"), 2, F.size("syms") - 1)
+        best = (vocab.where(F.size("syms") >= 2)
+                .select("freq",
+                        F.explode(F.zip_with(
+                            lhs, rhs,
+                            lambda a, b: F.struct(a.alias("l"),
+                                                  b.alias("r")))).alias("p"))
+                .groupBy("p.l", "p.r")
+                .agg(F.sum("freq").alias("n"))
+                .orderBy(F.desc("n"), "l", "r")
+                .limit(1).collect())
+        if not best:
+            break
+        bl, br, bn = best[0]["l"], best[0]["r"], int(best[0]["n"])
+        merges.append((rank, bl, br, bn))
+
+        def _merge_batch(batches, bl=bl, br=br):
+            for pdf in batches:
+                out = []
+                for syms in pdf["syms"]:
+                    s = list(syms)
+                    i, acc = 0, []
+                    while i < len(s):
+                        if i + 1 < len(s) and s[i] == bl and s[i + 1] == br:
+                            acc.append(bl + br)
+                            i += 2
+                        else:
+                            acc.append(s[i])
+                            i += 1
+                    out.append(acc)
+                pdf = pdf.copy()
+                pdf["syms"] = out
+                yield pdf
+
+        vocab = (vocab.mapInPandas(_merge_batch, schema=vocab.schema)
+                 .localCheckpoint(eager=True))
+
+    return spark.createDataFrame(
+        merges, "merge_rank INT, left STRING, right STRING, pair_count BIGINT")
+
+
 def txt_fingerprint(spark, sf_dir):
     """Document fingerprint: md5 of case/whitespace-normalized text (the
     SQL-checkable variant; the winnowing rolling-hash variant is
@@ -2580,6 +2655,7 @@ QUERIES = {
     "txt_token_count": (txt_token_count, TXT_TOKEN_SQL),
     "txt_vocab_topk": (txt_vocab_topk, TXT_VOCAB_SQL),
     "txt_bpe_pair_counts": (txt_bpe_pair_counts, TXT_BPE_PAIRS_SQL),
+    "bpe_train_merges": (bpe_train_merges, None),
     "txt_fingerprint": (txt_fingerprint, TXT_FP_SQL),
     "dd_exact_dup": (dd_exact_dup, DD_EXACT_SQL),
     "dd_url_dup": (dd_url_dup, DD_URL_SQL),

@@ -1410,6 +1410,86 @@ FROM cop GROUP BY source ORDER BY source
 
 
 # ---------------------------------------------------------------------------
+# Quality-proportional sampling (DCLM-style admission weighting)
+# ---------------------------------------------------------------------------
+
+QW_BAND_BP = 500        # stopword-ratio band width, basis points
+QW_BASE_RATE_BP = 1000  # admission rate floor (band 0)
+QW_SLOPE_BP = 900       # extra admission rate per band, capped at 10000
+
+
+def smp_quality_weighted(spark, sf_dir):
+    """Quality-proportional sampling: a document's admission PROBABILITY
+    scales with a quality signal (here the stopword ratio — the cheap
+    natural-language proxy), instead of the all-or-nothing gate of
+    txt_gopher_gate or the per-stratum constants of smp_stratified.
+    DCLM-style: low-signal docs are down-weighted, not dropped.
+
+    Engine-exact integer math throughout: stopword basis points via
+    integer division (n_stop*10000 DIV n_tokens; split('') = [''] so
+    n_tokens >= 1), band = bp DIV 500, rate_bp = min(10000, 1000 +
+    band*900), and the admission draw is a 32-bit md5 fold mod 10000 —
+    positive on both engines, so % agrees with no signed/unsigned split.
+    Map-only per doc + one tiny groupBy(band); same doc, same fate on
+    any cluster or engine."""
+    docs = _docs(spark, sf_dir)
+    tk = F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
+    d = docs.select(
+        "doc_id",
+        F.size(tk).cast("long").alias("n_tokens"),
+        F.size(F.filter(tk, lambda t: t.isin(*_STOPWORDS_EN)))
+        .cast("long").alias("n_stop"))
+    d = d.selectExpr(
+        "doc_id", "n_tokens",
+        f"((n_stop * 10000) DIV n_tokens) DIV {QW_BAND_BP} AS band")
+    d = d.selectExpr(
+        "doc_id", "n_tokens", "band",
+        f"least(CAST(10000 AS BIGINT), "
+        f"{QW_BASE_RATE_BP} + band * {QW_SLOPE_BP}) AS rate_bp",
+        "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':qw')), "
+        "1, 8), 16, 10) AS BIGINT) % 10000 AS u")
+    return (d.withColumn("k", (F.col("u") < F.col("rate_bp")).cast("int"))
+            .groupBy("band")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("k").cast("long").alias("n_kept"),
+                 F.sum(F.when(F.col("k") == 1, F.col("n_tokens"))
+                       .otherwise(F.lit(0))).cast("long").alias("tok_kept"))
+            .orderBy("band"))
+
+
+_QW_STOPLIST = ", ".join(f"'{w}'" for w in _STOPWORDS_EN)
+
+SMP_QW_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(lower(coalesce(text, '')), '\\s+'))
+              AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(
+              string_split_regex(lower(coalesce(text, '')), '\\s+'),
+              t -> t IN ({_QW_STOPLIST}))) AS BIGINT) AS n_stop
+  FROM documents WHERE doc_id IS NOT NULL
+), b AS (
+  SELECT doc_id, n_tokens,
+         ((n_stop * 10000) // n_tokens) // {QW_BAND_BP} AS band
+  FROM t
+), r AS (
+  SELECT doc_id, n_tokens, band,
+         CASE WHEN {QW_BASE_RATE_BP} + band * {QW_SLOPE_BP} > 10000
+              THEN 10000
+              ELSE {QW_BASE_RATE_BP} + band * {QW_SLOPE_BP} END AS rate_bp,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':qw'), 1, 8))
+           ::UINTEGER::BIGINT % 10000 AS u
+  FROM b
+)
+SELECT band, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM((u < rate_bp)::INT) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN u < rate_bp THEN n_tokens ELSE 0 END) AS BIGINT)
+         AS tok_kept
+FROM r GROUP BY band ORDER BY band
+"""
+
+
+# ---------------------------------------------------------------------------
 # Sliding-window chunking (embedding-model / RAG preprocessing)
 # ---------------------------------------------------------------------------
 
@@ -1502,4 +1582,5 @@ QUERIES = {
     "txt_gopher_gate": (txt_gopher_gate, TXT_GOPHER_SQL),
     "smp_epoch_mix": (smp_epoch_mix, SMP_EPOCH_SQL),
     "txt_chunk_windows": (txt_chunk_windows, TXT_CHUNK_SQL),
+    "smp_quality_weighted": (smp_quality_weighted, SMP_QW_SQL),
 }

@@ -286,6 +286,70 @@ def test_dup_clusters_match_union_find(spark):
         assert got[root] == (len(members), members[0])
 
 
+def _ref_bpe(texts, k):
+    """Pure-Python BPE trainer: word-frequency table, then k rounds of
+    most-frequent-adjacent-pair argmax (count desc, lexicographic (l, r)
+    tie order) + greedy left-to-right merge — the semantics
+    bpe_train_merges must reproduce exactly."""
+    from collections import Counter
+    wf = Counter()
+    for t in texts:
+        for w in (t or "").lower().split():
+            wf[w] += 1
+    vocab = [(list(w), f) for w, f in wf.items()]
+    merges = []
+    for rank in range(1, k + 1):
+        pc = Counter()
+        for syms, f in vocab:
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        (left, right), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, left, right, n))
+        new_vocab = []
+        for syms, f in vocab:
+            i, acc = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left \
+                        and syms[i + 1] == right:
+                    acc.append(left + right)
+                    i += 2
+                else:
+                    acc.append(syms[i])
+                    i += 1
+            new_vocab.append((acc, f))
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    """bpe_train_merges must learn the exact merge list (order, pairs,
+    counts) a pure-Python BPE trainer learns on the same corpus —
+    including merges of previously-merged symbols (multi-round
+    dependencies) and the lexicographic tie order."""
+    from ocr_spark.operators import corpus as C
+
+    texts = [
+        "the theater there is thebest thething",
+        "the the the banana bandana ananas",
+        "low lower lowest newest newer new",
+        "aaaa aaa aa baaab",  # overlapping-pair greedy-merge edges
+    ] * 3
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    import os
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        got = [(r.merge_rank, r.left, r.right, r.pair_count)
+               for r in C.bpe_train_merges(spark, d).collect()]
+    expected = _ref_bpe(texts, C.BPE_TRAIN_MERGES)
+    assert got == expected
+    assert len(got) == C.BPE_TRAIN_MERGES  # corpus is rich enough for all k
+
+
 def test_cluster_canonical_keeps_longest(spark):
     """dd_cluster_canonical must keep the LONGEST member of each cluster
     (ties -> min doc_id), distinguishing it from dd_dup_clusters' min-id

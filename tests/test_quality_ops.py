@@ -67,7 +67,8 @@ def _duck_on(d, sql):
     "txt_repetition", "txt_pii_scrub", "txt_contamination",
     "smp_stratified", "smp_token_budget", "smp_pack_sequences",
     "smp_pack_assembly", "dd_chunk_dup", "dd_substring_dup",
-    "txt_gopher_gate", "smp_epoch_mix", "txt_chunk_windows"])
+    "txt_gopher_gate", "smp_epoch_mix", "txt_chunk_windows",
+    "smp_quality_weighted"])
 def test_edge_corpus_matches_oracle(spark, tmp_path, name):
     """Single-token docs, empty text, maximal repetition, planted shared
     chunks/shingles: Spark and DuckDB must agree row-for-row on the edge
