@@ -66,7 +66,7 @@ HEADLINE = HEADLINE_R1 + [
     # round 4 continuation: RAG chunking, quality-proportional sampling,
     # canonical-per-cluster dedup, iterative BPE merge training
     "txt_chunk_windows", "smp_quality_weighted", "dd_cluster_canonical",
-    "bpe_train_merges",
+    "bpe_train_merges", "dd_chunk_dedup_strip", "txt_blocklist_filter",
 ]
 
 

@@ -218,6 +218,69 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def dd_chunk_dedup_strip(spark, sf_dir):
+    """C4-style global line dedup as a TRANSFORM, not just a signal
+    (dd_chunk_dup reports the share; this one rewrites the corpus): every
+    10-token chunk that occurs more than once corpus-wide survives ONLY
+    at its globally-first occurrence (min doc_id, then min chunk index);
+    all later occurrences are stripped and each doc's text is reassembled
+    from its kept chunks in order. A doc whose every chunk occurred
+    earlier elsewhere disappears entirely — the C4 outcome.
+
+    Plan: chunking is the dd_chunk_dup map-only projection; the keep
+    decision is ONE row_number window partitioned by chunk content (the
+    full-width shuffle is inherent to global line dedup — every C4-style
+    pipeline pays it once, and the chunk text must travel anyway for
+    reassembly); re-assembly is one groupBy(doc_id) with an ordered
+    struct sort. Two shuffles total at any scale."""
+    chunks = (
+        _docs(spark, sf_dir).selectExpr("doc_id", f"{_TOKENS} AS t")
+        .selectExpr(
+            "doc_id",
+            f"CAST(ceil(size(t) / {CHUNK_TOKENS}.0) AS BIGINT)"
+            " AS n_chunks_in",
+            f"posexplode(transform("
+            f" sequence(0, cast(ceil(size(t) / {CHUNK_TOKENS}.0) AS int) - 1),"
+            f" i -> array_join(slice(t, i * {CHUNK_TOKENS} + 1,"
+            f" {CHUNK_TOKENS}), ' '))) AS (idx, chunk)"))
+    wk = Window.partitionBy("chunk").orderBy("doc_id", "idx")
+    kept = (chunks.withColumn("rk", F.row_number().over(wk))
+            .where(F.col("rk") == 1))
+    return (
+        kept.groupBy("doc_id")
+        .agg(F.max("n_chunks_in").alias("n_chunks_in"),
+             F.count("*").cast("long").alias("n_chunks_kept"),
+             F.array_join(
+                 F.transform(
+                     F.sort_array(F.collect_list(F.struct("idx", "chunk"))),
+                     lambda s: s["chunk"]), " ").alias("new_text"))
+        .orderBy("doc_id"))
+
+
+DD_CHUNK_STRIP_SQL = f"""
+WITH ch AS (
+  SELECT doc_id,
+         CAST(ceil(len(t) / {CHUNK_TOKENS}.0) AS BIGINT) AS n_chunks_in,
+         CAST(i AS INT) AS idx,
+         array_to_string(t[i * {CHUNK_TOKENS} + 1
+                           : i * {CHUNK_TOKENS} + {CHUNK_TOKENS}], ' ')
+           AS chunk
+  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+        FROM documents WHERE doc_id IS NOT NULL),
+       UNNEST(range(0, cast(ceil(len(t) / {CHUNK_TOKENS}.0) AS int))) AS u(i)
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY chunk
+                               ORDER BY doc_id, idx) AS rk
+  FROM ch
+)
+SELECT doc_id, MAX(n_chunks_in) AS n_chunks_in,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks_kept,
+       string_agg(chunk, ' ' ORDER BY idx) AS new_text
+FROM ranked WHERE rk = 1
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Substring-level duplication (sliding windows + winnowing)
 # ---------------------------------------------------------------------------
@@ -464,6 +527,64 @@ SELECT doc_id,
                '{_PII_IP}', '<IP>', 'g'),
              '{_PII_PHONE}', '<PHONE>', 'g')) AS scrub_hash
 FROM p ORDER BY doc_id
+"""
+
+
+# boilerplate/spam phrase blocklist (C4's badwords-filter shape); first
+# match in list order wins as the block reason
+BLOCK_PHRASES = ("click here", "lorem ipsum", "subscribe now")
+
+
+def txt_blocklist_filter(spark, sf_dir):
+    """Phrase-blocklist gate (the C4 badwords/boilerplate filter shape):
+    a document is blocked when its lowercased text contains any blocklist
+    phrase; the FIRST matching phrase (list order) is the block reason.
+    The synthetic corpus carries no such phrases, so — like txt_pii_scrub
+    — a deterministic payload derived from doc_id is appended on BOTH
+    engines before matching, exercising the gate against real hits.
+    Map-only projection + one tiny groupBy(source, reason); the corpus
+    side never shuffles wide at any scale."""
+    docs = _docs(spark, sf_dir)
+    payload = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(F.col("doc_id") % 13 == 5,
+               F.lit(" please Click Here for more")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 9,
+               F.lit(" Lorem Ipsum dolor sit")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 11,
+               F.lit(" SUBSCRIBE NOW friends")).otherwise(F.lit("")))
+    low = F.lower(payload)
+    reason = F.lit("kept")
+    for phrase in reversed(BLOCK_PHRASES):  # earlier phrases win
+        reason = F.when(low.contains(phrase),
+                        F.lit(phrase)).otherwise(reason)
+    return (docs.select("source", reason.alias("block_reason"))
+            .groupBy("source", "block_reason")
+            .agg(F.count("*").cast("long").alias("n_docs"))
+            .orderBy("source", "block_reason"))
+
+
+_BLOCK_CASES = "\n".join(
+    f"         WHEN contains(low, '{p}') THEN '{p}'" for p in BLOCK_PHRASES)
+
+TXT_BLOCKLIST_SQL = f"""
+WITH p AS (
+  SELECT source,
+         lower(coalesce(text, '')
+           || CASE WHEN doc_id % 13 = 5
+                   THEN ' please Click Here for more' ELSE '' END
+           || CASE WHEN doc_id % 13 = 9
+                   THEN ' Lorem Ipsum dolor sit' ELSE '' END
+           || CASE WHEN doc_id % 13 = 11
+                   THEN ' SUBSCRIBE NOW friends' ELSE '' END) AS low
+  FROM documents WHERE doc_id IS NOT NULL
+)
+SELECT source,
+       CASE
+{_BLOCK_CASES}
+       ELSE 'kept' END AS block_reason,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM p GROUP BY 1, 2 ORDER BY source, block_reason
 """
 
 
@@ -1583,4 +1704,6 @@ QUERIES = {
     "smp_epoch_mix": (smp_epoch_mix, SMP_EPOCH_SQL),
     "txt_chunk_windows": (txt_chunk_windows, TXT_CHUNK_SQL),
     "smp_quality_weighted": (smp_quality_weighted, SMP_QW_SQL),
+    "dd_chunk_dedup_strip": (dd_chunk_dedup_strip, DD_CHUNK_STRIP_SQL),
+    "txt_blocklist_filter": (txt_blocklist_filter, TXT_BLOCKLIST_SQL),
 }

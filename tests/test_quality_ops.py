@@ -68,7 +68,7 @@ def _duck_on(d, sql):
     "smp_stratified", "smp_token_budget", "smp_pack_sequences",
     "smp_pack_assembly", "dd_chunk_dup", "dd_substring_dup",
     "txt_gopher_gate", "smp_epoch_mix", "txt_chunk_windows",
-    "smp_quality_weighted"])
+    "smp_quality_weighted", "dd_chunk_dedup_strip", "txt_blocklist_filter"])
 def test_edge_corpus_matches_oracle(spark, tmp_path, name):
     """Single-token docs, empty text, maximal repetition, planted shared
     chunks/shingles: Spark and DuckDB must agree row-for-row on the edge
@@ -536,6 +536,29 @@ def test_epoch_mix_copies_and_replicate(spark, tmp_path):
     assert rep.count() == total
     assert per["src0"].emin == 1 and per["src0"].emax == 3
     assert per["plain"].emax == 1
+
+
+def test_chunk_dedup_strip_semantics(spark, tmp_path):
+    """Planted shared chunks: the globally-first occurrence survives, all
+    later occurrences strip, a fully-duplicated doc disappears, and the
+    reassembled text preserves within-doc chunk order."""
+    from ocr_spark.operators.quality import (
+        dd_chunk_dedup_strip, CHUNK_TOKENS)
+    shared = " ".join(f"s{i}" for i in range(CHUNK_TOKENS))
+    uniq_a = " ".join(f"a{i}" for i in range(CHUNK_TOKENS))
+    uniq_b = " ".join(f"b{i}" for i in range(CHUNK_TOKENS))
+    docs = [
+        (1, f"{uniq_a} {shared}", "en", "s", 0),       # first owner keeps it
+        (2, f"{shared} {uniq_b}", "en", "s", 0),       # loses the shared head
+        (3, shared, "en", "s", 0),                     # fully duplicated: gone
+    ]
+    d = _gopher_dir(spark, tmp_path, docs)
+    got = {r.doc_id: r for r in dd_chunk_dedup_strip(spark, d).collect()}
+    assert got[1].new_text == f"{uniq_a} {shared}"
+    assert (got[1].n_chunks_in, got[1].n_chunks_kept) == (2, 2)
+    assert got[2].new_text == uniq_b                   # order preserved
+    assert (got[2].n_chunks_in, got[2].n_chunks_kept) == (2, 1)
+    assert 3 not in got                                # all chunks stripped
 
 
 def test_chunk_windows_cover_and_overlap(spark, tmp_path):
