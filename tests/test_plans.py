@@ -215,3 +215,34 @@ def test_lm_unigram_partial_aggregates(spark):
     plan = formatted_plan(df)
     assert "partial_count" in plan or "partial count" in plan.lower()
     assert "BroadcastNestedLoopJoin" in plan  # single-row total crossJoin
+
+
+def test_chunk_windows_is_map_only(spark):
+    """txt_chunk_windows must stay a map-only projection + explode: the
+    ONLY exchange in its plan is the final presentation sort. A shuffle
+    before the explode would move the full corpus text for no reason."""
+    from ocr_spark.operators.quality import txt_chunk_windows
+    df = txt_chunk_windows(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_quality_weighted_single_agg_exchange(spark):
+    """smp_quality_weighted: per-doc scoring and the admission draw are
+    map-only; the plan's only exchanges are the per-band aggregation
+    (with map-side partial combine) and the presentation sort."""
+    from ocr_spark.operators.quality import smp_quality_weighted
+    df = smp_quality_weighted(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 2, plan
+    assert "partial_count" in plan or "partial count" in plan.lower()
+
+
+def test_chunk_dedup_strip_two_shuffles(spark):
+    """dd_chunk_dedup_strip pays exactly the two shuffles inherent to
+    global line dedup (content-keyed window + doc reassembly) plus the
+    presentation sort — never more."""
+    from ocr_spark.operators.quality import dd_chunk_dedup_strip
+    df = dd_chunk_dedup_strip(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 3, plan
