@@ -535,6 +535,19 @@ FROM p ORDER BY doc_id
 BLOCK_PHRASES = ("click here", "lorem ipsum", "subscribe now")
 
 
+def blocklist_reason_col(text_col):
+    """Block-reason Column for any text Column: the FIRST matching
+    BLOCK_PHRASES entry in list order, else 'kept'. Pure expression —
+    shared by the batch query and the streaming gate
+    (streaming/quality.blocklist_gate_stream)."""
+    low = F.lower(F.coalesce(text_col, F.lit("")))
+    reason = F.lit("kept")
+    for phrase in reversed(BLOCK_PHRASES):  # earlier phrases win
+        reason = F.when(low.contains(phrase),
+                        F.lit(phrase)).otherwise(reason)
+    return reason
+
+
 def txt_blocklist_filter(spark, sf_dir):
     """Phrase-blocklist gate (the C4 badwords/boilerplate filter shape):
     a document is blocked when its lowercased text contains any blocklist
@@ -553,12 +566,8 @@ def txt_blocklist_filter(spark, sf_dir):
                F.lit(" Lorem Ipsum dolor sit")).otherwise(F.lit("")),
         F.when(F.col("doc_id") % 13 == 11,
                F.lit(" SUBSCRIBE NOW friends")).otherwise(F.lit("")))
-    low = F.lower(payload)
-    reason = F.lit("kept")
-    for phrase in reversed(BLOCK_PHRASES):  # earlier phrases win
-        reason = F.when(low.contains(phrase),
-                        F.lit(phrase)).otherwise(reason)
-    return (docs.select("source", reason.alias("block_reason"))
+    return (docs.select("source",
+                        blocklist_reason_col(payload).alias("block_reason"))
             .groupBy("source", "block_reason")
             .agg(F.count("*").cast("long").alias("n_docs"))
             .orderBy("source", "block_reason"))
@@ -1632,7 +1641,15 @@ def txt_chunk_windows(spark, sf_dir):
     the embedding stage consumes; nothing shuffles. Engine-exact: token
     split, slice, and join are pure string ops; the hash is the repo's
     md5-fold bridge."""
-    docs = _docs(spark, sf_dir)
+    return (chunk_windows_from(_docs(spark, sf_dir))
+            .orderBy("doc_id", "chunk_idx"))
+
+
+def chunk_windows_from(docs: DataFrame) -> DataFrame:
+    """The chunking projection itself, unordered — a stateless map-only
+    plan (split → explode → slice), so the SAME code chunks a streaming
+    documents frame under any trigger (streaming/quality re-exports it
+    as the stream twin)."""
     w, s = CHUNK_WINDOW, CHUNK_STRIDE
     return (docs.selectExpr(
         "doc_id", "split(coalesce(text, ''), '\\\\s+') AS tk")
@@ -1649,8 +1666,7 @@ def txt_chunk_windows(spark, sf_dir):
             "doc_id", "chunk_idx",
             "CAST(size(ck) AS BIGINT) AS n_tok_c",
             "array_join(ck, ' ') AS chunk_text")
-        .withColumn("chunk_hash", _md5_long(F.col("chunk_text")))
-        .orderBy("doc_id", "chunk_idx"))
+        .withColumn("chunk_hash", _md5_long(F.col("chunk_text"))))
 
 
 TXT_CHUNK_SQL = f"""

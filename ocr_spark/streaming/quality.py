@@ -19,7 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..operators.quality import with_repetition_signals
+from ..operators.quality import (blocklist_reason_col, chunk_windows_from,
+                                 with_repetition_signals)
 from ..pipeline.curate import (MAX_DUP_BIGRAM_BP, MAX_TOP_TOKEN_BP,
                                MIN_TOKENS)
 
@@ -51,3 +52,23 @@ def quality_gate_stream(docs: DataFrame) -> DataFrame:
         & (F.col("n_tokens_b") >= 2)
         & (F.col("top_token_bp") <= MAX_TOP_TOKEN_BP)
         & (F.col("dup_bigram_bp") <= MAX_DUP_BIGRAM_BP))
+
+
+def blocklist_gate_stream(docs: DataFrame) -> DataFrame:
+    """Drop documents whose text matches the phrase blocklist, annotating
+    the surviving rows with block_reason == 'kept'. Stateless map-only
+    expression (operators/quality.blocklist_reason_col), so the identical
+    gate runs on a stream under any trigger; batch/stream equivalence is
+    pinned by tests/test_streaming_quality.py."""
+    return (docs.withColumn("block_reason",
+                            blocklist_reason_col(F.col("text")))
+            .where(F.col("block_reason") == "kept"))
+
+
+def chunk_windows_stream(docs: DataFrame) -> DataFrame:
+    """Overlapping token-window chunks of a (streaming or batch)
+    documents frame — txt_chunk_windows' exact projection without its
+    presentation sort (a stream can't globally order): stateless split →
+    explode → slice, the shape that feeds an embedding index while the
+    corpus lands."""
+    return chunk_windows_from(docs)

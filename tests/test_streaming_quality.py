@@ -109,3 +109,44 @@ def test_gate_runs_as_streaming_query(spark, tmp_path):
     want = {r.doc_id for r in quality_gate_stream(batch)
             .select("doc_id").collect()}
     assert got == want and len(got) > 0
+
+
+def test_blocklist_and_chunking_stream_equal_batch(spark, tmp_path):
+    """blocklist_gate_stream and chunk_windows_stream must produce the
+    identical row sets on a micro-batched stream as on the batch frame —
+    both are stateless map-only, so any micro-batch split is invisible.
+    The blocklist is exercised with planted phrases (the corpus carries
+    none)."""
+    from ocr_spark.streaming.quality import (blocklist_gate_stream,
+                                             chunk_windows_stream)
+    batch = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    planted = batch.limit(3).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" please CLICK here now")))
+    docs = batch.unionByName(planted.withColumn(
+        "doc_id", F.col("doc_id") + 10_000_000))
+    src = str(tmp_path / "in")
+    docs.repartition(4).write.parquet(src)   # several files = several splits
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+
+    for name, fn, key_cols in (
+            ("blocklist", blocklist_gate_stream, ["doc_id"]),
+            ("chunks", chunk_windows_stream,
+             ["doc_id", "chunk_idx", "chunk_hash"])):
+        out = str(tmp_path / f"out_{name}")
+        ckpt = str(tmp_path / f"ckpt_{name}")
+        q = (fn(stream).select(*key_cols)
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {tuple(r) for r in spark.read.parquet(out).collect()}
+        want = {tuple(r) for r in
+                fn(spark.read.parquet(src)).select(*key_cols).collect()}
+        assert got == want and len(got) > 0, name
+
+    # the planted docs are the ONLY blocked ones
+    blocked = {r.doc_id for r in spark.read.parquet(src).collect()} - {
+        r.doc_id for r in
+        blocklist_gate_stream(spark.read.parquet(src)).collect()}
+    assert blocked == {r.doc_id + 10_000_000
+                       for r in batch.limit(3).collect()}
