@@ -1792,6 +1792,61 @@ def _emb_blocked(coded: DataFrame) -> DataFrame:
                     F.col("pk.bj").alias("bj"), "blk", "vec_id", "vec"))
 
 
+def _cos_block_pairs_fn(threshold: float):
+    """Per-group verifier over one _emb_blocked block-pair: BLAS matrix
+    products beat O(pairs · dim) interpreted higher-order expressions by
+    ~10x. Group = (band, bkt, block_i, block_j), never more than
+    2×EMB_BUCKET_CAP rows by construction. Emits (a_id, b_id, cosine)
+    for every pair with round(cos, 3) >= threshold. Shared by
+    dd_embedding_neardup (0.999) and dd_semantic_dup."""
+    def _pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        def _empty():
+            return pd.DataFrame({
+                "a_id": np.array([], dtype=np.int64),
+                "b_id": np.array([], dtype=np.int64),
+                "cosine": np.array([], dtype=np.float64)})
+
+        ids = pdf["vec_id"].to_numpy()
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+        norms = np.sqrt((m * m).sum(axis=1))
+        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
+        if bi != bj:
+            # cross-block: all (left, right) pairs, each appears once
+            left = (pdf["blk"] == bi).to_numpy()
+            right = ~left
+            if not left.any() or not right.any():
+                return _empty()
+            cos = ((m[left] @ m[right].T)
+                   / np.outer(norms[left], norms[right]))
+            li, ri = np.nonzero(np.round(cos, 3) >= threshold)
+            a, b = ids[left][li], ids[right][ri]
+            return pd.DataFrame({
+                "a_id": np.minimum(a, b), "b_id": np.maximum(a, b),
+                "cosine": np.round(cos[li, ri], 3)})
+        n = len(ids)
+        out_a, out_b, out_c = [], [], []
+        for s in range(0, n, NEARDUP_BLOCK):
+            e = min(s + NEARDUP_BLOCK, n)
+            cos = (m[s:e] @ m.T) / np.outer(norms[s:e], norms)
+            ii, jj = np.nonzero(np.round(cos, 3) >= threshold)
+            gi = ii + s
+            keep = jj > gi  # upper triangle in global indices
+            a, b = ids[gi[keep]], ids[jj[keep]]
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+            out_c.append(np.round(cos[ii[keep], jj[keep]], 3))
+        if not out_a:
+            return _empty()
+        return pd.DataFrame({"a_id": np.concatenate(out_a),
+                             "b_id": np.concatenate(out_b),
+                             "cosine": np.concatenate(out_c)})
+
+    return _pairs
+
+
 def dd_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate detection with planted duplicates:
     the corpus is unioned with scaled copies of every 10th vector (2x
@@ -1833,55 +1888,7 @@ def dd_embedding_neardup(spark, sf_dir):
                           "vec array<double>")
              .persist())
 
-    # block-pair verification is a grouped-map pandas stage: BLAS matrix
-    # products beat O(pairs · dim) interpreted higher-order expressions
-    # by ~10x. Group = (band, bkt, block_i, block_j), never more than
-    # 2×EMB_BUCKET_CAP rows by construction.
-    def _pairs(pdf):
-        import numpy as np
-        import pandas as pd
-
-        def _empty():
-            return pd.DataFrame({
-                "a_id": np.array([], dtype=np.int64),
-                "b_id": np.array([], dtype=np.int64),
-                "cosine": np.array([], dtype=np.float64)})
-
-        ids = pdf["vec_id"].to_numpy()
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
-        norms = np.sqrt((m * m).sum(axis=1))
-        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
-        if bi != bj:
-            # cross-block: all (left, right) pairs, each appears once
-            left = (pdf["blk"] == bi).to_numpy()
-            right = ~left
-            if not left.any() or not right.any():
-                return _empty()
-            cos = ((m[left] @ m[right].T)
-                   / np.outer(norms[left], norms[right]))
-            li, ri = np.nonzero(np.round(cos, 3) >= 0.999)
-            a, b = ids[left][li], ids[right][ri]
-            return pd.DataFrame({
-                "a_id": np.minimum(a, b), "b_id": np.maximum(a, b),
-                "cosine": np.round(cos[li, ri], 3)})
-        n = len(ids)
-        out_a, out_b, out_c = [], [], []
-        for s in range(0, n, NEARDUP_BLOCK):
-            e = min(s + NEARDUP_BLOCK, n)
-            cos = (m[s:e] @ m.T) / np.outer(norms[s:e], norms)
-            ii, jj = np.nonzero(np.round(cos, 3) >= 0.999)
-            gi = ii + s
-            keep = jj > gi  # upper triangle in global indices
-            a, b = ids[gi[keep]], ids[jj[keep]]
-            out_a.append(np.minimum(a, b))
-            out_b.append(np.maximum(a, b))
-            out_c.append(np.round(cos[ii[keep], jj[keep]], 3))
-        if not out_a:
-            return _empty()
-        return pd.DataFrame({"a_id": np.concatenate(out_a),
-                             "b_id": np.concatenate(out_b),
-                             "cosine": np.concatenate(out_c)})
-
+    _pairs = _cos_block_pairs_fn(0.999)
     # grouped_map_stream, not applyInPandas: the verify groups are
     # thousands of 2-row buckets and applyInPandas pays ~3 ms of Arrow
     # protocol per GROUP (measured 3.0 s noop vs 0.3 s streamed at
@@ -1910,6 +1917,99 @@ FROM full_set a JOIN full_set b ON a.vec_id < b.vec_id
 WHERE ROUND(list_cosine_similarity(a.vec, b.vec), 3) >= 0.999
 ORDER BY a_id, b_id
 """
+
+
+SEMDEDUP_CELLS = 16     # k-means cells (the SemDeDup cluster scope)
+SEMDEDUP_EPS = 0.999    # round(cos,3) >= eps marks a semantic duplicate
+
+
+def _semdedup_assign_stage(C):
+    """Map-only Arrow stage: (vec_id, vec) → (vec_id, cell_id, cd2, vec)
+    against the closure-broadcast centroid matrix; cd2 = squared L2 to
+    the assigned centroid, carried for the keep rule."""
+    import numpy as np
+    import pandas as pd
+
+    def _assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf["vec"]])
+            d2 = ((m * m).sum(1)[:, None] + (C * C).sum(1)[None, :]
+                  - 2.0 * (m @ C.T))
+            cell = d2.argmin(1)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"], "cell_id": cell,
+                "cd2": d2[np.arange(len(cell)), cell], "vec": pdf["vec"]})
+
+    return _assign
+
+
+def dd_semantic_dup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster
+    the embedding space, then search for semantic duplicates ONLY within
+    clusters — pairwise cosine >= eps inside each cell, epsilon-connected
+    components, keep ONE member per component. The keep rule is the
+    paper's: the member FARTHEST from its cluster centroid survives
+    (preserves boundary diversity; ties → min vec_id). Exact copies of
+    every 10th vector are planted (identical vectors — same cell by
+    construction) so the operator exercises against known duplicates on
+    the synthetic corpus; output is one row per DROPPED vector with its
+    keeper and cell.
+
+    Scale shape: centroids train on the same bounded driver sample as
+    IVF (one cluster pass); assignment is a map-only Arrow stage; the
+    within-cell O(n²) — the cost model the paper runs on GPUs — is
+    bounded per task by reusing _emb_blocked with the cell as a
+    single-band bucket code, so a mega-cell salt-splits into
+    <= 2×EMB_BUCKET_CAP block-pair tasks instead of one task holding
+    corpus/k vectors. Rows-only at the driver (k-means is
+    data-dependent); semantics pinned by
+    tests/test_operators.py::test_semantic_dup_planted_copies."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec"))
+    planted = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), F.col("vec"))
+    full = _spread(emb.unionByName(planted))
+    C = _ivf_centroids(full.select("vec_id", "vec"),
+                       SEMDEDUP_CELLS, N_IVF_ITERS)
+    assigned = (full.mapInPandas(
+        _semdedup_assign_stage(C),
+        "vec_id long, cell_id int, cd2 double, vec array<double>")
+        .persist())
+
+    # within-cell bounded block pairs: the cell id IS a one-band bucket
+    coded = assigned.select(
+        "vec_id", F.array(F.col("cell_id").cast("long")).alias("codes"),
+        "vec")
+    from ..functions.grouped import grouped_map_stream
+    pairs = (grouped_map_stream(
+        _emb_blocked(coded), ["band", "bkt", "bi", "bj"],
+        _cos_block_pairs_fn(SEMDEDUP_EPS),
+        "a_id long, b_id long, cosine double")
+        .select("a_id", "b_id").distinct())
+
+    labels = min_label_components(
+        spark, pairs.select(F.col("a_id").alias("src"),
+                            F.col("b_id").alias("dst")),
+        warn_tag="dd_semantic_dup")
+    members = (labels.withColumnRenamed("doc_id", "vec_id")
+               .join(assigned.select("vec_id", "cell_id", "cd2"), "vec_id"))
+    # rank on ROUNDED cd2: the assign stage's GEMM sums in a batch-shape-
+    # dependent order, so identical vectors land ulps apart in different
+    # batches and a raw-double ordering breaks the min-vec_id tie rule
+    # (the BLAS-reassociation hazard); 6 decimals collapses ulp noise
+    # while leaving real distance differences intact
+    wk = Window.partitionBy("label").orderBy(
+        F.desc(F.round(F.col("cd2"), 6)), F.asc("vec_id"))
+    ranked = members.withColumn("rk", F.row_number().over(wk))
+    keep = (ranked.where(F.col("rk") == 1)
+            .select("label", F.col("vec_id").alias("keep_id")))
+    return (ranked.where(F.col("rk") > 1)
+            .join(keep, "label")
+            .select("vec_id", "keep_id", "cell_id")
+            .orderBy("vec_id"))
 
 
 N_LSH_TOPK_PLANES = 6   # 64 buckets
@@ -2673,6 +2773,7 @@ QUERIES = {
     "dd_simhash": (dd_simhash, DD_SIMHASH_SQL),
     "sim_ivf_topk": (sim_ivf_topk, None),
     "sim_pq_topk": (sim_pq_topk, None),
+    "dd_semantic_dup": (dd_semantic_dup, None),
     "dd_ngram_jaccard": (dd_ngram_jaccard, DD_NGRAM_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
     "dd_minhash_verified": (dd_minhash_verified, DD_MINHASH_VERIFIED_SQL),

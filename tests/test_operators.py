@@ -286,6 +286,25 @@ def test_dup_clusters_match_union_find(spark):
         assert got[root] == (len(members), members[0])
 
 
+def test_semantic_dup_planted_copies(spark):
+    """dd_semantic_dup on sf0.001: the planted exact copies (identical
+    vectors — same k-means cell by construction) must each lose exactly
+    one member, the dropped one must be the planted +1000000 id (cd2
+    ties -> min vec_id keeps the original), and no organic vector may be
+    dropped (the corpus tops out at cosine ~0.47)."""
+    from ocr_spark.operators import corpus as C
+
+    sf = "/root/testdata/sf0.001"
+    planted_src = {r.vec_id for r in
+                   spark.read.parquet(f"{sf}/embeddings.parquet")
+                   .where("vec_id % 10 = 0").select("vec_id").collect()}
+    got = {r.vec_id: r.keep_id
+           for r in C.dd_semantic_dup(spark, sf).collect()}
+    assert set(got) == {v + 1000000 for v in planted_src}
+    for v in planted_src:
+        assert got[v + 1000000] == v
+
+
 def _ref_bpe(texts, k):
     """Pure-Python BPE trainer: word-frequency table, then k rounds of
     most-frequent-adjacent-pair argmax (count desc, lexicographic (l, r)
