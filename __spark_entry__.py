@@ -70,6 +70,7 @@ _MEASURED_COST = {
     'txt_chunk_windows': 0.6, 'smp_quality_weighted': 0.6,
     'bpe_train_merges': 5.0, 'dd_chunk_dedup_strip': 1.0,
     'txt_blocklist_filter': 0.5, 'dd_semantic_dup': 6.0,
+    'dd_effective_tokens': 0.7,
     'dd_embedding_neardup': 1.5, 'curate_funnel': 1.6, 'dd_simhash': 1.6,
     't19_code_gen': 1.6, 'dd_ngram_jaccard': 1.7, 'dd_minhash_verified': 1.3,
     'import_sales': 1.8,

@@ -67,7 +67,7 @@ HEADLINE = HEADLINE_R1 + [
     # canonical-per-cluster dedup, iterative BPE merge training
     "txt_chunk_windows", "smp_quality_weighted", "dd_cluster_canonical",
     "bpe_train_merges", "dd_chunk_dedup_strip", "txt_blocklist_filter",
-    "dd_semantic_dup",
+    "dd_semantic_dup", "dd_effective_tokens",
 ]
 
 

@@ -2658,6 +2658,63 @@ def dd_dup_clusters(spark, sf_dir):
     )
 
 
+def dd_effective_tokens(spark, sf_dir):
+    """Per-source EFFECTIVE token contribution after exact dedup — the
+    planning read a 100 TB training run starts from: of each source's
+    raw tokens, how many survive first-wins dedup (the keeper is the
+    global min doc_id per normalized-text hash, so a source that
+    re-crawls another's pages contributes zero effective tokens for
+    them). dup_token_bp = the source's share of raw tokens that dedup
+    discards, in floor basis points.
+
+    One window over the text hash (the dedup shuffle that would run
+    anyway) + one tiny groupBy(source); token counts are exact integers
+    on both engines."""
+    docs = _docs(spark, sf_dir)
+    norm = F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    toks = F.size(F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                          r"\s+")).cast("long")
+    d = (docs.select("doc_id", "source", norm.alias("h"),
+                     toks.alias("n_tokens"))
+         .withColumn("keep",
+                     F.min("doc_id").over(Window.partitionBy("h")))
+         .withColumn("k", (F.col("doc_id") == F.col("keep")).cast("int")))
+    return (d.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("k").cast("long").alias("n_kept"),
+                 F.sum("n_tokens").cast("long").alias("tok_raw"),
+                 F.sum(F.when(F.col("k") == 1, F.col("n_tokens"))
+                       .otherwise(F.lit(0))).cast("long").alias("tok_eff"))
+            .withColumn("dup_token_bp",
+                        F.floor((F.col("tok_raw") - F.col("tok_eff"))
+                                .cast("double")
+                                / F.col("tok_raw") * 10000).cast("long"))
+            .orderBy("source"))
+
+
+DD_EFF_TOKENS_SQL = """
+WITH d AS (
+  SELECT source, doc_id,
+         CAST(len(string_split_regex(lower(coalesce(text, '')), '\\s+'))
+              AS BIGINT) AS n_tokens,
+         (doc_id = MIN(doc_id) OVER (
+            PARTITION BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+          ))::INT AS k
+  FROM documents WHERE doc_id IS NOT NULL
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(k) AS BIGINT) AS n_kept,
+       CAST(SUM(n_tokens) AS BIGINT) AS tok_raw,
+       CAST(SUM(CASE WHEN k = 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+         AS tok_eff,
+       CAST(FLOOR(CAST(SUM(n_tokens)
+                       - SUM(CASE WHEN k = 1 THEN n_tokens ELSE 0 END)
+                       AS DOUBLE)
+                  / SUM(n_tokens) * 10000) AS BIGINT) AS dup_token_bp
+FROM d GROUP BY source ORDER BY source
+"""
+
+
 def dd_cluster_canonical(spark, sf_dir):
     """Quality-aware canonical selection per duplicate cluster: the keep
     document is the LONGEST member (max token count, ties → min doc_id)
@@ -2758,6 +2815,7 @@ QUERIES = {
     "bpe_train_merges": (bpe_train_merges, None),
     "txt_fingerprint": (txt_fingerprint, TXT_FP_SQL),
     "dd_exact_dup": (dd_exact_dup, DD_EXACT_SQL),
+    "dd_effective_tokens": (dd_effective_tokens, DD_EFF_TOKENS_SQL),
     "dd_url_dup": (dd_url_dup, DD_URL_SQL),
     "dd_incremental": (dd_incremental, DD_INCR_SQL),
     "dd_incremental_neardup": (

@@ -68,13 +68,14 @@ def _duck_on(d, sql):
     "smp_stratified", "smp_token_budget", "smp_pack_sequences",
     "smp_pack_assembly", "dd_chunk_dup", "dd_substring_dup",
     "txt_gopher_gate", "smp_epoch_mix", "txt_chunk_windows",
-    "smp_quality_weighted", "dd_chunk_dedup_strip", "txt_blocklist_filter"])
+    "smp_quality_weighted", "dd_chunk_dedup_strip", "txt_blocklist_filter",
+    "dd_effective_tokens"])
 def test_edge_corpus_matches_oracle(spark, tmp_path, name):
     """Single-token docs, empty text, maximal repetition, planted shared
     chunks/shingles: Spark and DuckDB must agree row-for-row on the edge
     corpus, not just on the well-formed testdata."""
-    from ocr_spark.operators.quality import QUERIES
-    fn, sql = QUERIES[name]
+    from ocr_spark.operators import ALL_QUERIES
+    fn, sql = ALL_QUERIES[name]
     d = _edge_dir(spark, tmp_path)
     sdf = fn(spark, d)
     drows, dcols = _duck_on(d, sql)
