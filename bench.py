@@ -68,6 +68,10 @@ HEADLINE = HEADLINE_R1 + [
     "txt_chunk_windows", "smp_quality_weighted", "dd_cluster_canonical",
     "bpe_train_merges", "dd_chunk_dedup_strip", "txt_blocklist_filter",
     "dd_semantic_dup", "dd_effective_tokens",
+    # round 4 continuation: transcript tool-chain/turn-dedup analytics,
+    # bigram LM scoring, domain accounting, prefix dedup
+    "conv_tool_chains", "conv_turn_dedup", "txt_lm_bigram_score",
+    "dd_domain_stats", "dd_prefix_dup",
 ]
 
 

@@ -87,28 +87,14 @@ GROUP BY 1 ORDER BY text_hash
 """
 
 
-def dd_url_dup(spark, sf_dir):
-    """URL dedup — the first dedup a real crawl runs, BEFORE any text
-    dedup: collapse fetch variants of the same resource on a normalized
-    URL key. The documents table carries no URL, so one is synthesized
-    deterministically from doc_id with the same expression on BOTH
-    engines (the txt_pii_scrub pattern): scheme http/https, optional
-    'www.', mixed-case host, optional trailing slash, query params in
-    both orders plus a tracking param, optional fragment — all of which
-    normalization must erase. Normalization (identical regex chain in
-    the oracle): lowercase → strip fragment → strip scheme → strip
-    leading www. → split query off → drop utm_* params → sort remaining
-    params → strip trailing slash → md5-fold to a 64-bit url_key
-    (corpus._md5_long). Dedup is first-wins by min(doc_id) per key.
-
-    Scale shape: the normalization is ONE codegen'd map-only projection
-    (regex + array exprs, no Python); the only shuffle is the
-    groupBy(url_key) — map-side combinable scalars — plus the keyed join
-    back. Unlike text dedup there is no payload wider than the
-    normalized string, so this runs ahead of everything else at 100 TB."""
-    docs = _docs(spark, sf_dir)
+def _synth_url():
+    """Deterministic URL synthesized from doc_id — identical expression
+    mirrored in the oracle CTE (_URL_KEYED_CTES): scheme http/https,
+    optional 'www.', mixed-case host, optional trailing slash, query
+    params in both orders plus a tracking param, optional fragment —
+    every variant class URL normalization must erase."""
     did = F.col("doc_id")
-    url = F.concat(
+    return F.concat(
         F.when(did % 3 == 0, F.lit("https://")).otherwise(F.lit("http://")),
         F.when(did % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
         F.when(did % 7 == 0, F.lit("EXAMPLE")).otherwise(F.lit("example")),
@@ -120,6 +106,13 @@ def dd_url_dup(spark, sf_dir):
         F.when((did % 4 == 0) & (did % 11 != 0),
                F.lit("&utm_source=feed")).otherwise(F.lit("")),
         F.when(did % 7 == 0, F.lit("#sec1")).otherwise(F.lit("")))
+
+
+def _norm_url(url):
+    """URL normalization as one codegen'd column chain (identical regex
+    chain in the oracle): lowercase → strip fragment → strip scheme →
+    strip leading www. → split query off → drop utm_* params → sort
+    remaining params → strip trailing slash."""
     stripped = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(F.lower(url), "#.*$", ""),
@@ -132,9 +125,27 @@ def dd_url_dup(spark, sf_dir):
     qn = F.concat_ws("&", F.array_sort(F.filter(
         F.split(F.regexp_extract(stripped, r"\?(.*)$", 1), "&"),
         lambda x: ~x.startswith("utm_"))))
-    norm = F.concat(pre,
+    return F.concat(pre,
                     F.when(qn != "", F.concat(F.lit("?"), qn))
                     .otherwise(F.lit("")))
+
+
+def dd_url_dup(spark, sf_dir):
+    """URL dedup — the first dedup a real crawl runs, BEFORE any text
+    dedup: collapse fetch variants of the same resource on a normalized
+    URL key. The documents table carries no URL, so one is synthesized
+    deterministically from doc_id with the same expression on BOTH
+    engines (the txt_pii_scrub pattern; see _synth_url). Normalization
+    = _norm_url → md5-fold to a 64-bit url_key (corpus._md5_long).
+    Dedup is first-wins by min(doc_id) per key.
+
+    Scale shape: the normalization is ONE codegen'd map-only projection
+    (regex + array exprs, no Python); the only shuffle is the
+    groupBy(url_key) — map-side combinable scalars — plus the keyed join
+    back. Unlike text dedup there is no payload wider than the
+    normalized string, so this runs ahead of everything else at 100 TB."""
+    docs = _docs(spark, sf_dir)
+    norm = _norm_url(_synth_url())
     per_doc = docs.select("doc_id", norm.alias("url_norm"),
                           _md5_long(norm).alias("url_key"))
     groups = (per_doc.groupBy("url_key")
@@ -149,8 +160,9 @@ def dd_url_dup(spark, sf_dir):
             .orderBy("doc_id"))
 
 
-DD_URL_SQL = """
-WITH u AS (
+# shared oracle CTE chain: synthesized URL → normalized → 64-bit key;
+# mirrors _synth_url + _norm_url + _md5_long exactly
+_URL_KEYED_CTES = """u AS (
   SELECT doc_id,
          (CASE WHEN doc_id % 3 = 0 THEN 'https://' ELSE 'http://' END)
          || (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
@@ -192,7 +204,10 @@ keyed AS (
          CAST(CAST(('0x' || substr(md5(url_norm), 1, 16))::UBIGINT AS HUGEINT)
               - 9223372036854775808 AS BIGINT) AS url_key
   FROM normed
-),
+)"""
+
+DD_URL_SQL = f"""
+WITH {_URL_KEYED_CTES},
 grp AS (
   SELECT url_key, MIN(doc_id) AS canonical_id,
          CAST(COUNT(*) AS BIGINT) AS n_variants
@@ -203,6 +218,134 @@ SELECT k.doc_id, k.url_norm, k.url_key, g.canonical_id, g.n_variants,
             THEN 'canonical' ELSE 'dup' END AS status
 FROM keyed k JOIN grp g USING (url_key)
 ORDER BY k.doc_id
+"""
+
+
+def dd_domain_stats(spark, sf_dir):
+    """Per-domain crawl accounting — the partition-planning read a crawl
+    pipeline runs before dedup: docs, distinct resources (normalized
+    URL keys), token volume, and the URL-variant dup share per host.
+    Real pipelines use this to pick per-domain caps and to spot hosts
+    whose variant explosion (session ids, tracking params) inflates the
+    crawl. Host = the authority part of the normalized URL (_norm_url
+    strips scheme/www, so the host is everything before the first '/'
+    or '?').
+
+    Scale shape: one codegen'd map-only projection (URL chain + token
+    count), then ONE groupBy(host) whose aggregates are all map-side
+    combinable (count, sum, approx-free distinct via count_distinct —
+    exact, since the judge compares values; at 100 TB the distinct
+    forces the shuffle to carry (host, url_key) pre-dedup rows, still
+    tiny next to the text payload it never touches). dup_share is
+    integer basis points — exact on both engines."""
+    docs = _docs(spark, sf_dir)
+    norm = _norm_url(_synth_url())
+    per_doc = docs.select(
+        F.regexp_extract(norm, "^[^/?]*", 0).alias("host"),
+        _md5_long(norm).alias("url_key"),
+        F.size(F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                       r"\s+")).cast("long").alias("n_tokens_b"))
+    return (per_doc.groupBy("host")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.count_distinct("url_key").cast("long").alias("n_urls"),
+                 F.sum("n_tokens_b").cast("long").alias("n_tokens"),
+                 F.expr("(count(*) - count(DISTINCT url_key)) * 10000"
+                        " DIV count(*)").cast("long").alias("dup_bp"))
+            .orderBy("host"))
+
+
+DD_DOMAIN_SQL = f"""
+WITH {_URL_KEYED_CTES},
+per_doc AS (
+  SELECT regexp_extract(k.url_norm, '^[^/?]*') AS host,
+         k.url_key,
+         CAST(len(string_split_regex(lower(coalesce(d.text, '')), '\\s+'))
+              AS BIGINT) AS n_tokens_b
+  FROM keyed k JOIN documents d USING (doc_id)
+)
+SELECT host,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT url_key) AS BIGINT) AS n_urls,
+       CAST(SUM(n_tokens_b) AS BIGINT) AS n_tokens,
+       CAST((COUNT(*) - COUNT(DISTINCT url_key)) * 10000 // COUNT(*)
+            AS BIGINT) AS dup_bp
+FROM per_doc
+GROUP BY host ORDER BY host
+"""
+
+
+PREFIX_DUP_K = 16  # leading tokens folded into the prefix key
+
+# injected leading boilerplate (the txt_pii_scrub pattern: planted
+# deterministically from doc_id on BOTH engines so the dup groups the op
+# exists to find are reachable in the synthetic corpus)
+_PREFIX_BOILERPLATE = ("this document is provided as is without warranty"
+                       " of any kind either express or implied including"
+                       " but not limited to")
+
+
+def dd_prefix_dup(spark, sf_dir):
+    """Leading-prefix duplicate detection — catches the shared-head
+    class exact dedup misses: syndicated articles, legal disclaimers,
+    and scraper banners prepend identical boilerplate to otherwise
+    distinct documents. Key = md5-fold of the first PREFIX_DUP_K
+    whitespace tokens (lowercased); a group with n_docs ≥ 2 but more
+    than one distinct full-text hash is exactly the "same head,
+    different tail" signature a curation pipeline strips or caps.
+    Docs with doc_id % 9 == 0 get a 20-word disclaimer planted in
+    front on both engines (see _PREFIX_BOILERPLATE).
+
+    Scale shape: one map-only projection (split + slice + two md5s —
+    only the first K tokens are rendered, never the document tail) and
+    one groupBy(prefix_key) with map-side combinable aggregates; same
+    plan family as dd_exact_dup but on an O(K)-byte key."""
+    docs = _docs(spark, sf_dir)
+    text = F.when(F.col("doc_id") % 9 == 0,
+                  F.concat(F.lit(_PREFIX_BOILERPLATE + " "),
+                           F.coalesce(F.col("text"), F.lit(""))))\
+        .otherwise(F.coalesce(F.col("text"), F.lit("")))
+    tf = F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != "")
+    prefix = F.array_join(F.slice(tf, 1, PREFIX_DUP_K), " ")
+    per_doc = docs.select(
+        "doc_id",
+        _md5_long(prefix).alias("prefix_key"),
+        F.md5(F.regexp_replace(F.lower(text), r"\s+", " "))
+        .alias("full_hash"))
+    return (per_doc.groupBy("prefix_key")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.count_distinct("full_hash").cast("long")
+                 .alias("n_distinct_full"),
+                 F.min("doc_id").alias("canonical_id"))
+            .where(F.col("n_docs") >= 2)
+            .orderBy("prefix_key"))
+
+
+DD_PREFIX_SQL = f"""
+WITH prefixed AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 9 = 0
+              THEN '{_PREFIX_BOILERPLATE} ' || coalesce(text, '')
+              ELSE coalesce(text, '') END AS text
+  FROM documents WHERE doc_id IS NOT NULL
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(array_to_string(
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '')[1:{PREFIX_DUP_K}], ' ')), 1, 16))
+              ::UBIGINT AS HUGEINT)
+              - 9223372036854775808 AS BIGINT) AS prefix_key,
+         md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS full_hash
+  FROM prefixed
+)
+SELECT prefix_key,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT full_hash) AS BIGINT) AS n_distinct_full,
+       MIN(doc_id) AS canonical_id
+FROM per_doc
+GROUP BY prefix_key
+HAVING COUNT(*) >= 2
+ORDER BY prefix_key
 """
 
 
@@ -2817,6 +2960,8 @@ QUERIES = {
     "dd_exact_dup": (dd_exact_dup, DD_EXACT_SQL),
     "dd_effective_tokens": (dd_effective_tokens, DD_EFF_TOKENS_SQL),
     "dd_url_dup": (dd_url_dup, DD_URL_SQL),
+    "dd_domain_stats": (dd_domain_stats, DD_DOMAIN_SQL),
+    "dd_prefix_dup": (dd_prefix_dup, DD_PREFIX_SQL),
     "dd_incremental": (dd_incremental, DD_INCR_SQL),
     "dd_incremental_neardup": (
         dd_incremental_neardup,

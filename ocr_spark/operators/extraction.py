@@ -725,10 +725,219 @@ FROM g ORDER BY conv_id
 """
 
 
+def conv_tool_chains(spark, sf_dir):
+    """Per-conversation tool-call episode analytics over agent
+    transcripts: how many maximal runs of consecutive tool turns a
+    conversation has, the longest such chain, and the dominant tool —
+    the screening read an agent-data pipeline uses to find tool-loop
+    pathologies (a 40-turn retry chain) and tool diversity before
+    sampling conversations for training.
+
+    Tie discipline: the synthesized transcripts can repeat a turn_idx
+    within a conversation, so runs are computed on the DISTINCT
+    (conv_id, turn_idx) grain (role is constant within a tie group by
+    construction; the dedup agg makes the window ordering total and the
+    result tie-order-invariant). The dominant tool is a row-grain count
+    (tool names CAN differ within a tie group) with ties broken by tool
+    name. Scale shape: the runs branch pays ONE exchange — everything
+    hangs off the same hash(conv_id) partitioning: the tie dedup is a
+    lag-based first-row filter inside the conv_id window (not a
+    groupBy(conv_id, turn_idx), which would hash on both columns and
+    add a second exchange), the run flags reuse the window's sort, and
+    the run-length/per-conv aggregations cluster on conv_id subsets so
+    Spark reuses the partitioning (pinned in test_plans.py)."""
+    t = _agent_transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    # tie dedup: rows sharing (conv_id, turn_idx) carry the same role by
+    # construction — keep the first row of each tie group via lag, which
+    # rides the SAME exchange+sort every later window step needs
+    turns = (t.select("conv_id", "turn_idx", "role",
+                      F.lag("turn_idx").over(w).alias("prev_ti"))
+             .where(F.col("prev_ti").isNull()
+                    | (F.col("prev_ti") != F.col("turn_idx")))
+             .select("conv_id", "turn_idx", "role"))
+    flagged = turns.select(
+        "conv_id", "turn_idx", "role",
+        (F.col("role") == "tool").cast("int").alias("is_tool"),
+        F.lag("role").over(w).alias("prev_role"))
+    runs = flagged.withColumn(
+        "run_start",
+        ((F.col("is_tool") == 1)
+         & (F.col("prev_role").isNull()
+            | (F.col("prev_role") != "tool"))).cast("long"))
+    run_id = F.sum("run_start").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # segment aggregation over ALL turns (not just tool rows): segment k
+    # holds tool run k plus the non-tool rows up to the next start, so
+    # sum(is_tool) per segment = run k's length, max(run_id) per conv =
+    # the run count, and segment 0 keeps zero-tool conversations in the
+    # output without a separate base-scan branch
+    segs = (runs.withColumn("run_id", run_id)
+            .groupBy("conv_id", "run_id")
+            .agg(F.sum("is_tool").cast("long").alias("run_len")))
+    run_stats = (segs.groupBy("conv_id")
+                 .agg(F.max("run_id").cast("long").alias("n_tool_runs"),
+                      F.max("run_len").alias("max_tool_run"),
+                      F.sum("run_len").alias("n_tool_turns")))
+    tool_counts = (t.where(F.col("tool").isNotNull())
+                   .groupBy("conv_id", "tool")
+                   .agg(F.count("*").cast("long").alias("n_calls")))
+    wt = Window.partitionBy("conv_id").orderBy(
+        F.col("n_calls").desc(), F.col("tool"))
+    top_tool = (tool_counts
+                .withColumn("rn", F.row_number().over(wt))
+                .where(F.col("rn") == 1)
+                .select("conv_id", F.col("tool").alias("top_tool"),
+                        F.col("n_calls").alias("top_tool_calls")))
+    return (run_stats.join(top_tool, "conv_id", "left")
+            .select(
+                "conv_id",
+                F.col("n_tool_turns").cast("long").alias("n_tool_turns"),
+                "n_tool_runs",
+                F.col("max_tool_run").cast("long").alias("max_tool_run"),
+                "top_tool",
+                F.coalesce("top_tool_calls", F.lit(0)).cast("long")
+                .alias("top_tool_calls"))
+            .orderBy("conv_id"))
+
+
+CONV_TOOL_CHAINS_SQL = f"""
+WITH t AS ({_AGENT_TRANSCRIPTS_CTE}),
+turns AS (
+  SELECT conv_id, turn_idx, MIN(role) AS role
+  FROM t GROUP BY conv_id, turn_idx
+),
+flagged AS (
+  SELECT conv_id, turn_idx, role,
+         CASE WHEN role = 'tool' THEN 1 ELSE 0 END AS is_tool,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+  FROM turns
+),
+runs AS (
+  SELECT conv_id, turn_idx, is_tool,
+         CAST(CASE WHEN is_tool = 1
+                    AND (prev_role IS NULL OR prev_role <> 'tool')
+              THEN 1 ELSE 0 END AS BIGINT) AS run_start
+  FROM flagged
+),
+rid AS (
+  SELECT conv_id, is_tool,
+         SUM(run_start) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS run_id
+  FROM runs
+),
+run_lens AS (
+  SELECT conv_id, run_id, CAST(COUNT(*) AS BIGINT) AS run_len
+  FROM rid WHERE is_tool = 1 GROUP BY conv_id, run_id
+),
+run_stats AS (
+  SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_tool_runs,
+         MAX(run_len) AS max_tool_run, SUM(run_len) AS n_tool_turns
+  FROM run_lens GROUP BY conv_id
+),
+tool_counts AS (
+  SELECT conv_id, tool, CAST(COUNT(*) AS BIGINT) AS n_calls
+  FROM t WHERE tool IS NOT NULL GROUP BY conv_id, tool
+),
+top_tool AS (
+  SELECT conv_id, tool AS top_tool, n_calls AS top_tool_calls
+  FROM (SELECT conv_id, tool, n_calls,
+               row_number() OVER (PARTITION BY conv_id
+                                  ORDER BY n_calls DESC, tool) AS rn
+        FROM tool_counts)
+  WHERE rn = 1
+),
+base AS (SELECT DISTINCT conv_id FROM turns)
+SELECT b.conv_id,
+       CAST(COALESCE(r.n_tool_turns, 0) AS BIGINT) AS n_tool_turns,
+       CAST(COALESCE(r.n_tool_runs, 0) AS BIGINT) AS n_tool_runs,
+       CAST(COALESCE(r.max_tool_run, 0) AS BIGINT) AS max_tool_run,
+       tt.top_tool,
+       CAST(COALESCE(tt.top_tool_calls, 0) AS BIGINT) AS top_tool_calls
+FROM base b
+LEFT JOIN run_stats r USING (conv_id)
+LEFT JOIN top_tool tt USING (conv_id)
+ORDER BY conv_id
+"""
+
+
+def conv_turn_dedup(spark, sf_dir):
+    """Cross-conversation assistant-turn dedup — the transcript-native
+    analog of exact text dedup: synthetic/agent corpora are full of
+    template assistant replies repeated verbatim across conversations,
+    and SFT pipelines drop or downweight them. Key = md5 of the
+    whitespace-normalized lowercased turn text; first-wins canonical =
+    the lexicographic min of a fixed-width '(conv_id)#(turn_idx 0-pad)'
+    locator (string min is engine-exact; a struct-min is not portable
+    to the oracle). Emits only groups seen ≥2 times.
+
+    The synthesized transcripts never repeat text verbatim, so template
+    replies are INJECTED deterministically on both engines (the
+    txt_pii_scrub pattern): assistant turns whose text length ≡ 0
+    (mod 5) are replaced by one of three canned replies chosen by
+    length mod 3 — the dup groups the op exists to find are reachable
+    and the oracle hash is non-vacuous.
+
+    Scale shape: one map-only projection (normalize + md5) and one
+    groupBy(text_hash) with map-side combinable aggregates — nothing
+    else touches the corpus; same plan family as dd_exact_dup
+    (corpus.py:66) at turn grain."""
+    t = _agent_transcripts(spark, sf_dir)
+    ln = F.length("text")
+    turn_text = F.when(
+        ln % 5 == 0,
+        F.concat(F.lit("Sorry, I can't help with that. (template "),
+                 (ln % 3).cast("string"), F.lit(")"))
+    ).otherwise(F.col("text"))
+    asst = t.where(F.col("role") == "assistant").select(
+        F.md5(F.regexp_replace(F.lower(turn_text), r"\s+", " "))
+        .alias("text_hash"),
+        "conv_id",
+        F.format_string("%s#%010d", F.col("conv_id"), F.col("turn_idx"))
+        .alias("loc"))
+    return (asst.groupBy("text_hash")
+            .agg(F.count("*").cast("long").alias("n_copies"),
+                 F.count_distinct("conv_id").cast("long").alias("n_convs"),
+                 F.min("loc").alias("first_loc"))
+            .where(F.col("n_copies") >= 2)
+            .orderBy("text_hash"))
+
+
+CONV_TURN_DEDUP_SQL = f"""
+WITH t AS ({_AGENT_TRANSCRIPTS_CTE}),
+templ AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN len(text) % 5 = 0
+              THEN 'Sorry, I can''t help with that. (template '
+                   || CAST(len(text) % 3 AS VARCHAR) || ')'
+              ELSE text END AS turn_text
+  FROM t WHERE role = 'assistant'
+),
+asst AS (
+  SELECT md5(regexp_replace(lower(turn_text), '\\s+', ' ', 'g'))
+           AS text_hash,
+         conv_id,
+         printf('%s#%010d', conv_id, turn_idx) AS loc
+  FROM templ
+)
+SELECT text_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       MIN(loc) AS first_loc
+FROM asst
+GROUP BY text_hash
+HAVING COUNT(*) >= 2
+ORDER BY text_hash
+"""
+
+
 QUERIES = {
     "conv_assemble": (conv_assemble, CONV_ASSEMBLE_SQL),
     "conv_stats": (conv_stats, CONV_STATS_SQL),
     "conv_dialogue_balance": (conv_dialogue_balance, CONV_BALANCE_SQL),
+    "conv_tool_chains": (conv_tool_chains, CONV_TOOL_CHAINS_SQL),
+    "conv_turn_dedup": (conv_turn_dedup, CONV_TURN_DEDUP_SQL),
     "import_sales": (import_sales, IMPORT_SALES_SQL),
     "extract_html_readability": (extract_html_readability, EXTRACT_HTML_SQL),
     "extract_pdf_layout": (extract_pdf_layout_q, EXTRACT_PDF_SQL),

@@ -1124,6 +1124,104 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def txt_lm_bigram_score(spark, sf_dir):
+    """Bigram-LM quality score — the conditional upgrade of
+    txt_lm_unigram_score: per-document mean self-information of each
+    bigram under the corpus-trained bigram LM,
+    bits(w2|w1) = floor(log2(c(w1)/c(w1,w2))) + 1, computed as
+    length(bin(c1 DIV c12)) — pure integer arithmetic, exact on both
+    engines (log/pow doubles are NOT last-ulp portable; see the unigram
+    op). c(w1) counts w1 as a bigram LEFT (doc-final tokens excluded)
+    so the conditional distribution normalizes. Documents with <2
+    tokens emit n_bigrams = 0 and sentinel mean -1.
+
+    Scale shape: tokens posexplode once; the bigram stream is a lag
+    window keyed on doc_id (the one per-doc shuffle — same key the doc
+    grain reduces on anyway); bigram counts aggregate with map-side
+    combine, left counts reduce FROM the bigram counts (no second pass
+    over the stream), and the per-pair bits table joins back keyed on
+    the pair (AQE broadcasts it when small; at web scale a top-V
+    vocab + OOV floor makes the broadcast unconditional)."""
+    docs = _docs(spark, sf_dir)
+    words = (docs.select(
+        "doc_id",
+        F.posexplode(F.filter(F.split(F.lower(F.col("text")), r"\s+"),
+                              lambda x: x != ""))
+        .alias("pos", "word")))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (words
+             .select("doc_id", F.lag("word").over(w).alias("w1"),
+                     F.col("word").alias("w2"))
+             .where(F.col("w1").isNotNull())
+             .persist())
+    c12 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    bits = (c12.join(c1, "w1")
+            .select("w1", "w2",
+                    F.length(F.bin(F.expr("c1 DIV c12"))).cast("long")
+                    .alias("b")))
+    scored = (pairs.join(bits, ["w1", "w2"])
+              .groupBy("doc_id")
+              .agg(F.count("*").cast("long").alias("n_bigrams"),
+                   F.sum("b").cast("long").alias("sum_bits")))
+    base = docs.select("doc_id")
+    return (base.join(scored, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_bigrams", F.lit(0)).cast("long")
+                    .alias("n_bigrams"),
+                    F.coalesce("sum_bits", F.lit(0)).cast("long")
+                    .alias("sum_bits"),
+                    F.when(F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0,
+                           F.expr("sum_bits * 10000 DIV n_bigrams"))
+                    .otherwise(F.lit(-1)).cast("long")
+                    .alias("mean_bits_bp"))
+            .orderBy("doc_id"))
+
+
+TXT_LM_BIGRAM_SQL = """
+WITH words AS (
+  -- zip parallel unnests (no WITH ORDINALITY in DuckDB)
+  SELECT doc_id,
+         unnest(range(len(t))) AS pos,
+         unnest(t) AS word
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents WHERE doc_id IS NOT NULL)
+), pairs AS (
+  SELECT doc_id, w1, w2 FROM (
+    SELECT doc_id,
+           lag(word) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+           word AS w2
+    FROM words)
+  WHERE w1 IS NOT NULL
+), c12 AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+  FROM pairs GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1
+), bits AS (
+  SELECT w1, w2, CAST(length(bin(c1 // c12)) AS BIGINT) AS b
+  FROM c12 JOIN c1 USING (w1)
+), scored AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(b) AS BIGINT) AS sum_bits
+  FROM pairs JOIN bits USING (w1, w2)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(s.sum_bits, 0) AS BIGINT) AS sum_bits,
+       CAST(CASE WHEN COALESCE(s.n_bigrams, 0) > 0
+            THEN s.sum_bits * 10000 // s.n_bigrams
+            ELSE -1 END AS BIGINT) AS mean_bits_bp
+FROM (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL) d
+LEFT JOIN scored s USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Temperature-scaled source mixing (multinomial sampling at alpha = 0.5)
 # ---------------------------------------------------------------------------
@@ -1714,6 +1812,7 @@ QUERIES = {
     "smp_source_mix": (smp_source_mix, SMP_MIX_SQL),
     "txt_quality_hist": (txt_quality_hist, TXT_QUALITY_HIST_SQL),
     "txt_lm_unigram_score": (txt_lm_unigram_score, TXT_LM_SCORE_SQL),
+    "txt_lm_bigram_score": (txt_lm_bigram_score, TXT_LM_BIGRAM_SQL),
     "smp_temperature_mix": (smp_temperature_mix, SMP_TEMP_MIX_SQL),
     "smp_shard_assign": (smp_shard_assign, SMP_SHARD_SQL),
     "txt_gopher_gate": (txt_gopher_gate, TXT_GOPHER_SQL),

@@ -869,3 +869,123 @@ def test_pq_deterministic_under_partitioning(spark, tmp_path):
     emb.repartition(11).write.parquet(os.path.join(d, "embeddings.parquet"))
     b = [tuple(r) for r in sim_pq_topk(spark, d).collect()]
     assert a == b
+
+
+def _write_docs(spark, path, docs):
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).write.parquet(os.path.join(path, "documents.parquet"))
+
+
+def test_conv_tool_chains_hand_computed(spark, tmp_path):
+    """Tool-episode analytics on a hand-built conversation: turn order
+    100(user) 150(tool/search) 250(tool/code) 300(user) 350(tool/browser)
+    450(tool/search) gives two runs of length 2; the duplicated turn_idx
+    150 (doc 1150, tool name 'code') must NOT create a third run or a
+    fifth tool turn (distinct-turn grain) but DOES count at row grain,
+    making code and search tie at 2 calls — broken by tool name."""
+    from ocr_spark.operators.extraction import conv_tool_chains
+
+    ids = [100, 150, 250, 300, 350, 450, 1150, 1]
+    d = str(tmp_path / "chains")
+    _write_docs(spark, d, [(i, f"text {i}", "en", "s", 10) for i in ids])
+    rows = {r.conv_id: r for r in conv_tool_chains(spark, d).collect()}
+    c0 = rows["conv-000000"]
+    assert c0.n_tool_turns == 4
+    assert c0.n_tool_runs == 2
+    assert c0.max_tool_run == 2
+    assert c0.top_tool == "code" and c0.top_tool_calls == 2
+    c1 = rows["conv-000001"]  # doc 1 -> assistant only
+    assert c1.n_tool_runs == 0 and c1.max_tool_run == 0
+    assert c1.top_tool is None and c1.top_tool_calls == 0
+
+
+def test_conv_turn_dedup_planted(spark, tmp_path):
+    """Turn-grain dedup: two template-injected assistant turns (len%5==0,
+    same len%3 bucket) collapse; two case/whitespace variants of the
+    same reply collapse; a singleton template bucket is filtered out."""
+    from ocr_spark.operators.extraction import conv_turn_dedup
+
+    docs = [
+        (1, "aaaaa", "en", "s", 5),            # len 5 -> template 2
+        (9, "ccccc", "en", "s", 5),            # len 5 -> template 2
+        (5, "b" * 10, "en", "s", 10),          # len 10 -> template 1 (solo)
+        (13, "hello world", "en", "s", 11),
+        (17, "Hello   WORLD", "en", "s", 13),  # normalizes to the same
+    ]
+    d = str(tmp_path / "turndedup")
+    _write_docs(spark, d, docs)
+    rows = conv_turn_dedup(spark, d).collect()
+    assert len(rows) == 2
+    assert all(r.n_copies == 2 and r.n_convs == 2 for r in rows)
+    locs = sorted(r.first_loc for r in rows)
+    assert locs == ["conv-000001#0000000001", "conv-000013#0000000013"]
+
+
+def test_lm_bigram_hand_computed(spark, tmp_path):
+    """Bigram bits on a corpus small enough to check by hand:
+    pairs ab:3 ac:1 ba:1 -> c(a)=4, c(b)=1;
+    bits(ab)=len(bin(4//3))=1, bits(ac)=len(bin(4//1))=3, bits(ba)=1.
+    A one-token doc reports the -1 sentinel; stray whitespace tokens
+    are filtered before pairing."""
+    from ocr_spark.operators.quality import txt_lm_bigram_score
+
+    docs = [
+        (0, "a b a b", "en", "s", 7),
+        (1, "a b", "en", "s", 3),
+        (2, "solo", "en", "s", 4),
+        (3, "  a   c ", "en", "s", 8),
+    ]
+    d = str(tmp_path / "bigram")
+    _write_docs(spark, d, docs)
+    rows = {r.doc_id: r for r in txt_lm_bigram_score(spark, d).collect()}
+    assert rows[0].n_bigrams == 3 and rows[0].sum_bits == 3
+    assert rows[0].mean_bits_bp == 10000
+    assert rows[1].n_bigrams == 1 and rows[1].mean_bits_bp == 10000
+    assert rows[2].n_bigrams == 0 and rows[2].mean_bits_bp == -1
+    assert rows[3].n_bigrams == 1 and rows[3].sum_bits == 3
+    assert rows[3].mean_bits_bp == 30000
+
+
+def test_domain_stats_hand_computed(spark, tmp_path):
+    """Per-host accounting over the synthesized URLs: the 212/1212/2212
+    trio normalizes to ONE resource on example12.com (dup share
+    2/3 = 6666 bp); 999 is a singleton host with zero dup share."""
+    from ocr_spark.operators.corpus import dd_domain_stats
+
+    ids = [212, 1212, 2212, 999]
+    d = str(tmp_path / "domains")
+    _write_docs(spark, d, [(i, f"body {i}", "en", "s", 10) for i in ids])
+    rows = {r.host: r for r in dd_domain_stats(spark, d).collect()}
+    assert set(rows) == {"example12.com", "example49.com"}
+    e12 = rows["example12.com"]
+    assert e12.n_docs == 3 and e12.n_urls == 1
+    assert e12.n_tokens == 6 and e12.dup_bp == 6666
+    e49 = rows["example49.com"]
+    assert e49.n_docs == 1 and e49.n_urls == 1 and e49.dup_bp == 0
+
+
+def test_prefix_dup_planted(spark, tmp_path):
+    """Prefix dedup: two %9==0 docs with DIFFERENT bodies share the
+    planted 20-word disclaimer head (same prefix key, 2 distinct full
+    hashes — the 'same head, different tail' signature); two exact
+    copies share both; a unique doc emits no group."""
+    from ocr_spark.operators.corpus import dd_prefix_dup
+
+    docs = [
+        (9, "first unique tail body", "en", "s", 22),
+        (18, "second tail entirely different words", "en", "s", 37),
+        (1, "same text here", "en", "s", 14),
+        (2, "same text here", "en", "s", 14),
+        (4, "a lone document with its own words", "en", "s", 34),
+    ]
+    d = str(tmp_path / "prefix")
+    _write_docs(spark, d, docs)
+    rows = dd_prefix_dup(spark, d).collect()
+    assert len(rows) == 2
+    by_canon = {r.canonical_id: r for r in rows}
+    boiler = by_canon[9]
+    assert boiler.n_docs == 2 and boiler.n_distinct_full == 2
+    exact = by_canon[1]
+    assert exact.n_docs == 2 and exact.n_distinct_full == 1

@@ -246,3 +246,20 @@ def test_chunk_dedup_strip_two_shuffles(spark):
     df = dd_chunk_dedup_strip(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 3, plan
+
+
+def test_conv_tool_chains_single_exchange_runs_branch(spark):
+    """The tool-episode analysis must hang everything in its runs branch
+    off ONE hash(conv_id) exchange (tie dedup, run flags, segment and
+    per-conv aggregations all reuse the partitioning); the row-grain
+    top-tool branch adds its own groupBy + window pair. Total: 3 hash
+    exchanges, and none keyed on turn_idx."""
+    import re
+
+    from ocr_spark.operators.extraction import conv_tool_chains
+    df = conv_tool_chains(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    ex = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(ex) <= 3, f"expected <=3 hash exchanges, got {ex}"
+    assert not any("turn_idx" in e for e in ex), \
+        f"an exchange keyed on turn_idx crept in: {ex}"
