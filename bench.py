@@ -71,7 +71,7 @@ HEADLINE = HEADLINE_R1 + [
     # round 4 continuation: transcript tool-chain/turn-dedup analytics,
     # bigram LM scoring, domain accounting, prefix dedup
     "conv_tool_chains", "conv_turn_dedup", "txt_lm_bigram_score",
-    "dd_domain_stats", "dd_prefix_dup",
+    "dd_domain_stats", "dd_prefix_dup", "txt_ttr", "conv_context_growth",
 ]
 
 

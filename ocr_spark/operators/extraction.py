@@ -862,6 +862,54 @@ ORDER BY conv_id
 """
 
 
+CTX_BUDGET_CHARS = 8192  # context-window budget the growth op flags against
+
+
+def conv_context_growth(spark, sf_dir):
+    """Context-window budgeting over transcripts: for every turn, the
+    character volume of all EARLIER turns in its conversation — the
+    context an assemble-full-history formatter would prepend — plus a
+    fits-in-budget flag. An SFT pipeline reads this to decide where to
+    truncate or split long conversations before packing.
+
+    Tie discipline: the cumulative sum uses a RANGE frame ending 1
+    BEFORE the current turn_idx, so rows sharing a turn_idx (peers)
+    exclude each other symmetrically — the output is tie-order-
+    invariant on both engines without a dedup pass. One window keyed
+    on conv_id; nothing else touches the corpus."""
+    t = _agent_transcripts(spark, sf_dir)
+    w = (Window.partitionBy("conv_id").orderBy("turn_idx")
+         .rangeBetween(Window.unboundedPreceding, -1))
+    g = t.select(
+        "conv_id", "turn_idx", "role",
+        F.length("text").cast("long").alias("n_chars"),
+        F.coalesce(F.sum(F.length("text").cast("long")).over(w),
+                   F.lit(0)).alias("ctx_chars"))
+    return (g.select(
+        "conv_id", "turn_idx", "role", "n_chars", "ctx_chars",
+        ((F.col("ctx_chars") + F.col("n_chars")) <= CTX_BUDGET_CHARS)
+        .cast("int").alias("fits_budget"))
+        .orderBy("conv_id", "turn_idx", "n_chars"))
+
+
+CONV_CTX_GROWTH_SQL = f"""
+WITH t AS ({_AGENT_TRANSCRIPTS_CTE}),
+g AS (
+  SELECT conv_id, turn_idx, role,
+         CAST(len(text) AS BIGINT) AS n_chars,
+         CAST(COALESCE(SUM(len(text)) OVER (
+                PARTITION BY conv_id ORDER BY turn_idx
+                RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS ctx_chars
+  FROM t
+)
+SELECT conv_id, turn_idx, role, n_chars, ctx_chars,
+       CAST(CASE WHEN ctx_chars + n_chars <= {CTX_BUDGET_CHARS}
+            THEN 1 ELSE 0 END AS INTEGER) AS fits_budget
+FROM g ORDER BY conv_id, turn_idx, n_chars
+"""
+
+
 def conv_turn_dedup(spark, sf_dir):
     """Cross-conversation assistant-turn dedup — the transcript-native
     analog of exact text dedup: synthetic/agent corpora are full of
@@ -938,6 +986,7 @@ QUERIES = {
     "conv_dialogue_balance": (conv_dialogue_balance, CONV_BALANCE_SQL),
     "conv_tool_chains": (conv_tool_chains, CONV_TOOL_CHAINS_SQL),
     "conv_turn_dedup": (conv_turn_dedup, CONV_TURN_DEDUP_SQL),
+    "conv_context_growth": (conv_context_growth, CONV_CTX_GROWTH_SQL),
     "import_sales": (import_sales, IMPORT_SALES_SQL),
     "extract_html_readability": (extract_html_readability, EXTRACT_HTML_SQL),
     "extract_pdf_layout": (extract_pdf_layout_q, EXTRACT_PDF_SQL),

@@ -1124,6 +1124,81 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# fold over a SORTED token array counting types whose run reaches
+# length 2 (multi-occurrence types); hapax = distinct types - multi.
+# Lambdas touch only lambda variables (see _run_fold).
+_MULTI_ZERO = (f"named_struct('prev', CAST(NULL AS STRING), "
+               f"'run', {_ZERO}, 'multi', {_ZERO})")
+_MULTI_STEP = (f"(a, x) -> IF(x <=> a.prev, "
+               f"named_struct('prev', x, 'run', a.run + {_ONE}, "
+               f"'multi', a.multi + IF(a.run = {_ONE}, {_ONE}, {_ZERO})), "
+               f"named_struct('prev', x, 'run', {_ONE}, 'multi', a.multi))")
+
+
+def txt_ttr(spark, sf_dir):
+    """Lexical-diversity signals per document: type-token ratio and
+    hapax-legomenon share — the Gopher-adjacent gate that separates
+    natural prose (high diversity, many one-off words) from keyword
+    stuffing and template spam (few types, few hapaxes). Both ratios
+    are integer-division basis points, exact on both engines.
+
+    Map-only: types via array_distinct, multi-occurrence types via an
+    O(n) run fold over the doc's own sorted token array — per-doc
+    statistics never pay a corpus shuffle (the explode + GROUP BY twin
+    lives in the DuckDB oracle, so the driver compare is differential
+    across the two algorithms, like txt_repetition)."""
+    docs = _docs(spark, sf_dir)
+    return (docs.selectExpr(
+        "doc_id",
+        "filter(split(lower(coalesce(text, '')), '\\\\s+'), x -> x <> '')"
+        " AS tf")
+        .selectExpr(
+            "doc_id",
+            "CAST(size(tf) AS BIGINT) AS n_tokens",
+            "CAST(size(array_distinct(tf)) AS BIGINT) AS n_types",
+            f"aggregate(array_sort(tf), {_MULTI_ZERO}, {_MULTI_STEP},"
+            f" a -> a.multi) AS n_multi")
+        .selectExpr(
+            "doc_id", "n_tokens", "n_types",
+            "n_types - n_multi AS n_hapax",
+            "CAST(IF(n_tokens > 0, n_types * 10000 DIV n_tokens, -1)"
+            " AS BIGINT) AS ttr_bp",
+            "CAST(IF(n_types > 0, (n_types - n_multi) * 10000 DIV n_types,"
+            " -1) AS BIGINT) AS hapax_share_bp")
+        .orderBy("doc_id"))
+
+
+TXT_TTR_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                     x -> x <> '') AS tf
+  FROM documents WHERE doc_id IS NOT NULL
+), w AS (
+  SELECT doc_id, unnest(tf) AS word FROM tok
+), per_word AS (
+  SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY doc_id, word
+), per_doc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+  FROM per_word GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.tf) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(p.n_types, 0) AS BIGINT) AS n_types,
+       CAST(COALESCE(p.n_hapax, 0) AS BIGINT) AS n_hapax,
+       CAST(CASE WHEN len(t.tf) > 0
+            THEN COALESCE(p.n_types, 0) * 10000 // len(t.tf)
+            ELSE -1 END AS BIGINT) AS ttr_bp,
+       CAST(CASE WHEN COALESCE(p.n_types, 0) > 0
+            THEN p.n_hapax * 10000 // p.n_types
+            ELSE -1 END AS BIGINT) AS hapax_share_bp
+FROM tok t LEFT JOIN per_doc p USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
 def txt_lm_bigram_score(spark, sf_dir):
     """Bigram-LM quality score — the conditional upgrade of
     txt_lm_unigram_score: per-document mean self-information of each
@@ -1813,6 +1888,7 @@ QUERIES = {
     "txt_quality_hist": (txt_quality_hist, TXT_QUALITY_HIST_SQL),
     "txt_lm_unigram_score": (txt_lm_unigram_score, TXT_LM_SCORE_SQL),
     "txt_lm_bigram_score": (txt_lm_bigram_score, TXT_LM_BIGRAM_SQL),
+    "txt_ttr": (txt_ttr, TXT_TTR_SQL),
     "smp_temperature_mix": (smp_temperature_mix, SMP_TEMP_MIX_SQL),
     "smp_shard_assign": (smp_shard_assign, SMP_SHARD_SQL),
     "txt_gopher_gate": (txt_gopher_gate, TXT_GOPHER_SQL),

@@ -312,3 +312,92 @@ def streaming_minhash_neardup(docs: DataFrame) -> DataFrame:
             _neardup_fn, NEARDUP_OUTPUT_SCHEMA, NEARDUP_STATE_SCHEMA,
             "append", GroupStateTimeout.NoTimeout)
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming tool-chain tracking (the conv_tool_chains analytics as
+# turns arrive)
+# ---------------------------------------------------------------------------
+
+TOOL_CHAINS_OUTPUT_SCHEMA = ("conv_id string, n_tool_turns long, "
+                             "n_tool_runs long, max_tool_run long, "
+                             "top_tool string, top_tool_calls long")
+TOOL_CHAINS_STATE_SCHEMA = ("prev_turn_idx long, prev_role string, "
+                            "cur_run long, n_runs long, max_run long, "
+                            "n_tool_turns long, tools array<string>, "
+                            "calls array<long>")
+
+
+def _tool_chains_fn(key, pdfs, state: GroupState):
+    import pandas as pd
+    (conv_id,) = key
+    if state.exists:
+        (prev_ti, prev_role, cur_run, n_runs, max_run, n_tool,
+         tools, calls) = state.get
+        tools, calls = list(tools), list(calls)
+    else:
+        prev_ti, prev_role = None, None
+        cur_run = n_runs = max_run = n_tool = 0
+        tools, calls = [], []
+    idx = {t: i for i, t in enumerate(tools)}
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    # arrival order within a micro-batch is arbitrary — restore turn
+    # order (the cross-batch contract is nondecreasing turn_idx, i.e.
+    # the upstream source replays a conversation in order)
+    rows = rows.sort_values("turn_idx", kind="stable")
+    for turn_idx, role, tool in zip(rows["turn_idx"], rows["role"],
+                                    rows["tool"]):
+        # row-grain tool usage counts (ties included, like the batch op)
+        if tool is not None and not (isinstance(tool, float) and
+                                     pd.isna(tool)):
+            if tool in idx:
+                calls[idx[tool]] += 1
+            elif len(tools) < MAX_TRACKED_TOOLS:
+                idx[tool] = len(tools)
+                tools.append(tool)
+                calls.append(1)
+        # distinct-turn grain for run structure (tie rows share a role)
+        ti = int(turn_idx)
+        if prev_ti is not None and ti == prev_ti:
+            continue
+        if role == "tool":
+            if prev_role == "tool":
+                cur_run += 1
+            else:
+                n_runs += 1
+                cur_run = 1
+            max_run = max(max_run, cur_run)
+            n_tool += 1
+        prev_ti, prev_role = ti, role
+    state.update((prev_ti, prev_role, cur_run, n_runs, max_run, n_tool,
+                  tools, calls))
+    if tools:
+        best = min(range(len(tools)), key=lambda i: (-calls[i], tools[i]))
+        top_tool, top_calls = tools[best], calls[best]
+    else:
+        top_tool, top_calls = None, 0
+    yield pd.DataFrame(
+        [(conv_id, n_tool, n_runs, max_run, top_tool, top_calls)],
+        columns=["conv_id", "n_tool_turns", "n_tool_runs", "max_tool_run",
+                 "top_tool", "top_tool_calls"])
+
+
+def streaming_conv_tool_chains(turns: DataFrame) -> DataFrame:
+    """Tool-episode analytics accumulated AS TURNS ARRIVE — the batch
+    conv_tool_chains (operators/extraction.py) with explicit state, so
+    a tool run split across micro-batches still counts as ONE episode
+    (no per-batch window can see the join). Input needs (conv_id,
+    turn_idx, role, tool) in the input_hint shape; rows are re-ordered
+    by turn_idx within each micro-batch, and the cross-batch contract
+    is nondecreasing turn_idx per conversation (a replaying source).
+    State is O(1) per conversation plus the capped tool tally
+    (MAX_TRACKED_TOOLS, shared with streaming_conv_stats); duplicate
+    turn_idx rows are skipped for run structure but counted at row
+    grain for tool usage — the exact batch-op tie discipline."""
+    return (
+        turns.groupBy("conv_id")
+        .applyInPandasWithState(
+            _tool_chains_fn, TOOL_CHAINS_OUTPUT_SCHEMA,
+            TOOL_CHAINS_STATE_SCHEMA,
+            "append", GroupStateTimeout.NoTimeout)
+    )

@@ -989,3 +989,56 @@ def test_prefix_dup_planted(spark, tmp_path):
     assert boiler.n_docs == 2 and boiler.n_distinct_full == 2
     exact = by_canon[1]
     assert exact.n_docs == 2 and exact.n_distinct_full == 1
+
+
+def test_ttr_hand_computed(spark, tmp_path):
+    """Type-token ratio and hapax share on hand-checkable docs: 'a b a c'
+    has 4 tokens / 3 types / 2 hapaxes; an all-same doc has zero hapax
+    share; an empty doc reports the -1 sentinels."""
+    from ocr_spark.operators.quality import txt_ttr
+
+    docs = [
+        (0, "a b a c", "en", "s", 7),
+        (1, "", "en", "s", 0),
+        (2, "x x x", "en", "s", 5),
+        (3, " a  b ", "en", "s", 6),
+    ]
+    d = str(tmp_path / "ttr")
+    _write_docs(spark, d, docs)
+    rows = {r.doc_id: r for r in txt_ttr(spark, d).collect()}
+    assert rows[0].n_tokens == 4 and rows[0].n_types == 3
+    assert rows[0].n_hapax == 2
+    assert rows[0].ttr_bp == 7500 and rows[0].hapax_share_bp == 6666
+    assert rows[1].n_tokens == 0
+    assert rows[1].ttr_bp == -1 and rows[1].hapax_share_bp == -1
+    assert rows[2].n_types == 1 and rows[2].n_hapax == 0
+    assert rows[2].hapax_share_bp == 0
+    assert rows[3].n_tokens == 2 and rows[3].hapax_share_bp == 10000
+
+
+def test_context_growth_hand_computed(spark, tmp_path):
+    """Cumulative context excludes the current turn AND its turn_idx
+    peers (RANGE frame): the duplicated turn 200 rows both see only
+    turns 0+100; the 9000-char turn 300 blows the 8192 budget."""
+    from ocr_spark.operators.extraction import conv_context_growth
+
+    docs = [
+        (0, "x" * 10, "en", "s", 10),
+        (100, "x" * 20, "en", "s", 20),
+        (200, "x" * 30, "en", "s", 30),
+        (1200, "x" * 40, "en", "s", 40),   # tie: also turn 200, conv 0
+        (300, "x" * 9000, "en", "s", 9000),
+    ]
+    d = str(tmp_path / "ctx")
+    _write_docs(spark, d, docs)
+    rows = conv_context_growth(spark, d).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.turn_idx, []).append(r)
+    assert by_key[0][0].ctx_chars == 0 and by_key[0][0].fits_budget == 1
+    assert by_key[100][0].ctx_chars == 10
+    assert sorted(r.n_chars for r in by_key[200]) == [30, 40]
+    assert all(r.ctx_chars == 30 for r in by_key[200])  # peers excluded
+    t300 = by_key[300][0]
+    assert t300.ctx_chars == 10 + 20 + 30 + 40
+    assert t300.fits_budget == 0

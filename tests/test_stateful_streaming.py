@@ -254,3 +254,61 @@ def test_streaming_conv_quality_matches_batch_gate(spark, tmp_path):
     for cid, r in latest.items():
         assert r.quality_ok == int(flags[cid] != "quality"), \
             f"{cid}: streaming {r.quality_ok} vs batch {flags[cid]}"
+
+
+def test_streaming_tool_chains_matches_hand_batch(spark, tmp_path):
+    """streaming_conv_tool_chains must keep a tool run alive ACROSS a
+    micro-batch split (turns 1-2 in batch 1, turn 3 in batch 2 = ONE
+    run of 3), skip duplicate turn_idx rows for run structure while
+    counting them at row grain for tool usage, and tie-break the top
+    tool by name — the exact batch-op semantics."""
+    from ocr_spark.streaming.stateful import streaming_conv_tool_chains
+
+    inp = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    schema_str = ("conv_id string, turn_idx int, role string, text string, "
+                  "tool string, ts timestamp")
+
+    import datetime as dt
+
+    def ts(s):
+        return dt.datetime(2025, 1, 1, 0, 0, s)
+
+    batch1 = [("c1", 0, "user", "q", None, ts(0)),
+              ("c1", 1, "tool", "r1", "search", ts(1)),
+              ("c1", 2, "tool", "r2", "code", ts(2)),
+              ("c2", 0, "assistant", "a", None, ts(0))]
+    batch2 = [("c1", 3, "tool", "r3", "search", ts(3)),
+              ("c1", 4, "user", "q2", None, ts(4)),
+              ("c1", 5, "tool", "r4", "browser", ts(5)),
+              ("c1", 5, "tool", "r4-dup", "code", ts(5))]
+
+    def write(rows):
+        spark.createDataFrame(rows, schema_str).coalesce(1) \
+            .write.mode("append").parquet(inp)
+
+    write(batch1)
+    schema = spark.read.parquet(inp).schema
+    stream = spark.readStream.schema(schema).parquet(inp)
+    _run_available_now(spark, streaming_conv_tool_chains(stream), out, ckpt)
+    write(batch2)
+    stream = spark.readStream.schema(schema).parquet(inp)
+    res = _run_available_now(spark, streaming_conv_tool_chains(stream),
+                             out, ckpt)
+
+    latest = {}
+    for r in res.collect():
+        cur = latest.get(r.conv_id)
+        if cur is None or r.n_tool_turns >= cur.n_tool_turns:
+            latest[r.conv_id] = r
+
+    c1 = latest["c1"]
+    assert c1.n_tool_turns == 4          # turns 1,2,3,5 (tie skipped)
+    assert c1.n_tool_runs == 2           # [1,2,3] and [5]
+    assert c1.max_tool_run == 3          # run survived the batch split
+    assert c1.top_tool == "code"         # search 2, code 2 -> name tie-break
+    assert c1.top_tool_calls == 2
+    c2 = latest["c2"]
+    assert c2.n_tool_turns == 0 and c2.n_tool_runs == 0
+    assert c2.top_tool is None and c2.top_tool_calls == 0
