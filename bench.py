@@ -72,6 +72,7 @@ HEADLINE = HEADLINE_R1 + [
     # bigram LM scoring, domain accounting, prefix dedup
     "conv_tool_chains", "conv_turn_dedup", "txt_lm_bigram_score",
     "dd_domain_stats", "dd_prefix_dup", "txt_ttr", "conv_context_growth",
+    "conv_reply_latency", "txt_code_detect", "emb_norm_stats",
 ]
 
 

@@ -274,6 +274,60 @@ GROUP BY host ORDER BY host
 """
 
 
+def emb_norm_stats(spark, sf_dir):
+    """Embedding-table QA — the sanity pass an ANN/semantic-dedup
+    pipeline runs BEFORE building any index: per-vector dimension,
+    non-finite entry count, zero-vector flag, and the L2 norm (as
+    floor-basis-points). Broken embedding exports (NaN rows, truncated
+    dims, all-zero padding vectors) poison every cosine downstream;
+    this is the gate that catches them.
+
+    Engine-exactness: the squared-norm is a SEQUENTIAL left fold in
+    float64 — Spark's aggregate(acc0=0.0) and DuckDB's list_reduce over
+    the squared list associate identically (0.0 + x1² == x1² exactly),
+    float→double widening is exact, multiply/add/sqrt are IEEE
+    correctly rounded, so both engines floor the same double. Map-only:
+    one projection, no shuffle beyond the display sort."""
+    emb = _emb(spark, sf_dir)
+    sq = F.expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> "
+                "a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+    n_nonfinite = F.expr(
+        "size(filter(embedding, x -> isnan(x) "
+        "OR abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE)))")
+    nf = n_nonfinite.cast("long")
+    return (emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        nf.alias("n_nonfinite"),
+        (sq == 0.0).cast("int").alias("is_zero"),
+        # a NaN norm must surface as NULL, not a silent cast-to-0 that
+        # reads like a zero vector (and DuckDB refuses CAST(nan AS BIGINT))
+        F.when(nf == 0, F.floor(F.sqrt(sq) * 10000).cast("long"))
+        .alias("norm_bp"))
+        .orderBy("vec_id"))
+
+
+EMB_NORM_SQL = """
+WITH g AS (
+  SELECT vec_id,
+         CAST(len(embedding) AS BIGINT) AS dim,
+         CAST(len(list_filter(embedding, x -> isnan(x) OR isinf(x)))
+              AS BIGINT) AS n_nonfinite,
+         CASE WHEN len(embedding) = 0 THEN CAST(0.0 AS DOUBLE)
+              ELSE list_reduce(
+                list_transform(embedding,
+                               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                (a, b) -> a + b) END AS sq
+  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+)
+SELECT vec_id, dim, n_nonfinite,
+       CAST(CASE WHEN sq = 0 THEN 1 ELSE 0 END AS INTEGER) AS is_zero,
+       CAST(CASE WHEN n_nonfinite = 0 THEN floor(sqrt(sq) * 10000) END
+            AS BIGINT) AS norm_bp
+FROM g ORDER BY vec_id
+"""
+
+
 PREFIX_DUP_K = 16  # leading tokens folded into the prefix key
 
 # injected leading boilerplate (the txt_pii_scrub pattern: planted
@@ -2962,6 +3016,7 @@ QUERIES = {
     "dd_url_dup": (dd_url_dup, DD_URL_SQL),
     "dd_domain_stats": (dd_domain_stats, DD_DOMAIN_SQL),
     "dd_prefix_dup": (dd_prefix_dup, DD_PREFIX_SQL),
+    "emb_norm_stats": (emb_norm_stats, EMB_NORM_SQL),
     "dd_incremental": (dd_incremental, DD_INCR_SQL),
     "dd_incremental_neardup": (
         dd_incremental_neardup,

@@ -549,11 +549,20 @@ _AGENT_ROLES = ("user", "assistant", "tool", "system")
 _AGENT_TOOLS = ("search", "code", "browser")
 
 
-def _agent_transcripts(spark, sf_dir):
+def _agent_transcripts(spark, sf_dir, conv_mod=50):
     """Transcripts in the exact input_hint shape (conv_id, turn_idx, role,
     text, tool, ts), synthesized deterministically from documents with a
     realistic role mix and tool names on tool turns — the input for the
     transcript-native analytics queries (conv_stats).
+
+    conv_mod parity trap: with the default 50, conv ≡ doc_id (mod 50)
+    and role ≡ doc_id (mod 4) share the factor 2 — even conversations
+    get ONLY user/tool turns and odd ones ONLY assistant/system, so any
+    op that needs a user turn FOLLOWED by an assistant turn in the same
+    conversation sees zero instances. Such ops pass conv_mod=25
+    (coprime to 4: every conversation mixes all four roles). Tie-role
+    constancy survives any conv_mod dividing 1000: rows tied on
+    (conv_id, turn_idx) agree mod 1000 and hence mod 4.
 
     All doc_id arithmetic uses pmod, not %: Spark's % keeps the
     dividend's sign, so a NEGATIVE doc_id (production ids are md5-longs,
@@ -572,7 +581,7 @@ def _agent_transcripts(spark, sf_dir):
                                (F.pmod(did, F.lit(3)) + 1).cast("int")))
     return docs.select(
         F.format_string("conv-%06d",
-                        F.pmod(did, F.lit(50))).alias("conv_id"),
+                        F.pmod(did, F.lit(conv_mod))).alias("conv_id"),
         F.pmod(did, F.lit(1000)).cast("int").alias("turn_idx"),
         role.alias("role"),
         F.col("text"),
@@ -655,6 +664,11 @@ def conv_dialogue_balance(spark, sf_dir):
         (F.col("last_role") == "assistant").cast("int")
         .alias("ends_assistant"))
         .orderBy("conv_id"))
+
+
+def _agent_transcripts_cte(conv_mod=50):
+    return _AGENT_TRANSCRIPTS_CTE.replace(
+        "% 50) + 50) % 50", f"% {conv_mod}) + {conv_mod}) % {conv_mod}")
 
 
 _AGENT_TRANSCRIPTS_CTE = """
@@ -862,6 +876,92 @@ ORDER BY conv_id
 """
 
 
+def conv_reply_latency(spark, sf_dir):
+    """Assistant reply-latency screening per conversation: for every
+    user turn, the wall-clock gap to the NEXT assistant turn in turn
+    order — the responsiveness read an agent-eval pipeline runs over
+    transcripts (and a data-quality gate: scraped conversations with
+    absurd gaps are usually stitched from unrelated sessions). The
+    synthesized timestamps are a hash of doc_id, not monotone in
+    turn_idx, so latencies can be negative here; the op reports them
+    as-is (integer seconds, exact on both engines).
+
+    Tie discipline: rows sharing (conv_id, turn_idx) are collapsed to
+    (min(role) — tie-constant by construction — min(ts)) so the
+    forward-looking window is total-order deterministic. Plan: the
+    explicit repartition(conv_id) lets the (conv_id, turn_idx)
+    aggregation, the window, and the final conv aggregation all reuse
+    ONE exchange (hash(conv_id) clusters every later key).
+
+    Uses conv_mod=25 (coprime to the role modulus — see
+    _agent_transcripts): the default 50 shares a factor 2 with the role
+    assignment, which puts users and assistants in DISJOINT
+    conversations and would make every latency NULL."""
+    t = _agent_transcripts(spark, sf_dir, conv_mod=25)
+    turns = (t.repartition("conv_id")
+             .groupBy("conv_id", "turn_idx")
+             .agg(F.min("role").alias("role"), F.min("ts").alias("ts")))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    nxt = F.first(F.when(F.col("role") == "assistant", F.col("ts")),
+                  ignorenulls=True).over(
+        w.rowsBetween(1, Window.unboundedFollowing))
+    lat = (turns.withColumn("next_asst_ts", nxt)
+           .where(F.col("role") == "user")
+           .select("conv_id",
+                   F.expr("CAST(timestampdiff(SECOND, ts, next_asst_ts)"
+                          " AS BIGINT)").alias("latency_s")))
+    return (lat.groupBy("conv_id")
+            .agg(F.count("*").cast("long").alias("n_user"),
+                 F.count("latency_s").cast("long").alias("n_answered"),
+                 F.coalesce(F.sum("latency_s"), F.lit(0)).cast("long")
+                 .alias("sum_latency_s"),
+                 F.coalesce(F.max("latency_s"), F.lit(-1)).cast("long")
+                 .alias("max_latency_s"))
+            .withColumn(
+                # latencies can be negative here, and Spark's DIV
+                # truncates toward zero while DuckDB's // floors — both
+                # engines flooring the SAME correctly-rounded double is
+                # the sign-safe bridge (the repo's floor-basis pattern)
+                "mean_latency_s",
+                F.when(F.col("n_answered") > 0,
+                       F.floor(F.col("sum_latency_s").cast("double")
+                               / F.col("n_answered").cast("double")))
+                .otherwise(F.lit(-1)).cast("long"))
+            .orderBy("conv_id"))
+
+
+CONV_REPLY_LATENCY_SQL = f"""
+WITH t AS ({_agent_transcripts_cte(25)}),
+turns AS (
+  SELECT conv_id, turn_idx, MIN(role) AS role, MIN(ts) AS ts
+  FROM t GROUP BY conv_id, turn_idx
+),
+flagged AS (
+  SELECT conv_id, turn_idx, role, ts,
+         first_value(CASE WHEN role = 'assistant' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS next_asst_ts
+  FROM turns
+),
+lat AS (
+  SELECT conv_id,
+         CAST(datediff('second', ts, next_asst_ts) AS BIGINT) AS latency_s
+  FROM flagged WHERE role = 'user'
+)
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_user,
+       CAST(COUNT(latency_s) AS BIGINT) AS n_answered,
+       CAST(COALESCE(SUM(latency_s), 0) AS BIGINT) AS sum_latency_s,
+       CAST(COALESCE(MAX(latency_s), -1) AS BIGINT) AS max_latency_s,
+       CAST(CASE WHEN COUNT(latency_s) > 0
+            THEN floor(CAST(SUM(latency_s) AS DOUBLE)
+                       / CAST(COUNT(latency_s) AS DOUBLE))
+            ELSE -1 END AS BIGINT) AS mean_latency_s
+FROM lat GROUP BY conv_id ORDER BY conv_id
+"""
+
+
 CTX_BUDGET_CHARS = 8192  # context-window budget the growth op flags against
 
 
@@ -987,6 +1087,7 @@ QUERIES = {
     "conv_tool_chains": (conv_tool_chains, CONV_TOOL_CHAINS_SQL),
     "conv_turn_dedup": (conv_turn_dedup, CONV_TURN_DEDUP_SQL),
     "conv_context_growth": (conv_context_growth, CONV_CTX_GROWTH_SQL),
+    "conv_reply_latency": (conv_reply_latency, CONV_REPLY_LATENCY_SQL),
     "import_sales": (import_sales, IMPORT_SALES_SQL),
     "extract_html_readability": (extract_html_readability, EXTRACT_HTML_SQL),
     "extract_pdf_layout": (extract_pdf_layout_q, EXTRACT_PDF_SQL),

@@ -1199,6 +1199,86 @@ ORDER BY t.doc_id
 """
 
 
+CODE_SCORE_BP = 200  # is_code threshold on the weighted signal density
+
+# injected code block (the txt_pii_scrub pattern: planted from doc_id on
+# BOTH engines so the code class is reachable in the prose-only corpus)
+_CODE_SNIPPET = ("\nfunction f(x) {\n    if (x > 0) { return x * 2; }\n"
+                 "    let y = x + 1;\n    return y;\n}\n")
+
+
+def txt_code_detect(spark, sf_dir):
+    """Code-vs-prose heuristic — the format gate a pretraining pipeline
+    runs to route documents to the code or text branch (and to catch
+    code spam inside a prose crawl). Signals are pure integer counts
+    (brace/semicolon density via length-of-replace diffs, indented-line
+    share via a startswith filter), folded into one basis-point score;
+    no float crosses the engine boundary. Docs with doc_id % 13 == 0
+    get a small code block planted (see _CODE_SNIPPET).
+
+    Scale shape: ONE codegen'd map-only projection over the corpus —
+    no shuffle at all except the display sort."""
+    docs = _docs(spark, sf_dir)
+    text = F.when(F.col("doc_id") % 13 == 0,
+                  F.concat(F.coalesce(F.col("text"), F.lit("")),
+                           F.lit(_CODE_SNIPPET)))\
+        .otherwise(F.coalesce(F.col("text"), F.lit("")))
+    n_chars = F.length(text)
+    n_semi = n_chars - F.length(F.regexp_replace(text, ";", ""))
+    n_brace = n_chars - F.length(F.regexp_replace(text, r"[{}]", ""))
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    n_indent = F.size(F.filter(
+        lines, lambda ln: ln.startswith("    ") | ln.startswith("\t")))
+    g = docs.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_semi.cast("long").alias("n_semi"),
+        n_brace.cast("long").alias("n_brace"),
+        n_lines.cast("long").alias("n_lines"),
+        n_indent.cast("long").alias("n_indent"))
+    score = F.expr("(n_semi * 2 + n_brace * 3 + n_indent * 5) * 10000"
+                   " DIV greatest(n_chars, 1)")
+    return (g.select(
+        "doc_id", "n_semi", "n_brace", "n_indent", "n_lines",
+        score.cast("long").alias("code_score_bp"),
+        (score >= CODE_SCORE_BP).cast("int").alias("is_code"))
+        .orderBy("doc_id"))
+
+
+# the snippet with SQL quoting (single quotes doubled, real newlines)
+_CODE_SNIPPET_SQL = _CODE_SNIPPET.replace("'", "''").replace("\n", "' || chr(10) || '")
+
+TXT_CODE_DETECT_SQL = f"""
+WITH injected AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0
+              THEN coalesce(text, '') || '{_CODE_SNIPPET_SQL}'
+              ELSE coalesce(text, '') END AS text
+  FROM documents WHERE doc_id IS NOT NULL
+),
+g AS (
+  SELECT doc_id,
+         CAST(len(text) AS BIGINT) AS n_chars,
+         CAST(len(text) - len(replace(text, ';', '')) AS BIGINT) AS n_semi,
+         CAST(len(text) - len(regexp_replace(text, '[{{}}]', '', 'g'))
+              AS BIGINT) AS n_brace,
+         CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(string_split(text, chr(10)),
+                  ln -> starts_with(ln, '    ')
+                        OR starts_with(ln, chr(9)))) AS BIGINT) AS n_indent
+  FROM injected
+)
+SELECT doc_id, n_semi, n_brace, n_indent, n_lines,
+       CAST((n_semi * 2 + n_brace * 3 + n_indent * 5) * 10000
+            // greatest(n_chars, 1) AS BIGINT) AS code_score_bp,
+       CAST(CASE WHEN (n_semi * 2 + n_brace * 3 + n_indent * 5) * 10000
+                      // greatest(n_chars, 1) >= {CODE_SCORE_BP}
+            THEN 1 ELSE 0 END AS INTEGER) AS is_code
+FROM g ORDER BY doc_id
+"""
+
+
 def txt_lm_bigram_score(spark, sf_dir):
     """Bigram-LM quality score — the conditional upgrade of
     txt_lm_unigram_score: per-document mean self-information of each
@@ -1889,6 +1969,7 @@ QUERIES = {
     "txt_lm_unigram_score": (txt_lm_unigram_score, TXT_LM_SCORE_SQL),
     "txt_lm_bigram_score": (txt_lm_bigram_score, TXT_LM_BIGRAM_SQL),
     "txt_ttr": (txt_ttr, TXT_TTR_SQL),
+    "txt_code_detect": (txt_code_detect, TXT_CODE_DETECT_SQL),
     "smp_temperature_mix": (smp_temperature_mix, SMP_TEMP_MIX_SQL),
     "smp_shard_assign": (smp_shard_assign, SMP_SHARD_SQL),
     "txt_gopher_gate": (txt_gopher_gate, TXT_GOPHER_SQL),

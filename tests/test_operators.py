@@ -1042,3 +1042,69 @@ def test_context_growth_hand_computed(spark, tmp_path):
     t300 = by_key[300][0]
     assert t300.ctx_chars == 10 + 20 + 30 + 40
     assert t300.fits_budget == 0
+
+
+def test_reply_latency_hand_computed(spark, tmp_path):
+    """Reply latency at conv_mod=25: user turn 0 is answered by
+    assistant turn 25 (7s/turn-id spacing -> 175s), a trailing user turn
+    is unanswered, and a conversation with no assistant at all reports
+    the -1 sentinels."""
+    from ocr_spark.operators.extraction import conv_reply_latency
+
+    ids = [0, 25, 100, 125, 200, 4]
+    d = str(tmp_path / "latency")
+    _write_docs(spark, d, [(i, f"t {i}", "en", "s", 5) for i in ids])
+    rows = {r.conv_id: r for r in conv_reply_latency(spark, d).collect()}
+    c0 = rows["conv-000000"]
+    assert c0.n_user == 3 and c0.n_answered == 2
+    assert c0.sum_latency_s == 350 and c0.max_latency_s == 175
+    assert c0.mean_latency_s == 175
+    c4 = rows["conv-000004"]
+    assert c4.n_user == 1 and c4.n_answered == 0
+    assert c4.mean_latency_s == -1 and c4.max_latency_s == -1
+
+
+def test_code_detect_hand_computed(spark, tmp_path):
+    """The planted snippet carries 3 semicolons, 4 braces, 3 indented
+    lines; a prose doc scores zero on every signal."""
+    from ocr_spark.operators.quality import (_CODE_SNIPPET, CODE_SCORE_BP,
+                                             txt_code_detect)
+
+    docs = [(13, "plain words here", "en", "s", 16),
+            (1, "no code at all", "en", "s", 14)]
+    d = str(tmp_path / "code")
+    _write_docs(spark, d, docs)
+    rows = {r.doc_id: r for r in txt_code_detect(spark, d).collect()}
+    c = rows[13]
+    assert c.n_semi == 3 and c.n_brace == 4 and c.n_indent == 3
+    n_chars = len("plain words here") + len(_CODE_SNIPPET)
+    expected = (3 * 2 + 4 * 3 + 3 * 5) * 10000 // n_chars
+    assert c.code_score_bp == expected
+    assert expected >= CODE_SCORE_BP and c.is_code == 1
+    p = rows[1]
+    assert (p.n_semi, p.n_brace, p.n_indent) == (0, 0, 0)
+    assert p.code_score_bp == 0 and p.is_code == 0
+
+
+def test_emb_norm_stats_hand_computed(spark, tmp_path):
+    """Embedding QA: a 3-4-5 vector lands exactly on 50000 bp, the zero
+    vector flags is_zero, NaN/Inf entries are counted (the NaN row's
+    norm degrades to NULL rather than poisoning a cast)."""
+    from ocr_spark.operators.corpus import emb_norm_stats
+
+    rows_in = [
+        (0, [3.0, 4.0], 0),
+        (1, [0.0, 0.0], 0),
+        (2, [float("nan"), 1.0], 0),
+        (3, [float("inf"), 0.0], 0),
+    ]
+    d = str(tmp_path / "embqa")
+    spark.createDataFrame(
+        rows_in, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(os.path.join(d, "embeddings.parquet"))
+    rows = {r.vec_id: r for r in emb_norm_stats(spark, d).collect()}
+    assert rows[0].dim == 2 and rows[0].norm_bp == 50000
+    assert rows[0].n_nonfinite == 0 and rows[0].is_zero == 0
+    assert rows[1].is_zero == 1 and rows[1].norm_bp == 0
+    assert rows[2].n_nonfinite == 1 and rows[2].norm_bp is None
+    assert rows[3].n_nonfinite == 1
