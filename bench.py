@@ -73,6 +73,8 @@ HEADLINE = HEADLINE_R1 + [
     "conv_tool_chains", "conv_turn_dedup", "txt_lm_bigram_score",
     "dd_domain_stats", "dd_prefix_dup", "txt_ttr", "conv_context_growth",
     "conv_reply_latency", "txt_code_detect", "emb_norm_stats",
+    "conv_role_transitions", "txt_char_class_mix", "txt_sentence_stats",
+    "emb_label_centroids",
 ]
 
 

@@ -328,6 +328,59 @@ FROM g ORDER BY vec_id
 """
 
 
+CENTROID_QUANT = 1000000  # per-coordinate micro-unit quantization
+
+
+def emb_label_centroids(spark, sf_dir):
+    """Per-label embedding centroid statistics — the cluster-health
+    read a semantic-dedup / retrieval pipeline runs over a labeled
+    (or k-means-assigned) embedding table: one row per (label, dim)
+    with the member count, the quantized coordinate sum, and the
+    quantized centroid coordinate. Degenerate labels (collapsed
+    centroids, tiny members counts) surface here before they skew any
+    downstream ANN routing.
+
+    Engine-exactness: each coordinate is quantized to integer
+    micro-units (floor(x·1e6)) BEFORE the cross-row sum — integer sums
+    are association-free, so the engines agree regardless of partial-
+    aggregation order (the smp_temperature_mix lesson); the centroid is
+    both engines flooring the same IEEE double (|sum_q| ≪ 2^53 at any
+    plausible label size). Scale shape: the posexplode is map-side and
+    feeds a hash aggregate with map-side combine — the shuffle carries
+    at most labels×dim partial rows PER PARTITION, never the exploded
+    corpus."""
+    emb = _emb(spark, sf_dir).where(F.col("label").isNotNull())
+    q = F.expr(f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+               f" * {CENTROID_QUANT}) AS BIGINT))")
+    e = emb.select("label", F.posexplode(q).alias("dim_idx", "q"))
+    return (e.groupBy("label", "dim_idx")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum("q").cast("long").alias("sum_q"))
+            .withColumn("centroid_q",
+                        F.floor(F.col("sum_q").cast("double")
+                                / F.col("n").cast("double")).cast("long"))
+            .orderBy("label", "dim_idx"))
+
+
+EMB_CENTROID_SQL = f"""
+WITH e AS (
+  SELECT label,
+         unnest(range(len(embedding))) AS dim_idx,
+         unnest(list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * {CENTROID_QUANT})
+                          AS BIGINT))) AS q
+  FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND label IS NOT NULL
+)
+SELECT label, CAST(dim_idx AS INTEGER) AS dim_idx,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(q) AS BIGINT) AS sum_q,
+       CAST(floor(CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+            AS BIGINT) AS centroid_q
+FROM e GROUP BY label, dim_idx ORDER BY label, dim_idx
+"""
+
+
 PREFIX_DUP_K = 16  # leading tokens folded into the prefix key
 
 # injected leading boilerplate (the txt_pii_scrub pattern: planted
@@ -3017,6 +3070,7 @@ QUERIES = {
     "dd_domain_stats": (dd_domain_stats, DD_DOMAIN_SQL),
     "dd_prefix_dup": (dd_prefix_dup, DD_PREFIX_SQL),
     "emb_norm_stats": (emb_norm_stats, EMB_NORM_SQL),
+    "emb_label_centroids": (emb_label_centroids, EMB_CENTROID_SQL),
     "dd_incremental": (dd_incremental, DD_INCR_SQL),
     "dd_incremental_neardup": (
         dd_incremental_neardup,

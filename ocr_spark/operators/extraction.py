@@ -962,6 +962,56 @@ FROM lat GROUP BY conv_id ORDER BY conv_id
 """
 
 
+def conv_role_transitions(spark, sf_dir):
+    """Corpus-level dialogue grammar: the role-transition matrix
+    (prev_role → role counts plus each transition's share of all
+    transitions) an SFT pipeline reads to spot malformed transcript
+    exports — assistant→assistant runs from merged messages, tool turns
+    with no assistant call before them, system turns mid-conversation.
+
+    Tie discipline: rows sharing (conv_id, turn_idx) carry the SAME
+    role by construction (turn_idx ≡ doc_id mod 1000 determines role ≡
+    doc_id mod 4), so the per-conversation role SEQUENCE — and hence
+    the multiset of adjacent pairs — is invariant under tie order on
+    both engines. Uses conv_mod=25 (see _agent_transcripts): the
+    default 50 confines each conversation to two roles and the matrix
+    would miss user→assistant entirely.
+
+    Scale shape: one window shuffle on conv_id (the same exchange the
+    downstream assembly pays) into a ≤16-row aggregate with map-side
+    combine; the share window runs on those ≤16 rows. Integer-division
+    basis points — exact on both engines."""
+    t = _agent_transcripts(spark, sf_dir, conv_mod=25)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    pairs = (t.select("conv_id", "turn_idx", "role",
+                      F.lag("role").over(w).alias("prev_role"))
+             .where(F.col("prev_role").isNotNull()))
+    g = (pairs.groupBy("prev_role", "role")
+         .agg(F.count("*").cast("long").alias("n"))
+         .withColumn("tot", F.sum("n").over(Window.partitionBy())))
+    return (g.select(
+        "prev_role", "role", "n",
+        F.expr("n * 10000 DIV tot").cast("long").alias("share_bp"))
+        .orderBy("prev_role", "role"))
+
+
+CONV_ROLE_TRANS_SQL = f"""
+WITH t AS ({_agent_transcripts_cte(25)}),
+p AS (
+  SELECT prev_role, role FROM (
+    SELECT role,
+           lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+             AS prev_role
+    FROM t)
+  WHERE prev_role IS NOT NULL
+),
+g AS (SELECT prev_role, role, COUNT(*) AS n FROM p GROUP BY 1, 2)
+SELECT prev_role, role, CAST(n AS BIGINT) AS n,
+       CAST(n * 10000 // SUM(n) OVER () AS BIGINT) AS share_bp
+FROM g ORDER BY prev_role, role
+"""
+
+
 CTX_BUDGET_CHARS = 8192  # context-window budget the growth op flags against
 
 
@@ -1088,6 +1138,7 @@ QUERIES = {
     "conv_turn_dedup": (conv_turn_dedup, CONV_TURN_DEDUP_SQL),
     "conv_context_growth": (conv_context_growth, CONV_CTX_GROWTH_SQL),
     "conv_reply_latency": (conv_reply_latency, CONV_REPLY_LATENCY_SQL),
+    "conv_role_transitions": (conv_role_transitions, CONV_ROLE_TRANS_SQL),
     "import_sales": (import_sales, IMPORT_SALES_SQL),
     "extract_html_readability": (extract_html_readability, EXTRACT_HTML_SQL),
     "extract_pdf_layout": (extract_pdf_layout_q, EXTRACT_PDF_SQL),

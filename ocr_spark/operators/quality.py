@@ -1279,6 +1279,159 @@ FROM g ORDER BY doc_id
 """
 
 
+LONG_SENT_WORDS = 30  # a sentence past this many words counts as run-on
+
+
+def txt_sentence_stats(spark, sf_dir):
+    """Sentence-grain readability screening: sentence count, total
+    words, mean words-per-sentence (×100, integer) and the share of
+    run-on sentences — the doc-shape signal quality gates use beside
+    token ratios (wall-of-text dumps have few, enormous sentences;
+    shredded OCR has thousands of one-word ones). Sentences split on
+    [.!?]+ runs; whitespace classes are EXPLICIT ([ \\t\\n\\r\\f]) so
+    Java and RE2 agree (Java's \\s includes \\x0B, RE2's does not).
+
+    All outputs are integer counts or integer-division ratios — exact
+    on both engines. Scale shape: ONE map-only projection (the HOF
+    chain is per-doc, no corpus shuffle); display sort only."""
+    docs = _docs(spark, sf_dir)
+    text = F.coalesce(F.col("text"), F.lit(""))
+    sents = F.filter(F.split(text, r"[.!?]+"),
+                     lambda s: F.trim(s) != "")
+    wc = F.transform(sents,
+                     lambda s: F.size(F.split(F.trim(s), "[ \\t\\n\\r\\f]+")))
+    g = docs.select(
+        "doc_id",
+        F.size(sents).cast("long").alias("n_sentences"),
+        F.coalesce(
+            F.aggregate(wc, F.lit(0).cast("long"),
+                        lambda a, c: a + c.cast("long")),
+            F.lit(0)).cast("long").alias("n_words"),
+        F.size(F.filter(wc, lambda c: c > LONG_SENT_WORDS)).cast("long")
+        .alias("n_long"))
+    return (g.select(
+        "doc_id", "n_sentences", "n_words",
+        F.expr("n_words * 100 DIV greatest(n_sentences, 1)").cast("long")
+        .alias("mean_words_x100"),
+        F.expr("n_long * 10000 DIV greatest(n_sentences, 1)").cast("long")
+        .alias("long_share_bp"))
+        .orderBy("doc_id"))
+
+
+_WS_CLS_SQL = "'[ ' || chr(9) || chr(10) || chr(13) || chr(12) || ']+'"
+
+TXT_SENTENCE_SQL = f"""
+WITH g AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(text, ''), '[.!?]+'),
+                     s -> trim(s) <> '') AS sents
+  FROM documents WHERE doc_id IS NOT NULL
+),
+c AS (
+  SELECT doc_id,
+         CAST(len(sents) AS BIGINT) AS n_sentences,
+         CAST(coalesce(list_sum(list_transform(sents,
+              s -> len(string_split_regex(trim(s), {_WS_CLS_SQL})))), 0)
+              AS BIGINT) AS n_words,
+         CAST(len(list_filter(list_transform(sents,
+              s -> len(string_split_regex(trim(s), {_WS_CLS_SQL}))),
+              w -> w > {LONG_SENT_WORDS})) AS BIGINT) AS n_long
+  FROM g
+)
+SELECT doc_id, n_sentences, n_words,
+       CAST(n_words * 100 // greatest(n_sentences, 1) AS BIGINT)
+         AS mean_words_x100,
+       CAST(n_long * 10000 // greatest(n_sentences, 1) AS BIGINT)
+         AS long_share_bp
+FROM c ORDER BY doc_id
+"""
+
+
+# planted CJK run (the txt_pii_scrub pattern: injected from doc_id on
+# BOTH engines so the CJK class is reachable in the ASCII-only corpus)
+_CJK_SNIPPET = " 你好世界测试文本"
+
+
+def txt_char_class_mix(spark, sf_dir):
+    """Per-document character-class composition — alpha / digit /
+    whitespace / CJK / other shares in basis points. The script-mix
+    read a multilingual curation pipeline uses beside langid: a 'en'
+    doc that is 40% CJK is mislabeled, a doc that is mostly digits or
+    symbols is a table dump, and the CJK share routes text to the
+    CJK-aware tokenizer branch. Docs with doc_id % 17 == 0 get a small
+    CJK run planted (_CJK_SNIPPET) so the class is exercised.
+
+    Engine-exactness: every count is a length-of-replace diff on the
+    SAME explicit character classes (no \\s shorthand: Java includes
+    \\x0B in \\s, RE2 does not), shares are integer-division basis
+    points. Scale shape: ONE codegen'd map-only projection; no shuffle
+    beyond the display sort."""
+    docs = _docs(spark, sf_dir)
+    text = F.when(F.col("doc_id") % 17 == 0,
+                  F.concat(F.coalesce(F.col("text"), F.lit("")),
+                           F.lit(_CJK_SNIPPET)))\
+        .otherwise(F.coalesce(F.col("text"), F.lit("")))
+    n = F.length(text)
+
+    def cnt(cls):
+        return (n - F.length(F.regexp_replace(text, cls, ""))).cast("long")
+
+    n_alpha = cnt("[A-Za-z]")
+    n_digit = cnt("[0-9]")
+    n_space = cnt("[ \\t\\n\\r\\f]")
+    n_cjk = cnt("[\\x{4e00}-\\x{9fff}]")
+    g = docs.select(
+        "doc_id", n.cast("long").alias("n_chars"),
+        n_alpha.alias("n_alpha"), n_digit.alias("n_digit"),
+        n_space.alias("n_space"), n_cjk.alias("n_cjk"))
+    return (g.select(
+        "doc_id", "n_chars",
+        F.expr("n_alpha * 10000 DIV greatest(n_chars, 1)").cast("long")
+        .alias("alpha_bp"),
+        F.expr("n_digit * 10000 DIV greatest(n_chars, 1)").cast("long")
+        .alias("digit_bp"),
+        F.expr("n_space * 10000 DIV greatest(n_chars, 1)").cast("long")
+        .alias("space_bp"),
+        F.expr("n_cjk * 10000 DIV greatest(n_chars, 1)").cast("long")
+        .alias("cjk_bp"),
+        F.expr("(n_chars - n_alpha - n_digit - n_space - n_cjk) * 10000"
+               " DIV greatest(n_chars, 1)").cast("long").alias("other_bp"))
+        .orderBy("doc_id"))
+
+
+TXT_CHAR_CLASS_SQL = f"""
+WITH injected AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 0
+              THEN coalesce(text, '') || '{_CJK_SNIPPET}'
+              ELSE coalesce(text, '') END AS text
+  FROM documents WHERE doc_id IS NOT NULL
+),
+g AS (
+  SELECT doc_id,
+         CAST(len(text) AS BIGINT) AS n_chars,
+         CAST(len(text) - len(regexp_replace(text, '[A-Za-z]', '', 'g'))
+              AS BIGINT) AS n_alpha,
+         CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g'))
+              AS BIGINT) AS n_digit,
+         CAST(len(text) - len(regexp_replace(text,
+              '[ ' || chr(9) || chr(10) || chr(13) || chr(12) || ']',
+              '', 'g')) AS BIGINT) AS n_space,
+         CAST(len(text) - len(regexp_replace(text,
+              '[\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) AS BIGINT) AS n_cjk
+  FROM injected
+)
+SELECT doc_id, n_chars,
+       CAST(n_alpha * 10000 // greatest(n_chars, 1) AS BIGINT) AS alpha_bp,
+       CAST(n_digit * 10000 // greatest(n_chars, 1) AS BIGINT) AS digit_bp,
+       CAST(n_space * 10000 // greatest(n_chars, 1) AS BIGINT) AS space_bp,
+       CAST(n_cjk * 10000 // greatest(n_chars, 1) AS BIGINT) AS cjk_bp,
+       CAST((n_chars - n_alpha - n_digit - n_space - n_cjk) * 10000
+            // greatest(n_chars, 1) AS BIGINT) AS other_bp
+FROM g ORDER BY doc_id
+"""
+
+
 def txt_lm_bigram_score(spark, sf_dir):
     """Bigram-LM quality score — the conditional upgrade of
     txt_lm_unigram_score: per-document mean self-information of each
@@ -1970,6 +2123,8 @@ QUERIES = {
     "txt_lm_bigram_score": (txt_lm_bigram_score, TXT_LM_BIGRAM_SQL),
     "txt_ttr": (txt_ttr, TXT_TTR_SQL),
     "txt_code_detect": (txt_code_detect, TXT_CODE_DETECT_SQL),
+    "txt_char_class_mix": (txt_char_class_mix, TXT_CHAR_CLASS_SQL),
+    "txt_sentence_stats": (txt_sentence_stats, TXT_SENTENCE_SQL),
     "smp_temperature_mix": (smp_temperature_mix, SMP_TEMP_MIX_SQL),
     "smp_shard_assign": (smp_shard_assign, SMP_SHARD_SQL),
     "txt_gopher_gate": (txt_gopher_gate, TXT_GOPHER_SQL),

@@ -1108,3 +1108,83 @@ def test_emb_norm_stats_hand_computed(spark, tmp_path):
     assert rows[1].is_zero == 1 and rows[1].norm_bp == 0
     assert rows[2].n_nonfinite == 1 and rows[2].norm_bp is None
     assert rows[3].n_nonfinite == 1
+
+
+def test_role_transitions_hand_computed(spark, tmp_path):
+    """conv-000000 at conv_mod=25 holds turn idxs 0/25/50/75 whose
+    roles step user->assistant->tool->system; each of the three
+    transitions is one third of the corpus total."""
+    from ocr_spark.operators.extraction import conv_role_transitions
+
+    d = str(tmp_path / "trans")
+    _write_docs(spark, d, [(i, f"t {i}", "en", "s", 5)
+                           for i in (0, 25, 50, 75)])
+    rows = {(r.prev_role, r.role): r
+            for r in conv_role_transitions(spark, d).collect()}
+    assert set(rows) == {("user", "assistant"), ("assistant", "tool"),
+                         ("tool", "system")}
+    for r in rows.values():
+        assert r.n == 1 and r.share_bp == 3333
+
+
+def test_char_class_mix_hand_computed(spark, tmp_path):
+    """doc 17 gets the planted CJK run (1 space + 8 CJK chars); the
+    prose doc is pure alpha/space/punct."""
+    from ocr_spark.operators.quality import txt_char_class_mix
+
+    d = str(tmp_path / "classes")
+    _write_docs(spark, d, [(17, "ab1 c", "en", "s", 5),
+                           (1, "hi there!", "en", "s", 9)])
+    rows = {r.doc_id: r for r in txt_char_class_mix(spark, d).collect()}
+    c = rows[17]
+    assert c.n_chars == 14  # "ab1 c" + " " + 8 CJK
+    assert c.alpha_bp == 3 * 10000 // 14
+    assert c.digit_bp == 1 * 10000 // 14
+    assert c.space_bp == 2 * 10000 // 14
+    assert c.cjk_bp == 8 * 10000 // 14
+    assert c.other_bp == 0
+    p = rows[1]
+    assert p.n_chars == 9 and p.cjk_bp == 0 and p.digit_bp == 0
+    assert p.alpha_bp == 7 * 10000 // 9
+    assert p.other_bp == 1 * 10000 // 9  # the '!'
+
+
+def test_sentence_stats_hand_computed(spark, tmp_path):
+    """Three sentences of 3/2/1 words; a 32-word run-on flags 100%
+    long-share; empty text reports zero sentences."""
+    from ocr_spark.operators.quality import txt_sentence_stats
+
+    runon = " ".join(["w"] * 32) + "."
+    d = str(tmp_path / "sents")
+    _write_docs(spark, d, [(1, "One two three. Four five! Six", "en", "s", 30),
+                           (2, runon, "en", "s", len(runon)),
+                           (3, "", "en", "s", 0)])
+    rows = {r.doc_id: r for r in txt_sentence_stats(spark, d).collect()}
+    r1 = rows[1]
+    assert r1.n_sentences == 3 and r1.n_words == 6
+    assert r1.mean_words_x100 == 200 and r1.long_share_bp == 0
+    r2 = rows[2]
+    assert r2.n_sentences == 1 and r2.n_words == 32
+    assert r2.mean_words_x100 == 3200 and r2.long_share_bp == 10000
+    r3 = rows[3]
+    assert r3.n_sentences == 0 and r3.n_words == 0
+    assert r3.mean_words_x100 == 0 and r3.long_share_bp == 0
+
+
+def test_label_centroids_hand_computed(spark, tmp_path):
+    """Micro-unit quantization happens per row BEFORE the sum: label 0's
+    dim-1 coordinates -0.5 and 0.5 cancel exactly to centroid 0."""
+    from ocr_spark.operators.corpus import emb_label_centroids
+
+    d = str(tmp_path / "cent")
+    spark.createDataFrame(
+        [(0, [1.5, -0.5], 0), (1, [2.5, 0.5], 0), (2, [1.0, 1.0], 1)],
+        "vec_id long, embedding array<float>, label int"
+    ).write.parquet(os.path.join(d, "embeddings.parquet"))
+    rows = {(r.label, r.dim_idx): r
+            for r in emb_label_centroids(spark, d).collect()}
+    assert rows[(0, 0)].n == 2 and rows[(0, 0)].sum_q == 4000000
+    assert rows[(0, 0)].centroid_q == 2000000
+    assert rows[(0, 1)].sum_q == 0 and rows[(0, 1)].centroid_q == 0
+    assert rows[(1, 0)].centroid_q == 1000000
+    assert rows[(1, 1)].centroid_q == 1000000

@@ -45,9 +45,12 @@ def main():
     assert n >= 0
 
     oracles = E.oracle_sql()
+    only = set(sys.argv[1:])  # optional: query names to check (default all)
     ok = mism = 0
     t_start = time.time()
     for name, fn in E.queries().items():
+        if only and name not in only:
+            continue
         t0 = time.time()
         df = fn(spark, SF)
         cols = df.columns
