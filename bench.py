@@ -74,7 +74,7 @@ HEADLINE = HEADLINE_R1 + [
     "dd_domain_stats", "dd_prefix_dup", "txt_ttr", "conv_context_growth",
     "conv_reply_latency", "txt_code_detect", "emb_norm_stats",
     "conv_role_transitions", "txt_char_class_mix", "txt_sentence_stats",
-    "emb_label_centroids",
+    "emb_label_centroids", "conv_refusal_scan", "dd_dup_rate_by_source",
 ]
 
 

@@ -328,6 +328,70 @@ FROM g ORDER BY vec_id
 """
 
 
+def dd_dup_rate_by_source(spark, sf_dir):
+    """Per-source duplication accounting — the dashboard a curation
+    pipeline reads to decide which sources to dedup aggressively:
+    within-source excess copies (n_docs − distinct texts) and the
+    cross-source syndication share (docs whose exact text also appears
+    under ANOTHER source — mirrored articles, boilerplate pages).
+    Key = the same normalized-text md5 dd_exact_dup uses, so the two
+    views reconcile.
+
+    Scale shape: one map-only projection (normalize + md5), persisted
+    because the hash-stats aggregation and the join-back both read it;
+    the stats groupBy has map-side combine, and the join back is keyed
+    on the 16-byte hash BOTH sides are already shuffled by — AQE plans
+    it as one sort-merge exchange pair, the text payload never moves.
+    All shares are integer basis points."""
+    docs = _docs(spark, sf_dir)
+    key = F.md5(F.regexp_replace(F.lower(F.coalesce(F.col("text"),
+                                                    F.lit(""))),
+                                 r"\s+", " "))
+    per = docs.select("doc_id", "source", key.alias("text_hash")).persist()
+    stats = (per.groupBy("text_hash")
+             .agg(F.count_distinct("source").alias("n_sources")))
+    j = per.join(stats, "text_hash")
+    return (j.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.count_distinct("text_hash").cast("long")
+                 .alias("n_distinct"),
+                 F.sum((F.col("n_sources") > 1).cast("long")).cast("long")
+                 .alias("n_cross"))
+            .select(
+                "source", "n_docs", "n_distinct",
+                (F.col("n_docs") - F.col("n_distinct")).cast("long")
+                .alias("within_excess"),
+                "n_cross",
+                F.expr("n_cross * 10000 DIV greatest(n_docs, 1)")
+                .cast("long").alias("cross_bp"))
+            .orderBy("source"))
+
+
+DD_DUP_RATE_SQL = """
+WITH per AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))
+           AS text_hash
+  FROM documents WHERE doc_id IS NOT NULL
+),
+stats AS (
+  SELECT text_hash, COUNT(DISTINCT source) AS n_sources
+  FROM per GROUP BY text_hash
+)
+SELECT p.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT p.text_hash) AS BIGINT) AS n_distinct,
+       CAST(COUNT(*) - COUNT(DISTINCT p.text_hash) AS BIGINT)
+         AS within_excess,
+       CAST(SUM(CASE WHEN s.n_sources > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cross,
+       CAST(SUM(CASE WHEN s.n_sources > 1 THEN 1 ELSE 0 END) * 10000
+            // greatest(COUNT(*), 1) AS BIGINT) AS cross_bp
+FROM per p JOIN stats s USING (text_hash)
+GROUP BY p.source ORDER BY p.source
+"""
+
+
 CENTROID_QUANT = 1000000  # per-coordinate micro-unit quantization
 
 
@@ -3071,6 +3135,7 @@ QUERIES = {
     "dd_prefix_dup": (dd_prefix_dup, DD_PREFIX_SQL),
     "emb_norm_stats": (emb_norm_stats, EMB_NORM_SQL),
     "emb_label_centroids": (emb_label_centroids, EMB_CENTROID_SQL),
+    "dd_dup_rate_by_source": (dd_dup_rate_by_source, DD_DUP_RATE_SQL),
     "dd_incremental": (dd_incremental, DD_INCR_SQL),
     "dd_incremental_neardup": (
         dd_incremental_neardup,

@@ -1130,6 +1130,81 @@ ORDER BY text_hash
 """
 
 
+# lowercase substrings that mark an assistant refusal / canned apology
+_REFUSAL_MARKS = ("i can't help", "i cannot help", "i'm unable to",
+                  "i am unable to")
+
+
+def conv_refusal_scan(spark, sf_dir):
+    """Per-conversation refusal screening — SFT curation drops or
+    downweights conversations dominated by canned assistant refusals
+    (they teach the model to refuse, not to help). Counts assistant
+    turns whose lowercased text contains any refusal mark, and emits
+    the share in basis points plus a has-refusal flag. Reuses
+    conv_turn_dedup's deterministic template injection (assistant
+    turns with len(text) ≡ 0 mod 5 become the canned apology) so the
+    refusal class is reachable in the synthesized corpus and the
+    oracle hash is non-vacuous.
+
+    Scale shape: one map-only projection (injection + contains chain,
+    all codegen'd) into one groupBy(conv_id) with map-side combine —
+    the dd_exact_dup plan family at conversation grain. Only
+    conversations with ≥1 assistant turn appear (the others have no
+    refusal denominator)."""
+    t = _agent_transcripts(spark, sf_dir)
+    ln = F.length("text")
+    turn_text = F.when(
+        ln % 5 == 0,
+        F.concat(F.lit("Sorry, I can't help with that. (template "),
+                 (ln % 3).cast("string"), F.lit(")"))
+    ).otherwise(F.col("text"))
+    low = F.lower(turn_text)
+    is_refusal = F.lit(False)
+    for m in _REFUSAL_MARKS:
+        is_refusal = is_refusal | low.contains(m)
+    asst = t.where(F.col("role") == "assistant").select(
+        "conv_id", is_refusal.cast("long").alias("r"))
+    return (asst.groupBy("conv_id")
+            .agg(F.count("*").cast("long").alias("n_assistant"),
+                 F.sum("r").cast("long").alias("n_refusals"))
+            .select("conv_id", "n_assistant", "n_refusals",
+                    F.expr("n_refusals * 10000 DIV greatest(n_assistant, 1)")
+                    .cast("long").alias("refusal_bp"),
+                    (F.col("n_refusals") > 0).cast("int")
+                    .alias("has_refusal"))
+            .orderBy("conv_id"))
+
+
+_REFUSAL_PRED_SQL = " OR ".join(
+    "contains(lower(turn_text), '%s')" % m.replace("'", "''")
+    for m in _REFUSAL_MARKS)
+
+CONV_REFUSAL_SQL = f"""
+WITH t AS ({_AGENT_TRANSCRIPTS_CTE}),
+templ AS (
+  SELECT conv_id,
+         CASE WHEN len(text) % 5 = 0
+              THEN 'Sorry, I can''t help with that. (template '
+                   || CAST(len(text) % 3 AS VARCHAR) || ')'
+              ELSE text END AS turn_text
+  FROM t WHERE role = 'assistant'
+),
+flagged AS (
+  SELECT conv_id,
+         CASE WHEN {_REFUSAL_PRED_SQL} THEN 1 ELSE 0 END AS r
+  FROM templ
+)
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_assistant,
+       CAST(SUM(r) AS BIGINT) AS n_refusals,
+       CAST(SUM(r) * 10000 // greatest(COUNT(*), 1) AS BIGINT)
+         AS refusal_bp,
+       CAST(CASE WHEN SUM(r) > 0 THEN 1 ELSE 0 END AS INTEGER)
+         AS has_refusal
+FROM flagged GROUP BY conv_id ORDER BY conv_id
+"""
+
+
 QUERIES = {
     "conv_assemble": (conv_assemble, CONV_ASSEMBLE_SQL),
     "conv_stats": (conv_stats, CONV_STATS_SQL),
@@ -1139,6 +1214,7 @@ QUERIES = {
     "conv_context_growth": (conv_context_growth, CONV_CTX_GROWTH_SQL),
     "conv_reply_latency": (conv_reply_latency, CONV_REPLY_LATENCY_SQL),
     "conv_role_transitions": (conv_role_transitions, CONV_ROLE_TRANS_SQL),
+    "conv_refusal_scan": (conv_refusal_scan, CONV_REFUSAL_SQL),
     "import_sales": (import_sales, IMPORT_SALES_SQL),
     "extract_html_readability": (extract_html_readability, EXTRACT_HTML_SQL),
     "extract_pdf_layout": (extract_pdf_layout_q, EXTRACT_PDF_SQL),

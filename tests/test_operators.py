@@ -1188,3 +1188,41 @@ def test_label_centroids_hand_computed(spark, tmp_path):
     assert rows[(0, 1)].sum_q == 0 and rows[(0, 1)].centroid_q == 0
     assert rows[(1, 0)].centroid_q == 1000000
     assert rows[(1, 1)].centroid_q == 1000000
+
+
+def test_refusal_scan_hand_computed(spark, tmp_path):
+    """Doc 1's 5-char text triggers the injected template (a refusal);
+    its conv-mate doc 101 answers normally -> 50% refusal share. Conv 3
+    has one clean assistant turn -> zero share."""
+    from ocr_spark.operators.extraction import conv_refusal_scan
+
+    d = str(tmp_path / "refusals")
+    _write_docs(spark, d, [(1, "aaaaa", "en", "s", 5),        # assistant, ln%5==0
+                           (101, "hello world", "en", "s", 11),  # assistant
+                           (53, "plain reply", "en", "s", 11)])  # assistant
+    rows = {r.conv_id: r for r in conv_refusal_scan(spark, d).collect()}
+    c1 = rows["conv-000001"]
+    assert c1.n_assistant == 2 and c1.n_refusals == 1
+    assert c1.refusal_bp == 5000 and c1.has_refusal == 1
+    c3 = rows["conv-000003"]
+    assert c3.n_assistant == 1 and c3.n_refusals == 0
+    assert c3.refusal_bp == 0 and c3.has_refusal == 0
+
+
+def test_dup_rate_by_source_hand_computed(spark, tmp_path):
+    """'same text' lives in sources a (twice) and b (once): a shows one
+    within-source excess copy and two cross-source docs of three."""
+    from ocr_spark.operators.corpus import dd_dup_rate_by_source
+
+    d = str(tmp_path / "duprate")
+    _write_docs(spark, d, [(1, "same text", "en", "a", 9),
+                           (2, "same text", "en", "b", 9),
+                           (3, "unique a", "en", "a", 8),
+                           (4, "same text", "en", "a", 9)])
+    rows = {r.source: r for r in dd_dup_rate_by_source(spark, d).collect()}
+    a = rows["a"]
+    assert a.n_docs == 3 and a.n_distinct == 2 and a.within_excess == 1
+    assert a.n_cross == 2 and a.cross_bp == 6666
+    b = rows["b"]
+    assert b.n_docs == 1 and b.within_excess == 0
+    assert b.n_cross == 1 and b.cross_bp == 10000
