@@ -78,7 +78,9 @@ _MEASURED_COST = {
     'emb_norm_stats': 0.5, 'conv_role_transitions': 0.8,
     'txt_char_class_mix': 0.5, 'txt_sentence_stats': 0.5,
     'emb_label_centroids': 0.6, 'conv_refusal_scan': 0.7,
-    'dd_dup_rate_by_source': 0.9,
+    'dd_dup_rate_by_source': 0.9, 'conv_verbosity_drift': 0.6,
+    'emb_dim_variance': 0.8, 'emb_outliers': 1.2,
+    'dd_novelty_by_source': 1.4,
     'dd_embedding_neardup': 1.5, 'curate_funnel': 1.6, 'dd_simhash': 1.6,
     't19_code_gen': 1.6, 'dd_ngram_jaccard': 1.7, 'dd_minhash_verified': 1.3,
     'import_sales': 1.8,

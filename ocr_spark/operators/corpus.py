@@ -3117,6 +3117,217 @@ FROM ranked GROUP BY cluster_id HAVING COUNT(*) >= 2 ORDER BY cluster_id
 """
 
 
+def emb_dim_variance(spark, sf_dir):
+    """Per-dimension embedding distribution QA — the health read run
+    before training an ANN index or a whitening transform: a dimension
+    with near-zero variance is dead weight in every distance (and a
+    symptom of a truncated or mis-exported encoder); one with a huge
+    mean offset breaks cosine-vs-dot interchangeability.
+
+    Engine-exactness (the emb_label_centroids pattern, extended to
+    second moments): coordinates are quantized to integer micro-units
+    BEFORE any cross-row sum, so the sums are association-free; the
+    squared accumulator rides a decimal(38,0) in Spark (Spark SUM(BIGINT)
+    wraps on overflow; q² ≈ 1e12/row leaves BIGINT headroom only to ~9M
+    rows/dim) which DuckDB mirrors for free (its SUM(BIGINT) is already
+    HUGEINT). mean/variance = both engines flooring the same IEEE double
+    of the same exact integers. Scale shape: map-side posexplode into one
+    hash aggregate with map-side combine — the shuffle carries at most
+    dims partial rows per partition."""
+    emb = _emb(spark, sf_dir)
+    q = F.expr(f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+               f" * {CENTROID_QUANT}) AS BIGINT))")
+    e = emb.select(F.posexplode(q).alias("dim_idx", "q"))
+    agg = (e.groupBy("dim_idx")
+           .agg(F.count("*").cast("long").alias("n"),
+                F.sum("q").cast("long").alias("sum_q"),
+                F.sum(F.col("q").cast("decimal(38,0)")
+                      * F.col("q").cast("decimal(38,0)")).alias("_ss")))
+    m = F.col("sum_q").cast("double") / F.col("n").cast("double")
+    s2 = F.col("_ss").cast("double") / F.col("n").cast("double")
+    return (agg.select(
+        F.col("dim_idx").cast("int").alias("dim_idx"), "n", "sum_q",
+        F.floor(m).cast("long").alias("mean_q"),
+        F.floor(s2 - m * m).cast("long").alias("var_q"))
+        .orderBy("dim_idx"))
+
+
+EMB_DIM_VAR_SQL = f"""
+WITH e AS (
+  SELECT unnest(range(len(embedding))) AS dim_idx,
+         unnest(list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * {CENTROID_QUANT})
+                          AS BIGINT))) AS q
+  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+),
+agg AS (
+  SELECT dim_idx, COUNT(*) AS n, SUM(q) AS sum_q, SUM(q * q) AS ss
+  FROM e GROUP BY dim_idx
+)
+SELECT CAST(dim_idx AS INTEGER) AS dim_idx,
+       CAST(n AS BIGINT) AS n, CAST(sum_q AS BIGINT) AS sum_q,
+       CAST(floor(CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)
+         AS mean_q,
+       CAST(floor(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE)))
+            AS BIGINT) AS var_q
+FROM agg ORDER BY dim_idx
+"""
+
+
+EMB_OUTLIER_K = 5  # farthest members reported per label
+
+
+def emb_outliers(spark, sf_dir):
+    """Per-label outlier surfacing — the mislabel / poisoned-batch
+    detector a labeled (or k-means-assigned) embedding corpus runs
+    after clustering: the EMB_OUTLIER_K members farthest from their own
+    label's centroid, with the exact quantized squared distance. A
+    mislabeled vector sits near SOME centroid, just not its own, so it
+    tops exactly this list.
+
+    Engine-exactness: centroid coordinates are floor(sum_q/n) INTEGERS
+    (micro-units), and the distance is a pure integer sum of squares
+    (|q−c|² ≤ 4e12/dim · dims ≪ 2^63) — no float leaves the per-row
+    expression, so ties and ranks agree bit-for-bit. Scale shape: pass 1
+    is the centroid hash aggregate (map-side combine, ≤ labels×dims
+    rows out); pass 2 re-explodes the corpus and joins the BROADCAST
+    centroid table on (label, dim_idx) — map-only — then one keyed agg
+    per vector and a per-label top-K window over rows already shuffled
+    by label."""
+    emb = _emb(spark, sf_dir).where(F.col("label").isNotNull())
+    q = F.expr(f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+               f" * {CENTROID_QUANT}) AS BIGINT))")
+    e = emb.select("vec_id", "label",
+                   F.posexplode(q).alias("dim_idx", "q"))
+    cent = (e.groupBy("label", "dim_idx")
+            .agg(F.floor(F.sum("q").cast("double")
+                         / F.count("*").cast("double"))
+                 .cast("long").alias("c")))
+    d = (e.join(F.broadcast(cent), ["label", "dim_idx"])
+         .groupBy("label", "vec_id")
+         .agg(F.sum((F.col("q") - F.col("c"))
+                    * (F.col("q") - F.col("c"))).cast("long")
+              .alias("dist2_q")))
+    w = Window.partitionBy("label").orderBy(F.col("dist2_q").desc(),
+                                            F.col("vec_id").asc())
+    return (d.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= EMB_OUTLIER_K)
+            .select("label", "rank", "vec_id", "dist2_q")
+            .orderBy("label", "rank"))
+
+
+EMB_OUTLIER_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label,
+         unnest(range(len(embedding))) AS dim_idx,
+         unnest(list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * {CENTROID_QUANT})
+                          AS BIGINT))) AS q
+  FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND label IS NOT NULL
+),
+cent AS (
+  SELECT label, dim_idx,
+         CAST(floor(CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+              AS BIGINT) AS c
+  FROM e GROUP BY label, dim_idx
+),
+d AS (
+  SELECT e.label, e.vec_id, SUM((e.q - c.c) * (e.q - c.c)) AS dist2_q
+  FROM e JOIN cent c ON e.label = c.label AND e.dim_idx = c.dim_idx
+  GROUP BY e.label, e.vec_id
+),
+ranked AS (
+  SELECT label, vec_id, dist2_q,
+         ROW_NUMBER() OVER (PARTITION BY label
+                            ORDER BY dist2_q DESC, vec_id ASC) AS rank
+  FROM d
+)
+SELECT label, CAST(rank AS INTEGER) AS rank, vec_id,
+       CAST(dist2_q AS BIGINT) AS dist2_q
+FROM ranked WHERE rank <= {EMB_OUTLIER_K} ORDER BY label, rank
+"""
+
+
+def dd_novelty_by_source(spark, sf_dir):
+    """Per-source content novelty — of each source's distinct word
+    3-gram shingles, how many does it contribute FIRST (global
+    first-seer = min doc_id over the shingle, the same tie-break
+    first-wins dedup uses)? A crawl source that mostly re-sees shingles
+    other sources already contributed adds near-zero marginal training
+    signal even when its exact-dup rate looks low — this is the
+    source-retirement read, one level below dd_dup_rate_by_source's
+    whole-document accounting.
+
+    Scale shape: the map-only Arrow shingle stage (shared with
+    dd_ngram_jaccard — per-doc-distinct md5-long hashes, 16-byte rows)
+    feeds ONE first-seer aggregate (min is map-side combinable) and a
+    join back keyed on the hash both sides are already shuffled by;
+    per-doc counts then reduce before the small doc_id→source join, so
+    the per-source rollup joins doc-grain rows, never shingle-grain."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    exploded = (_spread(docs)
+                .mapInPandas(_ngram_shingle_stage, "doc_id long, s long")
+                .persist())
+    first = exploded.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (exploded.join(first, "s")
+               .groupBy("doc_id")
+               .agg(F.count("*").cast("long").alias("n_sh"),
+                    F.sum((F.col("doc_id") == F.col("first_doc"))
+                          .cast("long")).cast("long").alias("n_novel")))
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    return (per_doc.join(src, "doc_id")
+            .groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_sh").cast("long").alias("n_shingles"),
+                 F.sum("n_novel").cast("long").alias("n_novel"))
+            .withColumn("novelty_bp",
+                        F.floor(F.col("n_novel").cast("double")
+                                / F.col("n_shingles") * 10000)
+                        .cast("long"))
+            .orderBy("source"))
+
+
+DD_NOVELTY_SQL = """
+WITH shingled_all AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+    FROM (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+                          ' ') AS words
+      FROM documents WHERE doc_id IS NOT NULL
+    ), UNNEST(range(1, len(words) - 1)) AS t(i)
+    WHERE len(words) >= 3
+  )
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(shingle), 1, 16))::UBIGINT AS HUGEINT)
+              - 9223372036854775808 AS BIGINT) AS s
+  FROM shingled_all
+),
+firsts AS (SELECT s, MIN(doc_id) AS first_doc FROM hashed GROUP BY s),
+per_doc AS (
+  SELECT h.doc_id, COUNT(*) AS n_sh,
+         SUM(CASE WHEN h.doc_id = f.first_doc THEN 1 ELSE 0 END) AS n_novel
+  FROM hashed h JOIN firsts f USING (s)
+  GROUP BY h.doc_id
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(p.n_sh) AS BIGINT) AS n_shingles,
+       CAST(SUM(p.n_novel) AS BIGINT) AS n_novel,
+       CAST(floor(CAST(SUM(p.n_novel) AS DOUBLE) / SUM(p.n_sh) * 10000)
+            AS BIGINT) AS novelty_bp
+FROM per_doc p JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+"""
+
+
 # registry order = driver check order: cheap oracle-paired first, the
 # heavy dedup candidates last, so a bounded driver budget scores the
 # whole board before the expensive tails
@@ -3135,7 +3346,10 @@ QUERIES = {
     "dd_prefix_dup": (dd_prefix_dup, DD_PREFIX_SQL),
     "emb_norm_stats": (emb_norm_stats, EMB_NORM_SQL),
     "emb_label_centroids": (emb_label_centroids, EMB_CENTROID_SQL),
+    "emb_dim_variance": (emb_dim_variance, EMB_DIM_VAR_SQL),
+    "emb_outliers": (emb_outliers, EMB_OUTLIER_SQL),
     "dd_dup_rate_by_source": (dd_dup_rate_by_source, DD_DUP_RATE_SQL),
+    "dd_novelty_by_source": (dd_novelty_by_source, DD_NOVELTY_SQL),
     "dd_incremental": (dd_incremental, DD_INCR_SQL),
     "dd_incremental_neardup": (
         dd_incremental_neardup,

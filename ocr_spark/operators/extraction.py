@@ -1205,6 +1205,47 @@ FROM flagged GROUP BY conv_id ORDER BY conv_id
 """
 
 
+VERBOSITY_BUCKET = 100  # turn_idx depth bucket width
+
+
+def conv_verbosity_drift(spark, sf_dir):
+    """Assistant verbosity by dialogue depth — does the assistant get
+    terser (or ramble more) deep into long conversations? SFT curation
+    reads this corpus-level curve before deciding whether to truncate
+    long tails or re-weight late turns: a collapsing mean at depth is
+    the signature of context-window squeeze in the teacher.
+
+    One map-only projection (role filter + integer depth bucket) into a
+    tiny groupBy(bucket) with map-side combine; mean chars is exact
+    integer division, so the oracle is exact at any scale."""
+    t = _agent_transcripts(spark, sf_dir)
+    asst = t.where(F.col("role") == "assistant").select(
+        F.expr(f"CAST(turn_idx AS BIGINT) DIV {VERBOSITY_BUCKET}")
+        .alias("depth_bucket"),
+        F.length("text").cast("long").alias("chars"))
+    return (asst.groupBy("depth_bucket")
+            .agg(F.count("*").cast("long").alias("n_turns"),
+                 F.sum("chars").cast("long").alias("sum_chars"),
+                 F.max("chars").cast("long").alias("max_chars"))
+            .withColumn("mean_chars",
+                        F.expr("sum_chars DIV n_turns").cast("long"))
+            .select("depth_bucket", "n_turns", "sum_chars", "mean_chars",
+                    "max_chars")
+            .orderBy("depth_bucket"))
+
+
+CONV_VERBOSITY_SQL = f"""
+WITH t AS ({_AGENT_TRANSCRIPTS_CTE})
+SELECT CAST(turn_idx // {VERBOSITY_BUCKET} AS BIGINT) AS depth_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(SUM(len(text)) AS BIGINT) AS sum_chars,
+       CAST(SUM(len(text)) // COUNT(*) AS BIGINT) AS mean_chars,
+       CAST(MAX(len(text)) AS BIGINT) AS max_chars
+FROM t WHERE role = 'assistant'
+GROUP BY 1 ORDER BY depth_bucket
+"""
+
+
 QUERIES = {
     "conv_assemble": (conv_assemble, CONV_ASSEMBLE_SQL),
     "conv_stats": (conv_stats, CONV_STATS_SQL),
@@ -1215,6 +1256,7 @@ QUERIES = {
     "conv_reply_latency": (conv_reply_latency, CONV_REPLY_LATENCY_SQL),
     "conv_role_transitions": (conv_role_transitions, CONV_ROLE_TRANS_SQL),
     "conv_refusal_scan": (conv_refusal_scan, CONV_REFUSAL_SQL),
+    "conv_verbosity_drift": (conv_verbosity_drift, CONV_VERBOSITY_SQL),
     "import_sales": (import_sales, IMPORT_SALES_SQL),
     "extract_html_readability": (extract_html_readability, EXTRACT_HTML_SQL),
     "extract_pdf_layout": (extract_pdf_layout_q, EXTRACT_PDF_SQL),

@@ -1226,3 +1226,93 @@ def test_dup_rate_by_source_hand_computed(spark, tmp_path):
     b = rows["b"]
     assert b.n_docs == 1 and b.within_excess == 0
     assert b.n_cross == 1 and b.cross_bp == 10000
+
+
+def test_emb_dim_variance_hand_computed(spark, tmp_path):
+    """Quantization precedes both moments; variance = floor of the same
+    IEEE double both engines compute from the exact integer sums. A
+    NULL-label row still counts (dimension QA is label-agnostic)."""
+    import math
+
+    from ocr_spark.operators.corpus import emb_dim_variance
+
+    d = str(tmp_path / "dimvar")
+    spark.createDataFrame(
+        [(0, [1.5, -0.5], 0), (1, [2.5, 0.5], 0), (2, [1.0, 1.0], None)],
+        "vec_id long, embedding array<float>, label int"
+    ).write.parquet(os.path.join(d, "embeddings.parquet"))
+    rows = {r.dim_idx: r for r in emb_dim_variance(spark, d).collect()}
+
+    q0 = [1500000, 2500000, 1000000]
+    r0 = rows[0]
+    assert r0.n == 3 and r0.sum_q == sum(q0)
+    assert r0.mean_q == math.floor(sum(q0) / 3)
+    m = sum(q0) / 3.0
+    s2 = sum(q * q for q in q0) / 3.0
+    assert r0.var_q == math.floor(s2 - m * m)
+
+    q1 = [-500000, 500000, 1000000]
+    r1 = rows[1]
+    assert r1.sum_q == sum(q1) and r1.mean_q == 333333
+    m = sum(q1) / 3.0
+    s2 = sum(q * q for q in q1) / 3.0
+    assert r1.var_q == math.floor(s2 - m * m)
+
+
+def test_emb_outliers_hand_computed(spark, tmp_path):
+    """Label 0's centroid is the exact integer floor(4e6/3) per dim, and
+    the farthest member ([3,3]) ranks first on the pure-integer squared
+    distance; a NULL-label vector is excluded."""
+    from ocr_spark.operators.corpus import emb_outliers
+
+    d = str(tmp_path / "outliers")
+    spark.createDataFrame(
+        [(0, [0.0, 0.0], 0), (1, [1.0, 1.0], 0), (2, [3.0, 3.0], 0),
+         (9, [99.0, 99.0], None)],
+        "vec_id long, embedding array<float>, label int"
+    ).write.parquet(os.path.join(d, "embeddings.parquet"))
+    rows = emb_outliers(spark, d).collect()
+    assert [r.vec_id for r in rows] == [2, 0, 1]
+    assert [r.rank for r in rows] == [1, 2, 3]
+    c = (0 + 1000000 + 3000000) // 3          # 1333333 exactly (floor)
+    assert rows[0].dist2_q == 2 * (3000000 - c) ** 2
+    assert rows[1].dist2_q == 2 * c ** 2
+    assert rows[2].dist2_q == 2 * (1000000 - c) ** 2
+
+
+def test_novelty_by_source_hand_computed(spark, tmp_path):
+    """Doc 2 re-sees both of doc 1's shingles (zero novelty for source b
+    on that doc); doc 3 contributes one fresh shingle -> b is 1/3 novel."""
+    from ocr_spark.operators.corpus import dd_novelty_by_source
+
+    d = str(tmp_path / "novelty")
+    _write_docs(spark, d, [(1, "a b c d", "en", "a", 7),
+                           (2, "a b c d", "en", "b", 7),
+                           (3, "x y z", "en", "b", 5)])
+    rows = {r.source: r for r in dd_novelty_by_source(spark, d).collect()}
+    a = rows["a"]
+    assert a.n_docs == 1 and a.n_shingles == 2 and a.n_novel == 2
+    assert a.novelty_bp == 10000
+    b = rows["b"]
+    assert b.n_docs == 2 and b.n_shingles == 3 and b.n_novel == 1
+    assert b.novelty_bp == 3333
+
+
+def test_verbosity_drift_hand_computed(spark, tmp_path):
+    """Assistant docs 1 and 41 land in depth bucket 0 (mean 5 of 4+6
+    chars, integer division), doc 101 alone in bucket 1."""
+    from ocr_spark.operators.extraction import conv_verbosity_drift
+
+    d = str(tmp_path / "verbosity")
+    _write_docs(spark, d, [(1, "abcd", "en", "s", 4),       # turn 1
+                           (41, "abcdef", "en", "s", 6),    # turn 41
+                           (101, "abcdefghij", "en", "s", 10),  # turn 101
+                           (2, "not assistant role", "en", "s", 18)])
+    rows = {r.depth_bucket: r
+            for r in conv_verbosity_drift(spark, d).collect()}
+    assert set(rows) == {0, 1}
+    b0 = rows[0]
+    assert b0.n_turns == 2 and b0.sum_chars == 10
+    assert b0.mean_chars == 5 and b0.max_chars == 6
+    b1 = rows[1]
+    assert b1.n_turns == 1 and b1.mean_chars == 10
