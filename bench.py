@@ -76,7 +76,8 @@ HEADLINE = HEADLINE_R1 + [
     "conv_role_transitions", "txt_char_class_mix", "txt_sentence_stats",
     "emb_label_centroids", "conv_refusal_scan", "dd_dup_rate_by_source",
     "conv_verbosity_drift", "emb_dim_variance", "emb_outliers",
-    "dd_novelty_by_source",
+    "dd_novelty_by_source", "smp_domain_cap", "txt_len_quantiles",
+    "dd_syndication_matrix",
 ]
 
 

@@ -328,14 +328,40 @@ FROM g ORDER BY vec_id
 """
 
 
+# Deterministic syndication injection (the txt_pii_scrub pattern): docs
+# with doc_id ≡ 3 (mod 25) become copies of one of five wire templates
+# (template id = pmod(doc_id, 125) DIV 25). Copies of one template sit
+# 125 apart, and testdata's source is doc_id mod 20, so each template
+# spans four sources — the cross-source dup class these accounting ops
+# exist to measure is reachable and their oracle hashes are non-vacuous
+# (the raw synthetic corpus has ZERO exact-dup texts).
+_SYND_TEMPLATE = "syndicated wire story no. "
+
+
+def _synd_text():
+    return F.when(
+        F.expr("pmod(doc_id, 25) = 3"),
+        F.concat(F.lit(_SYND_TEMPLATE),
+                 F.expr("CAST(pmod(doc_id, 125) DIV 25 AS STRING)"))
+    ).otherwise(F.col("text"))
+
+
+_SYND_CASE_SQL = (
+    "CASE WHEN ((doc_id % 25) + 25) % 25 = 3"
+    " THEN 'syndicated wire story no. '"
+    " || CAST(((doc_id % 125) + 125) % 125 // 25 AS VARCHAR)"
+    " ELSE text END")
+
+
 def dd_dup_rate_by_source(spark, sf_dir):
     """Per-source duplication accounting — the dashboard a curation
     pipeline reads to decide which sources to dedup aggressively:
     within-source excess copies (n_docs − distinct texts) and the
     cross-source syndication share (docs whose exact text also appears
     under ANOTHER source — mirrored articles, boilerplate pages).
-    Key = the same normalized-text md5 dd_exact_dup uses, so the two
-    views reconcile.
+    Key = the same normalized-text md5 dd_exact_dup uses (over the
+    syndication-injected text, see _synd_text), so this and
+    dd_syndication_matrix reconcile.
 
     Scale shape: one map-only projection (normalize + md5), persisted
     because the hash-stats aggregation and the join-back both read it;
@@ -344,7 +370,7 @@ def dd_dup_rate_by_source(spark, sf_dir):
     it as one sort-merge exchange pair, the text payload never moves.
     All shares are integer basis points."""
     docs = _docs(spark, sf_dir)
-    key = F.md5(F.regexp_replace(F.lower(F.coalesce(F.col("text"),
+    key = F.md5(F.regexp_replace(F.lower(F.coalesce(_synd_text(),
                                                     F.lit(""))),
                                  r"\s+", " "))
     per = docs.select("doc_id", "source", key.alias("text_hash")).persist()
@@ -367,11 +393,11 @@ def dd_dup_rate_by_source(spark, sf_dir):
             .orderBy("source"))
 
 
-DD_DUP_RATE_SQL = """
+DD_DUP_RATE_SQL = f"""
 WITH per AS (
   SELECT doc_id, source,
-         md5(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))
-           AS text_hash
+         md5(regexp_replace(lower(coalesce({_SYND_CASE_SQL}, '')),
+                            '\\s+', ' ', 'g')) AS text_hash
   FROM documents WHERE doc_id IS NOT NULL
 ),
 stats AS (
@@ -3251,6 +3277,48 @@ FROM ranked WHERE rank <= {EMB_OUTLIER_K} ORDER BY label, rank
 """
 
 
+def dd_syndication_matrix(spark, sf_dir):
+    """Source-pair syndication matrix — which source PAIRS share exact
+    content, and how much. dd_dup_rate_by_source says each source's
+    cross-source share; this names the counterparties (the wire service
+    every outlet mirrors, the scraper site shadowing a forum), which is
+    what a curation team acts on: dedup the pair against each other,
+    keep the origin. Same injected-syndication key as
+    dd_dup_rate_by_source (_synd_text), so the two views reconcile.
+
+    Scale shape: one per-(hash, source) DISTINCT (map-side combinable),
+    then a keyed SELF-JOIN on the hash — per-key output is bounded by
+    C(n_sources, 2) BY CONSTRUCTION (source cardinality, not corpus
+    size), so no hot text ever explodes — and a tiny pair rollup."""
+    docs = _docs(spark, sf_dir)
+    key = F.md5(F.regexp_replace(F.lower(F.coalesce(_synd_text(),
+                                                    F.lit(""))),
+                                 r"\s+", " "))
+    per = (docs.select(key.alias("h"), "source").distinct().persist())
+    a, b = per.alias("a"), per.alias("b")
+    pairs = a.join(b, (F.col("a.h") == F.col("b.h"))
+                   & (F.col("a.source") < F.col("b.source")))
+    return (pairs.groupBy(F.col("a.source").alias("src_a"),
+                          F.col("b.source").alias("src_b"))
+            .agg(F.count("*").cast("long").alias("n_shared_texts"))
+            .orderBy("src_a", "src_b"))
+
+
+DD_SYNDICATION_SQL = f"""
+WITH per AS (
+  SELECT DISTINCT
+         md5(regexp_replace(lower(coalesce({_SYND_CASE_SQL}, '')),
+                            '\\s+', ' ', 'g')) AS h,
+         source
+  FROM documents WHERE doc_id IS NOT NULL
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_texts
+FROM per a JOIN per b ON a.h = b.h AND a.source < b.source
+GROUP BY 1, 2 ORDER BY src_a, src_b
+"""
+
+
 def dd_novelty_by_source(spark, sf_dir):
     """Per-source content novelty — of each source's distinct word
     3-gram shingles, how many does it contribute FIRST (global
@@ -3350,6 +3418,7 @@ QUERIES = {
     "emb_outliers": (emb_outliers, EMB_OUTLIER_SQL),
     "dd_dup_rate_by_source": (dd_dup_rate_by_source, DD_DUP_RATE_SQL),
     "dd_novelty_by_source": (dd_novelty_by_source, DD_NOVELTY_SQL),
+    "dd_syndication_matrix": (dd_syndication_matrix, DD_SYNDICATION_SQL),
     "dd_incremental": (dd_incremental, DD_INCR_SQL),
     "dd_incremental_neardup": (
         dd_incremental_neardup,

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
-from .corpus import _STOPWORDS_EN, _docs, _md5_long
+from .corpus import _STOPWORDS_EN, _URL_KEYED_CTES, _docs, _md5_long
 
 # ---------------------------------------------------------------------------
 # Repetition signals (Gopher-style quality filters)
@@ -2107,6 +2107,114 @@ FROM ck ORDER BY doc_id, chunk_idx
 """
 
 
+DOMAIN_CAP_K = 4  # max docs kept per host
+
+
+def smp_domain_cap(spark, sf_dir):
+    """Per-domain document cap — the anti-dominance sampler every big
+    crawl runs (C4 and its descendants cap pages per host) so that one
+    sprawling site cannot dominate a language's token budget. Keeps the
+    DOMAIN_CAP_K longest documents per normalized host (length as the
+    deterministic quality proxy; ties broken by doc_id) and emits the
+    doc-grain verdict so downstream gates compose on the kept flag.
+
+    Scale shape: the host key is a codegen'd map-only URL chain (shared
+    with dd_domain_stats), and the ONLY shuffle is the per-host window —
+    partitioned by the very key the cap is defined over; the rank and
+    flag are then map-side. Exact integers throughout."""
+    from .corpus import _norm_url, _synth_url
+    docs = _docs(spark, sf_dir)
+    host = F.regexp_extract(_norm_url(_synth_url()), "^[^/?]*", 0)
+    d = docs.select("doc_id", host.alias("host"),
+                    F.col("n_chars").cast("long").alias("n_chars_b"))
+    w = Window.partitionBy("host").orderBy(F.col("n_chars_b").desc(),
+                                           F.col("doc_id").asc())
+    return (d.withColumn("rk", F.row_number().over(w).cast("int"))
+            .withColumn("kept",
+                        (F.col("rk") <= DOMAIN_CAP_K).cast("int"))
+            .select("doc_id", "host", "n_chars_b", "rk", "kept")
+            .orderBy("doc_id"))
+
+
+SMP_DOMAIN_CAP_SQL = f"""
+WITH {_URL_KEYED_CTES},
+d AS (
+  SELECT k.doc_id, regexp_extract(k.url_norm, '^[^/?]*') AS host,
+         CAST(doc.n_chars AS BIGINT) AS n_chars_b
+  FROM keyed k JOIN documents doc USING (doc_id)
+),
+ranked AS (
+  SELECT doc_id, host, n_chars_b,
+         ROW_NUMBER() OVER (PARTITION BY host
+                            ORDER BY n_chars_b DESC, doc_id ASC) AS rk
+  FROM d
+)
+SELECT doc_id, host, n_chars_b, CAST(rk AS INTEGER) AS rk,
+       CAST(CASE WHEN rk <= {DOMAIN_CAP_K} THEN 1 ELSE 0 END AS INTEGER)
+         AS kept
+FROM ranked ORDER BY doc_id
+"""
+
+
+LEN_QUANTILE_PS = (10, 50, 90, 99)  # percent ranks reported
+
+
+def txt_len_quantiles(spark, sf_dir):
+    """Exact per-source length quantiles — the scan-profile read a
+    pipeline takes before picking chunking / packing / truncation
+    thresholds. Discrete (type-1) quantiles: the value at 0-based index
+    (n−1)·p DIV 100 in (n_chars, doc_id) order — pure integer index
+    arithmetic, so both engines select the identical element and the
+    oracle is exact (interpolated percentile_approx would not be).
+
+    Scale shape: ONE per-source window (row_number over the sort the
+    quantile is defined on) + a tiny per-source count aggregate expanded
+    to sources×4 target rows and BROADCAST back — the corpus never
+    shuffles twice and no global sort exists."""
+    docs = _docs(spark, sf_dir)
+    d = docs.select("source", "doc_id",
+                    F.col("n_chars").cast("long").alias("n_chars_b"))
+    w = Window.partitionBy("source").orderBy(F.col("n_chars_b").asc(),
+                                             F.col("doc_id").asc())
+    ranked = d.withColumn("rn", F.row_number().over(w))
+    targets = (d.groupBy("source")
+               .agg(F.count("*").cast("long").alias("n"))
+               .select("source", "n",
+                       F.explode(F.array(*[F.lit(p) for p in
+                                           LEN_QUANTILE_PS])).alias("p"))
+               .withColumn("rn", F.expr("(n - 1) * p DIV 100 + 1")
+                           .cast("int")))
+    return (ranked.join(F.broadcast(targets), ["source", "rn"])
+            .select("source", F.col("p").cast("int").alias("p"), "n",
+                    F.col("n_chars_b").alias("value"))
+            .orderBy("source", "p"))
+
+
+TXT_LEN_QUANT_SQL = f"""
+WITH d AS (
+  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars_b
+  FROM documents WHERE doc_id IS NOT NULL
+),
+ranked AS (
+  SELECT source, n_chars_b,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars_b ASC, doc_id ASC) AS rn
+  FROM d
+),
+targets AS (
+  SELECT source, n, p, CAST((n - 1) * p // 100 + 1 AS INTEGER) AS rn
+  FROM (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM d
+        GROUP BY source),
+       (VALUES {', '.join('(%d)' % p for p in LEN_QUANTILE_PS)}) t(p)
+)
+SELECT r.source, CAST(t.p AS INTEGER) AS p, t.n,
+       r.n_chars_b AS value
+FROM ranked r JOIN targets t
+  ON r.source = t.source AND r.rn = t.rn
+ORDER BY r.source, p
+"""
+
+
 QUERIES = {
     "txt_repetition": (txt_repetition, TXT_REPETITION_SQL),
     "txt_pii_scrub": (txt_pii_scrub, TXT_PII_SQL),
@@ -2133,4 +2241,6 @@ QUERIES = {
     "smp_quality_weighted": (smp_quality_weighted, SMP_QW_SQL),
     "dd_chunk_dedup_strip": (dd_chunk_dedup_strip, DD_CHUNK_STRIP_SQL),
     "txt_blocklist_filter": (txt_blocklist_filter, TXT_BLOCKLIST_SQL),
+    "smp_domain_cap": (smp_domain_cap, SMP_DOMAIN_CAP_SQL),
+    "txt_len_quantiles": (txt_len_quantiles, TXT_LEN_QUANT_SQL),
 }

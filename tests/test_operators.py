@@ -1211,13 +1211,14 @@ def test_refusal_scan_hand_computed(spark, tmp_path):
 
 def test_dup_rate_by_source_hand_computed(spark, tmp_path):
     """'same text' lives in sources a (twice) and b (once): a shows one
-    within-source excess copy and two cross-source docs of three."""
+    within-source excess copy and two cross-source docs of three. No
+    doc_id here is ≡ 3 (mod 25), so syndication injection is inert."""
     from ocr_spark.operators.corpus import dd_dup_rate_by_source
 
     d = str(tmp_path / "duprate")
     _write_docs(spark, d, [(1, "same text", "en", "a", 9),
                            (2, "same text", "en", "b", 9),
-                           (3, "unique a", "en", "a", 8),
+                           (6, "unique a", "en", "a", 8),
                            (4, "same text", "en", "a", 9)])
     rows = {r.source: r for r in dd_dup_rate_by_source(spark, d).collect()}
     a = rows["a"]
@@ -1226,6 +1227,23 @@ def test_dup_rate_by_source_hand_computed(spark, tmp_path):
     b = rows["b"]
     assert b.n_docs == 1 and b.within_excess == 0
     assert b.n_cross == 1 and b.cross_bp == 10000
+
+
+def test_syndication_matrix_hand_computed(spark, tmp_path):
+    """Docs 3 and 128 are 125 apart -> the injection rewrites both to
+    wire template 0, creating the (a, b) syndication pair; doc 28 gets
+    template 1 (no partner) and doc 5 is untouched original text."""
+    from ocr_spark.operators.corpus import dd_syndication_matrix
+
+    d = str(tmp_path / "synd")
+    _write_docs(spark, d, [(3, "original three", "en", "a", 14),
+                           (128, "original one two eight", "en", "b", 22),
+                           (28, "original two eight", "en", "a", 18),
+                           (5, "original five", "en", "b", 13)])
+    rows = dd_syndication_matrix(spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.src_a, r.src_b, r.n_shared_texts) == ("a", "b", 1)
 
 
 def test_emb_dim_variance_hand_computed(spark, tmp_path):
@@ -1316,3 +1334,39 @@ def test_verbosity_drift_hand_computed(spark, tmp_path):
     assert b0.mean_chars == 5 and b0.max_chars == 6
     b1 = rows[1]
     assert b1.n_turns == 1 and b1.mean_chars == 10
+
+
+def test_domain_cap_hand_computed(spark, tmp_path):
+    """Docs 0/50/100/150/200 all normalize to host example0.com (host is
+    doc_id mod 50, www/case variants folded); the cap keeps the
+    DOMAIN_CAP_K=4 longest, so the shortest (doc 150, 1 char) drops."""
+    from ocr_spark.operators.quality import smp_domain_cap
+
+    d = str(tmp_path / "domcap")
+    _write_docs(spark, d, [(0, "aaaa", "en", "s", 4),
+                           (50, "aaa", "en", "s", 3),
+                           (100, "aaaaa", "en", "s", 5),
+                           (150, "a", "en", "s", 1),
+                           (200, "aa", "en", "s", 2),
+                           (7, "bbbb", "en", "s", 4)])  # host example7.com
+    rows = {r.doc_id: r for r in smp_domain_cap(spark, d).collect()}
+    assert all(r.host == "example0.com" for i, r in rows.items() if i != 7)
+    assert rows[100].rk == 1 and rows[100].kept == 1
+    assert rows[150].rk == 5 and rows[150].kept == 0
+    assert rows[7].host == "example7.com" and rows[7].kept == 1
+
+
+def test_len_quantiles_hand_computed(spark, tmp_path):
+    """Five docs with lengths 1..5, type-1 discrete quantiles: 0-based
+    index (n-1)*p DIV 100 -> p10 = idx 0 (value 1), p50 = idx 2
+    (value 3), p90 and p99 = idx 3 (value 4 — floor semantics never
+    interpolate past the sorted element)."""
+    from ocr_spark.operators.quality import txt_len_quantiles
+
+    d = str(tmp_path / "quant")
+    _write_docs(spark, d, [(i, "x" * i, "en", "s", i) for i in
+                           (3, 1, 5, 2, 4)])
+    rows = {r.p: r for r in txt_len_quantiles(spark, d).collect()}
+    assert rows[10].value == 1 and rows[10].n == 5
+    assert rows[50].value == 3
+    assert rows[90].value == 4 and rows[99].value == 4
