@@ -2364,6 +2364,40 @@ def _lsh_topk_planes():
     return np.random.default_rng(7).standard_normal((64, N_LSH_TOPK_PLANES))
 
 
+def lsh_code_frame(emb):
+    """(vec_id, embedding) → (vec_id, code, vec, norm): the shared 6-bit
+    hyperplane sign-code stage behind sim_lsh_topk AND the persisted
+    index build (pipeline/ann_index.py). Map-only numpy Arrow stage;
+    the dot products accumulate dimension-sequentially (strict
+    left-to-right fold, vectorized over rows) so the sign bits match the
+    oracle SQL's `+` chain bit-for-bit — BLAS `m @ planes` pairwise-sums
+    in a different order, which could flip a sign bit at |dot| ~ 1e-13."""
+    import numpy as np
+    import pandas as pd
+
+    e = (emb.select("vec_id",
+                    F.col("embedding").cast("array<double>").alias("vec"))
+         .withColumn("norm", F.sqrt(_dot(F.col("vec"), F.col("vec")))))
+    planes = _lsh_topk_planes()
+    weights = (1 << np.arange(N_LSH_TOPK_PLANES)).astype(np.int64)
+
+    def _code_stage(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf["vec"]])
+            acc = np.zeros((m.shape[0], N_LSH_TOPK_PLANES))
+            for j in range(m.shape[1]):
+                acc += m[:, j:j + 1] * planes[j]
+            code = (acc >= 0) @ weights
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "code": code,
+                                "vec": pdf["vec"], "norm": pdf["norm"]})
+
+    return _spread(e).mapInPandas(
+        _code_stage, "vec_id long, code long, vec array<double>, norm double")
+
+
 def sim_lsh_topk(spark, sf_dir):
     """LSH-bucketed ANN top-k — the second scale path beside IVF
     (task brief: "an IVF or LSH-bucketed variant"): corpus vectors get a
@@ -2390,35 +2424,7 @@ def sim_lsh_topk(spark, sf_dir):
     the dot products dimension-by-dimension (strict left-to-right fold,
     vectorized over rows) so the sign bits match the SQL `+` chain
     bit-for-bit."""
-    import numpy as np
-    import pandas as pd
-
-    emb = (_emb(spark, sf_dir)
-           .select("vec_id", F.col("embedding").cast("array<double>").alias("vec"))
-           .withColumn("norm", F.sqrt(_dot(F.col("vec"), F.col("vec")))))
-
-    planes = _lsh_topk_planes()
-    weights = (1 << np.arange(N_LSH_TOPK_PLANES)).astype(np.int64)
-
-    def _code_stage(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            m = np.stack([np.asarray(v, dtype=np.float64)
-                          for v in pdf["vec"]])
-            # dimension-sequential accumulation == the SQL chain's fp
-            # association (BLAS m @ planes pairwise-sums in a different
-            # order, which could flip a sign bit at |dot| ~ 1e-13)
-            acc = np.zeros((m.shape[0], N_LSH_TOPK_PLANES))
-            for j in range(m.shape[1]):
-                acc += m[:, j:j + 1] * planes[j]
-            code = (acc >= 0) @ weights
-            yield pd.DataFrame({"vec_id": pdf["vec_id"], "code": code,
-                                "vec": pdf["vec"], "norm": pdf["norm"]})
-
-    coded = _spread(emb).mapInPandas(
-        _code_stage, "vec_id long, code long, vec array<double>, norm double")
-    coded = coded.cache()
+    coded = lsh_code_frame(_emb(spark, sf_dir)).cache()
 
     # probe masks: every XOR mask with popcount <= N_LSH_MULTIPROBE
     masks = [m for m in range(1 << N_LSH_TOPK_PLANES)
