@@ -77,7 +77,7 @@ HEADLINE = HEADLINE_R1 + [
     "emb_label_centroids", "conv_refusal_scan", "dd_dup_rate_by_source",
     "conv_verbosity_drift", "emb_dim_variance", "emb_outliers",
     "dd_novelty_by_source", "smp_domain_cap", "txt_len_quantiles",
-    "dd_syndication_matrix",
+    "dd_syndication_matrix", "dd_boilerplate_topk", "conv_tool_latency",
 ]
 
 

@@ -1205,6 +1205,89 @@ FROM flagged GROUP BY conv_id ORDER BY conv_id
 """
 
 
+def conv_tool_latency(spark, sf_dir):
+    """Per-tool response latency — the agent-transcript twin of
+    conv_reply_latency at the TOOL grain: for every tool turn, the
+    wall-clock gap to the next assistant turn in the same conversation,
+    rolled up per tool name. An agent-eval pipeline reads this to spot
+    tools whose results the assistant systematically takes long to (or
+    never does) consume — stitched or truncated transcripts show up as
+    unanswered tool calls. Synthesized timestamps are a doc_id hash,
+    not monotone, so negative gaps are reported as-is (exact integer
+    seconds on both engines).
+
+    Tie discipline: rows tied on (conv_id, turn_idx) share the role by
+    construction but NOT the tool name (tool ≡ doc_id mod 3 and tied
+    docs differ by multiples of 1000 ≡ 1 mod 3), so the collapse takes
+    MIN(tool) alongside MIN(role)/MIN(ts) — total-order deterministic.
+    Uses conv_mod=25 (coprime to the role modulus) like every op that
+    needs cross-role adjacency. Plan: one repartition(conv_id) feeds
+    the tie collapse, the forward-looking window, and nothing else; the
+    final rollup is a ≤3-row aggregate with map-side combine."""
+    t = _agent_transcripts(spark, sf_dir, conv_mod=25)
+    turns = (t.repartition("conv_id")
+             .groupBy("conv_id", "turn_idx")
+             .agg(F.min("role").alias("role"),
+                  F.min("tool").alias("tool"),
+                  F.min("ts").alias("ts")))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    nxt = F.first(F.when(F.col("role") == "assistant", F.col("ts")),
+                  ignorenulls=True).over(
+        w.rowsBetween(1, Window.unboundedFollowing))
+    lat = (turns.withColumn("next_asst_ts", nxt)
+           .where(F.col("role") == "tool")
+           .select("tool",
+                   F.expr("CAST(timestampdiff(SECOND, ts, next_asst_ts)"
+                          " AS BIGINT)").alias("latency_s")))
+    return (lat.groupBy("tool")
+            .agg(F.count("*").cast("long").alias("n_calls"),
+                 F.count("latency_s").cast("long").alias("n_answered"),
+                 F.coalesce(F.sum("latency_s"), F.lit(0)).cast("long")
+                 .alias("sum_latency_s"),
+                 F.coalesce(F.max("latency_s"), F.lit(-1)).cast("long")
+                 .alias("max_latency_s"))
+            .withColumn(
+                "mean_latency_s",
+                F.when(F.col("n_answered") > 0,
+                       F.floor(F.col("sum_latency_s").cast("double")
+                               / F.col("n_answered").cast("double")))
+                .otherwise(F.lit(-1)).cast("long"))
+            .orderBy("tool"))
+
+
+CONV_TOOL_LATENCY_SQL = f"""
+WITH t AS ({_agent_transcripts_cte(25)}),
+turns AS (
+  SELECT conv_id, turn_idx, MIN(role) AS role, MIN(tool) AS tool,
+         MIN(ts) AS ts
+  FROM t GROUP BY conv_id, turn_idx
+),
+flagged AS (
+  SELECT conv_id, tool, role, ts,
+         first_value(CASE WHEN role = 'assistant' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS next_asst_ts
+  FROM turns
+),
+lat AS (
+  SELECT tool,
+         CAST(datediff('second', ts, next_asst_ts) AS BIGINT) AS latency_s
+  FROM flagged WHERE role = 'tool'
+)
+SELECT tool,
+       CAST(COUNT(*) AS BIGINT) AS n_calls,
+       CAST(COUNT(latency_s) AS BIGINT) AS n_answered,
+       CAST(COALESCE(SUM(latency_s), 0) AS BIGINT) AS sum_latency_s,
+       CAST(COALESCE(MAX(latency_s), -1) AS BIGINT) AS max_latency_s,
+       CAST(CASE WHEN COUNT(latency_s) > 0
+            THEN floor(CAST(SUM(latency_s) AS DOUBLE)
+                       / CAST(COUNT(latency_s) AS DOUBLE))
+            ELSE -1 END AS BIGINT) AS mean_latency_s
+FROM lat GROUP BY tool ORDER BY tool
+"""
+
+
 VERBOSITY_BUCKET = 100  # turn_idx depth bucket width
 
 
@@ -1257,6 +1340,7 @@ QUERIES = {
     "conv_role_transitions": (conv_role_transitions, CONV_ROLE_TRANS_SQL),
     "conv_refusal_scan": (conv_refusal_scan, CONV_REFUSAL_SQL),
     "conv_verbosity_drift": (conv_verbosity_drift, CONV_VERBOSITY_SQL),
+    "conv_tool_latency": (conv_tool_latency, CONV_TOOL_LATENCY_SQL),
     "import_sales": (import_sales, IMPORT_SALES_SQL),
     "extract_html_readability": (extract_html_readability, EXTRACT_HTML_SQL),
     "extract_pdf_layout": (extract_pdf_layout_q, EXTRACT_PDF_SQL),

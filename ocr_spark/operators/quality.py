@@ -2107,6 +2107,56 @@ FROM ck ORDER BY doc_id, chunk_idx
 """
 
 
+BOILERPLATE_TOP_K = 20
+
+
+def dd_boilerplate_topk(spark, sf_dir):
+    """The boilerplate TABLE itself — dd_chunk_dup scores each doc's
+    shared-chunk share; this names the offenders: the BOILERPLATE_TOP_K
+    token chunks appearing in the most documents (nav chrome, license
+    headers, cookie banners in a real crawl). Curation teams read this
+    before writing a strip list (txt_blocklist_filter's input).
+
+    Scale shape: the same chunking projection as dd_chunk_dup into one
+    groupBy(chunk) with map-side combine (the shuffle carries
+    per-partition (chunk, partials), never the token stream), filtered
+    to cross-doc chunks, then top-K as TakeOrdered — per-partition heads
+    merged on the driver, no global sort. Ties break on the chunk text
+    so the K-boundary is deterministic on both engines."""
+    chunks = (
+        _docs(spark, sf_dir).selectExpr("doc_id", f"{_TOKENS} AS t")
+        .selectExpr(
+            "doc_id",
+            f"explode(transform("
+            f" sequence(0, cast(ceil(size(t) / {CHUNK_TOKENS}.0) AS int) - 1),"
+            f" i -> array_join(slice(t, i * {CHUNK_TOKENS} + 1,"
+            f" {CHUNK_TOKENS}), ' '))) AS chunk"))
+    return (chunks.groupBy("chunk")
+            .agg(F.count("*").cast("long").alias("n_occ"),
+                 F.countDistinct("doc_id").cast("long").alias("n_docs"))
+            .where(F.col("n_docs") >= 2)
+            .orderBy(F.desc("n_docs"), F.desc("n_occ"), "chunk")
+            .limit(BOILERPLATE_TOP_K))
+
+
+DD_BOILERPLATE_SQL = f"""
+WITH ch AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(0, cast(ceil(len(t) / {CHUNK_TOKENS}.0) AS int)),
+           i -> array_to_string(t[i * {CHUNK_TOKENS} + 1
+                                  : i * {CHUNK_TOKENS} + {CHUNK_TOKENS}],
+                                ' '))) AS chunk
+  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+        FROM documents WHERE doc_id IS NOT NULL)
+)
+SELECT chunk, CAST(COUNT(*) AS BIGINT) AS n_occ,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM ch GROUP BY chunk HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, n_occ DESC, chunk LIMIT {BOILERPLATE_TOP_K}
+"""
+
+
 DOMAIN_CAP_K = 4  # max docs kept per host
 
 
@@ -2243,4 +2293,5 @@ QUERIES = {
     "txt_blocklist_filter": (txt_blocklist_filter, TXT_BLOCKLIST_SQL),
     "smp_domain_cap": (smp_domain_cap, SMP_DOMAIN_CAP_SQL),
     "txt_len_quantiles": (txt_len_quantiles, TXT_LEN_QUANT_SQL),
+    "dd_boilerplate_topk": (dd_boilerplate_topk, DD_BOILERPLATE_SQL),
 }

@@ -253,6 +253,67 @@ def streaming_conv_quality(turns: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming refusal scan (the SFT refusal gate as turns arrive)
+# ---------------------------------------------------------------------------
+
+REFUSAL_OUTPUT_SCHEMA = ("conv_id string, n_assistant long, "
+                         "n_refusals long, refusal_bp long, "
+                         "has_refusal int")
+REFUSAL_STATE_SCHEMA = "n_assistant long, n_refusals long"
+
+
+def _refusal_fn(key, pdfs, state: GroupState):
+    import pandas as pd
+
+    from ..operators.extraction import _REFUSAL_MARKS
+
+    (conv_id,) = key
+    n_a, n_r = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        a = pdf[pdf["role"] == "assistant"]
+        if not len(a):
+            continue
+        nn = a["text"].notna()
+        txt = a["text"].fillna("")
+        ln = txt.str.len()
+        # the batch op's deterministic template injection (NULL text
+        # never injects there — length(NULL) is NULL — hence the nn mask)
+        templ = ("Sorry, I can't help with that. (template "
+                 + (ln % 3).astype(str) + ")")
+        low = txt.where((ln % 5 != 0) | ~nn, templ).str.lower()
+        r = pd.Series(False, index=low.index)
+        for m in _REFUSAL_MARKS:
+            r |= low.str.contains(m, regex=False)
+        n_a += int(len(a))
+        n_r += int((r & nn).sum())
+    state.update((n_a, n_r))
+    if n_a > 0:  # batch op's grain: only convs with an assistant turn
+        yield pd.DataFrame(
+            [(conv_id, n_a, n_r, n_r * 10000 // max(n_a, 1),
+              1 if n_r > 0 else 0)],
+            columns=["conv_id", "n_assistant", "n_refusals",
+                     "refusal_bp", "has_refusal"])
+
+
+def streaming_conv_refusal(turns: DataFrame) -> DataFrame:
+    """conv_refusal_scan (operators/extraction.py) with explicit state —
+    the per-conversation canned-refusal share updated AS TURNS ARRIVE,
+    including the same deterministic template injection so the two
+    compute the identical function over identical turns (batch
+    equivalence across micro-batch splits pinned in
+    tests/test_stateful_streaming.py). Both counters are monotone, so
+    has_refusal only flips 0→1; state is two longs per conversation —
+    O(1), no text retained. Emits only conversations that have seen an
+    assistant turn (the batch op's grain)."""
+    return (
+        turns.groupBy("conv_id")
+        .applyInPandasWithState(
+            _refusal_fn, REFUSAL_OUTPUT_SCHEMA, REFUSAL_STATE_SCHEMA,
+            "append", GroupStateTimeout.NoTimeout)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Cross-micro-batch near-duplicate detection (streaming MinHash-LSH)
 # ---------------------------------------------------------------------------
 

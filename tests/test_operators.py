@@ -1370,3 +1370,37 @@ def test_len_quantiles_hand_computed(spark, tmp_path):
     assert rows[10].value == 1 and rows[10].n == 5
     assert rows[50].value == 3
     assert rows[90].value == 4 and rows[99].value == 4
+
+
+def test_boilerplate_topk_hand_computed(spark, tmp_path):
+    """Docs 1 and 2 share their only 10-token chunk; doc 6's chunk is
+    unique and must be filtered (cross-doc chunks only)."""
+    from ocr_spark.operators.quality import dd_boilerplate_topk
+
+    d = str(tmp_path / "boiler")
+    shared = "a b c d e f g h i j"
+    _write_docs(spark, d, [(1, shared, "en", "s", 19),
+                           (2, shared, "en", "s", 19),
+                           (6, "k l m n o p q r s t", "en", "s", 19)])
+    rows = dd_boilerplate_topk(spark, d).collect()
+    assert len(rows) == 1
+    assert (rows[0].chunk, rows[0].n_occ, rows[0].n_docs) == (shared, 2, 2)
+
+
+def test_tool_latency_hand_computed(spark, tmp_path):
+    """Doc 2 is a browser call at turn 2; doc 77 is the next assistant
+    turn (turn 77) in the same conv-of-25 -> latency (77-2)*7 s. Doc 6
+    is a search call with no assistant after it -> unanswered."""
+    from ocr_spark.operators.extraction import conv_tool_latency
+
+    d = str(tmp_path / "toollat")
+    _write_docs(spark, d, [(2, "t", "en", "s", 1),    # tool 'browser'
+                           (77, "a", "en", "s", 1),   # assistant, conv 2
+                           (6, "t", "en", "s", 1)])   # tool 'search'
+    rows = {r.tool: r for r in conv_tool_latency(spark, d).collect()}
+    b = rows["browser"]
+    assert b.n_calls == 1 and b.n_answered == 1
+    assert b.sum_latency_s == 525 and b.mean_latency_s == 525
+    s = rows["search"]
+    assert s.n_calls == 1 and s.n_answered == 0
+    assert s.max_latency_s == -1 and s.mean_latency_s == -1

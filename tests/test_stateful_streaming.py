@@ -312,3 +312,48 @@ def test_streaming_tool_chains_matches_hand_batch(spark, tmp_path):
     c2 = latest["c2"]
     assert c2.n_tool_turns == 0 and c2.n_tool_runs == 0
     assert c2.top_tool is None and c2.top_tool_calls == 0
+
+
+def test_streaming_refusal_matches_batch_scan(spark, tmp_path):
+    """streaming_conv_refusal must converge to conv_refusal_scan's exact
+    rows at ANY micro-batch split: the synthesized transcript turns are
+    replayed in two batches split mid-conversation, and the LATEST
+    emitted row per conversation must equal the batch operator's."""
+    import os
+
+    from ocr_spark.operators.extraction import (_agent_transcripts,
+                                                conv_refusal_scan)
+    from ocr_spark.streaming.stateful import streaming_conv_refusal
+
+    d = str(tmp_path / "docs")
+    docs = [(i, f"reply body {i}" + "x" * (i % 7), "en", "s", 10)
+            for i in range(1, 120)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    want = {r.conv_id: tuple(r)
+            for r in conv_refusal_scan(spark, d).collect()}
+    assert any(v[2] > 0 for v in want.values()), \
+        "fixture must reach the refusal class"
+
+    turns = _agent_transcripts(spark, d).collect()
+    inp = str(tmp_path / "in")
+    schema_str = ("conv_id string, turn_idx int, role string, "
+                  "text string, tool string, ts timestamp")
+    half = len(turns) // 2
+    for batch in (turns[:half], turns[half:]):
+        spark.createDataFrame(batch, schema_str).coalesce(1) \
+            .write.mode("append").parquet(inp)
+    schema = spark.read.parquet(inp).schema
+    stream = spark.readStream.schema(schema).parquet(inp)
+    res = _run_available_now(spark, streaming_conv_refusal(stream),
+                             str(tmp_path / "out"), str(tmp_path / "ck"))
+    latest = {}
+    for r in res.collect():
+        cur = latest.get(r.conv_id)
+        if cur is None or r.n_assistant > cur.n_assistant:
+            latest[r.conv_id] = r
+    got = {c: tuple(r) for c, r in latest.items()}
+    assert got == want
