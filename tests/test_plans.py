@@ -263,3 +263,38 @@ def test_conv_tool_chains_single_exchange_runs_branch(spark):
     assert len(ex) <= 3, f"expected <=3 hash exchanges, got {ex}"
     assert not any("turn_idx" in e for e in ex), \
         f"an exchange keyed on turn_idx crept in: {ex}"
+
+
+def test_domain_cap_single_window_shuffle(spark):
+    """smp_domain_cap: one hash exchange for the per-host window plus
+    the presentation sort — the cap must never add a second corpus
+    shuffle (the host key IS the window key)."""
+    from ocr_spark.operators.quality import smp_domain_cap
+    from ocr_spark.plans.audit import exchange_count, has_sort_merge_join
+    df = smp_domain_cap(spark, SF_DIR)
+    assert exchange_count(df) <= 2
+    assert not has_sort_merge_join(df)
+
+
+def test_len_quantiles_targets_broadcast(spark):
+    """txt_len_quantiles: the sources×4 target table joins back as a
+    BROADCAST — a sort-merge join here would re-shuffle the ranked
+    corpus for an 80-row probe side."""
+    from ocr_spark.operators.quality import txt_len_quantiles
+    from ocr_spark.plans.audit import (has_broadcast_hash_join,
+                                       has_sort_merge_join)
+    df = txt_len_quantiles(spark, SF_DIR)
+    assert has_broadcast_hash_join(df)
+    assert not has_sort_merge_join(df)
+
+
+def test_emb_outliers_centroids_broadcast(spark):
+    """emb_outliers: the labels×dims centroid table must broadcast onto
+    the exploded corpus (map-only distance pass); a sort-merge join
+    would shuffle every (vec, dim) row a second time."""
+    from ocr_spark.operators.corpus import emb_outliers
+    from ocr_spark.plans.audit import (has_broadcast_hash_join,
+                                       has_sort_merge_join)
+    df = emb_outliers(spark, SF_DIR)
+    assert has_broadcast_hash_join(df)
+    assert not has_sort_merge_join(df)
