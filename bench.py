@@ -78,6 +78,8 @@ HEADLINE = HEADLINE_R1 + [
     "conv_verbosity_drift", "emb_dim_variance", "emb_outliers",
     "dd_novelty_by_source", "smp_domain_cap", "txt_len_quantiles",
     "dd_syndication_matrix", "dd_boilerplate_topk", "conv_tool_latency",
+    "conv_lang_mix", "conv_degenerate_scan", "txt_url_density",
+    "dd_minhash_est_error",
 ]
 
 

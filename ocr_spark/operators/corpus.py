@@ -920,6 +920,12 @@ def _minhash_sig_stage(emit_shingles: bool = False):
                 out_sigs.append(sig.astype(np.int64).tolist())
                 if emit_shingles:
                     out_sets.append(np.sort(h.astype(np.int64)).tolist())
+            # a batch whose docs are ALL sub-3-words yields no rows; an
+            # empty DataFrame's columns default to float64 and Arrow
+            # refuses float64 -> array<long> (real at scale: a partition
+            # of short docs), so yield nothing instead
+            if not out_ids:
+                continue
             cols = {"doc_id": out_ids, "sig": out_sigs}
             if emit_shingles:
                 cols["shingles"] = out_sets
@@ -1033,6 +1039,63 @@ def dd_minhash_verified(spark, sf_dir):
             .where(F.col("jaccard_bp") >= VERIFY_JACCARD_BP)
             .select("doc_a", "doc_b", "n_common", "jaccard_bp")
             .orderBy("doc_a", "doc_b"))
+
+
+def dd_minhash_est_error(spark, sf_dir):
+    """Sketch calibration — the measurement a pipeline runs before
+    committing to (K, bands, rows) MinHash parameters at 100 TB: over
+    the LSH candidate pairs, compare the signature-estimated jaccard
+    (matching components / K) against the exact jaccard over the shared
+    shingle universe, and histogram the estimator error by exact-jaccard
+    decile. Reads as "at true similarity 0.7–0.8 the K=128 sketch is
+    within ±X bp, over-estimating Y% of pairs" — the evidence for
+    raising or lowering the verify threshold / band count.
+
+    Scale shape: identical to dd_minhash_verified (one combined Arrow
+    tokenize stage, bounded LSH candidates, two co-partitioned attach
+    joins); the histogram adds only a ~10-row aggregation. All shares
+    are integer-division basis points and every count is integer — the
+    oracle replays the whole pipeline (permutations, banding, star cap,
+    estimator) exactly."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    both = (_spread(docs).mapInPandas(_minhash_sig_shingle_stage(),
+                                      "doc_id long, sig array<long>, "
+                                      "shingles array<long>")
+            .persist())
+    cand = (_lsh_candidate_pairs(
+        _minhash_bands(both.select("doc_id", "sig")))
+        .select("doc_a", "doc_b"))
+    pa = both.select(F.col("doc_id").alias("doc_a"),
+                     F.col("sig").alias("sig_a"),
+                     F.col("shingles").alias("sh_a"))
+    pb = both.select(F.col("doc_id").alias("doc_b"),
+                     F.col("sig").alias("sig_b"),
+                     F.col("shingles").alias("sh_b"))
+    scored = (cand.join(pa, "doc_a").join(pb, "doc_b")
+              .selectExpr(
+                  # matching signature components; lambdas touch only
+                  # lambda variables (the HOF-outer-column trap)
+                  "CAST(size(filter(zip_with(sig_a, sig_b,"
+                  " (x, y) -> x = y), e -> e)) AS BIGINT) AS n_eq",
+                  "CAST(size(array_intersect(sh_a, sh_b)) AS BIGINT)"
+                  " AS n_common",
+                  "CAST(size(sh_a) + size(sh_b) AS BIGINT) AS n_both")
+              .selectExpr(
+                  f"n_eq * 10000 DIV {N_MINHASH} AS est_bp",
+                  "n_common * 10000 DIV (n_both - n_common) AS exact_bp"))
+    err = F.expr("abs(est_bp - exact_bp)")
+    return (scored
+            .select(F.expr("exact_bp DIV 1000").cast("long").alias("bin"),
+                    "est_bp", "exact_bp")
+            .groupBy("bin")
+            .agg(F.count("*").cast("long").alias("n_pairs"),
+                 F.sum(err).cast("long").alias("abs_err_sum_bp"),
+                 F.max(err).cast("long").alias("abs_err_max_bp"),
+                 F.sum((F.col("est_bp") > F.col("exact_bp")).cast("long"))
+                 .cast("long").alias("n_over"),
+                 F.sum((F.col("est_bp") < F.col("exact_bp")).cast("long"))
+                 .cast("long").alias("n_under"))
+            .orderBy("bin"))
 
 
 def _lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
@@ -1167,6 +1230,51 @@ inter AS (
 SELECT doc_a, doc_b, n_common, jaccard_bp
 FROM scored WHERE jaccard_bp >= {VERIFY_JACCARD_BP}
 ORDER BY doc_a, doc_b
+"""
+
+# sketch calibration: estimator (matching sig components / K) vs exact
+# jaccard per candidate pair, histogrammed by exact-jaccard decile. A
+# zero-intersection band collision is possible (two mod-p argmin ties), so
+# the intersection attaches with a LEFT JOIN + COALESCE 0 — the Spark side
+# gets the same for free from array_intersect.
+DD_MINHASH_EST_ERR_SQL = f"""
+WITH {_MINHASH_CTES.format(src="documents")},
+sets AS (SELECT doc_id, COUNT(*) AS n_sh FROM hashed GROUP BY doc_id),
+uniq AS (SELECT DISTINCT doc_a, doc_b FROM cand_pairs),
+eq AS (
+  SELECT u.doc_a, u.doc_b,
+         CAST(SUM(CASE WHEN sa.sigv = sb.sigv THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_eq
+  FROM uniq u
+  JOIN sigs sa ON sa.doc_id = u.doc_a
+  JOIN sigs sb ON sb.doc_id = u.doc_b AND sb.k = sa.k
+  GROUP BY 1, 2
+),
+inter AS (
+  SELECT u.doc_a, u.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM uniq u
+  JOIN hashed ha ON ha.doc_id = u.doc_a
+  JOIN hashed hb ON hb.doc_id = u.doc_b AND hb.h = ha.h
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT e.n_eq * 10000 // {N_MINHASH} AS est_bp,
+         COALESCE(i.n_common, 0) * 10000
+           // (sa.n_sh + sb.n_sh - COALESCE(i.n_common, 0)) AS exact_bp
+  FROM eq e
+  LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+  JOIN sets sa ON sa.doc_id = e.doc_a
+  JOIN sets sb ON sb.doc_id = e.doc_b
+)
+SELECT CAST(exact_bp // 1000 AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(ABS(est_bp - exact_bp)) AS BIGINT) AS abs_err_sum_bp,
+       CAST(MAX(ABS(est_bp - exact_bp)) AS BIGINT) AS abs_err_max_bp,
+       CAST(SUM(CASE WHEN est_bp > exact_bp THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_over,
+       CAST(SUM(CASE WHEN est_bp < exact_bp THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_under
+FROM scored GROUP BY 1 ORDER BY bin
 """
 
 DD_CLUSTERS_SQL = f"""
@@ -3442,6 +3550,7 @@ QUERIES = {
     "dd_semantic_dup": (dd_semantic_dup, None),
     "dd_ngram_jaccard": (dd_ngram_jaccard, DD_NGRAM_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
+    "dd_minhash_est_error": (dd_minhash_est_error, DD_MINHASH_EST_ERR_SQL),
     "dd_minhash_verified": (dd_minhash_verified, DD_MINHASH_VERIFIED_SQL),
     "dd_dup_clusters": (dd_dup_clusters, DD_CLUSTERS_SQL),
     "dd_cluster_canonical": (dd_cluster_canonical, DD_CANONICAL_SQL),

@@ -1329,6 +1329,168 @@ GROUP BY 1 ORDER BY depth_bucket
 """
 
 
+def conv_lang_mix(spark, sf_dir):
+    """Per-conversation language consistency — the multilingual-screening
+    read a transcript pipeline takes before routing conversations to
+    language-specific curation: each turn gets the repo's langid
+    heuristic (marker-stopword argmax, deterministic tie order), then per
+    conversation the distinct identified languages, the dominant
+    prediction, and its share of turns. Code-switched or mislabeled
+    conversations surface as n_langs > 1 / low dominant share.
+
+    Scale shape: the langid scoring is a map-only projection (the same
+    expressions as txt_langid); per-conversation counts are one keyed
+    aggregation with map-side combine, and the dominant-language pick is
+    a window over the per-(conv, lang) count frame — rows bounded by
+    conversations × 5 labels, not by turns. Dominant share is integer
+    basis points (exact on both engines)."""
+    from .corpus import lang_argmax_column, lang_hit_columns
+    t = _agent_transcripts(spark, sf_dir)
+    pred = (t.select("conv_id", *lang_hit_columns(F.col("text")))
+            .withColumn("pred_lang", lang_argmax_column())
+            .select("conv_id", "pred_lang"))
+    counts = (pred.groupBy("conv_id", "pred_lang")
+              .agg(F.count("*").cast("long").alias("n")))
+    w = Window.partitionBy("conv_id").orderBy(
+        F.col("n").desc(), F.col("pred_lang").asc())
+    dom = (counts.withColumn("rn", F.row_number().over(w))
+           .where(F.col("rn") == 1)
+           .select("conv_id", F.col("pred_lang").alias("dom_lang"),
+                   F.col("n").alias("dom_n")))
+    agg = (counts.groupBy("conv_id")
+           .agg(F.sum("n").cast("long").alias("n_turns"),
+                F.count_distinct(
+                    F.when(F.col("pred_lang") != "unk",
+                           F.col("pred_lang"))).cast("long")
+                .alias("n_langs")))
+    return (agg.join(dom, "conv_id")
+            .select("conv_id", "n_turns", "n_langs", "dom_lang",
+                    F.expr("dom_n * 10000 DIV n_turns").cast("long")
+                    .alias("dom_share_bp"))
+            .orderBy("conv_id"))
+
+
+_LANG_HITS_SQL = """
+    len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t IN ('the','and','of'))) AS hits_en,
+    len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t IN ('der','und','die'))) AS hits_de,
+    len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t IN ('le','et','les'))) AS hits_fr,
+    len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t IN ('el','y','los'))) AS hits_es"""
+
+_LANG_PRED_SQL = """
+    CASE WHEN hits_en = GREATEST(hits_en, hits_de, hits_fr, hits_es) AND GREATEST(hits_en, hits_de, hits_fr, hits_es) > 0 THEN 'en'
+         WHEN hits_de = GREATEST(hits_en, hits_de, hits_fr, hits_es) AND GREATEST(hits_en, hits_de, hits_fr, hits_es) > 0 THEN 'de'
+         WHEN hits_fr = GREATEST(hits_en, hits_de, hits_fr, hits_es) AND GREATEST(hits_en, hits_de, hits_fr, hits_es) > 0 THEN 'fr'
+         WHEN hits_es = GREATEST(hits_en, hits_de, hits_fr, hits_es) AND GREATEST(hits_en, hits_de, hits_fr, hits_es) > 0 THEN 'es'
+         ELSE 'unk' END AS pred_lang"""
+
+CONV_LANG_MIX_SQL = f"""
+WITH t AS ({_AGENT_TRANSCRIPTS_CTE}),
+scored AS (
+  SELECT conv_id,
+{_LANG_HITS_SQL}
+  FROM t
+),
+pred AS (SELECT conv_id, {_LANG_PRED_SQL} FROM scored),
+counts AS (
+  SELECT conv_id, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pred GROUP BY 1, 2
+),
+dom AS (
+  SELECT conv_id, pred_lang AS dom_lang, n AS dom_n,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY n DESC, pred_lang ASC) AS rn
+  FROM counts
+),
+agg AS (
+  SELECT conv_id, CAST(SUM(n) AS BIGINT) AS n_turns,
+         CAST(COUNT(DISTINCT CASE WHEN pred_lang <> 'unk'
+                                  THEN pred_lang END) AS BIGINT) AS n_langs
+  FROM counts GROUP BY 1
+)
+SELECT a.conv_id, a.n_turns, a.n_langs, d.dom_lang,
+       CAST(d.dom_n * 10000 // a.n_turns AS BIGINT) AS dom_share_bp
+FROM agg a JOIN dom d ON d.conv_id = a.conv_id AND d.rn = 1
+ORDER BY a.conv_id
+"""
+
+
+# dup-bigram share (basis points) at or above which an assistant turn is
+# flagged as degenerate decoding (Gopher gates documents near 0.2; looping
+# generations sit far above it)
+DEGEN_DUP_BP = 2000
+DEGEN_MIN_TOKENS = 20
+
+
+def conv_degenerate_scan(spark, sf_dir):
+    """Degenerate-decoding scan over assistant turns — the screen a
+    transcript-curation pipeline runs for looping generations (an
+    assistant stuck repeating a phrase poisons SFT data): per assistant
+    turn of ≥ DEGEN_MIN_TOKENS tokens, the share of bigram instances
+    whose bigram repeats within the turn (the Gopher dup-bigram signal,
+    computed turn-locally), then per conversation the count of flagged
+    turns and the worst share.
+
+    Scale shape: the per-turn signal is the map-only sort-run fold of
+    quality.with_repetition_signals — turn-local, zero corpus shuffle;
+    only (conv_id, dup_bp) rows reach the one keyed aggregation. The
+    DuckDB oracle recomputes the same numbers via the keyed
+    explode + GROUP BY form (differential across two algorithms, like
+    txt_repetition). Share is integer basis points — exact."""
+    from .quality import with_repetition_signals
+    t = _agent_transcripts(spark, sf_dir)
+    asst = (t.where(F.col("role") == "assistant")
+            .selectExpr("conv_id", "split(lower(text), '\\\\s+') AS t")
+            .where(f"size(t) >= {DEGEN_MIN_TOKENS}"))
+    per_turn = (with_repetition_signals(asst)
+                .select("conv_id",
+                        F.expr("dup_bg * 10000 DIV n_bg").cast("long")
+                        .alias("dup_bp")))
+    return (per_turn.groupBy("conv_id")
+            .agg(F.count("*").cast("long").alias("n_checked"),
+                 F.sum((F.col("dup_bp") >= DEGEN_DUP_BP).cast("long"))
+                 .cast("long").alias("n_degenerate"),
+                 F.max("dup_bp").cast("long").alias("max_dup_bp"))
+            .orderBy("conv_id"))
+
+
+# the oracle keys per-turn stats by doc_id (unique per synthesized turn);
+# the Spark side never needs it — the fold is row-local
+CONV_DEGEN_SQL = f"""
+WITH t AS (
+  SELECT doc_id AS turn_uid,
+         printf('conv-%06d', ((doc_id % 50) + 50) % 50) AS conv_id,
+         ['user', 'assistant', 'tool', 'system']
+           [CAST(((doc_id % 4) + 4) % 4 AS INT) + 1] AS role,
+         text
+  FROM documents
+),
+tok AS (
+  SELECT turn_uid, conv_id, string_split_regex(lower(text), '\\s+') AS t
+  FROM t WHERE role = 'assistant'
+    AND len(string_split_regex(lower(text), '\\s+')) >= {DEGEN_MIN_TOKENS}
+),
+bg AS (
+  SELECT turn_uid, conv_id,
+         CAST(SUM(c) AS BIGINT) AS n_bg,
+         CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_bg
+  FROM (
+    SELECT turn_uid, conv_id, g, COUNT(*) AS c
+    FROM (SELECT turn_uid, conv_id,
+                 unnest(list_transform(range(1, len(t)),
+                        i -> t[i] || ' ' || t[i + 1])) AS g
+          FROM tok) GROUP BY 1, 2, 3)
+  GROUP BY 1, 2
+),
+scored AS (SELECT conv_id, dup_bg * 10000 // n_bg AS dup_bp FROM bg)
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_checked,
+       CAST(SUM(CASE WHEN dup_bp >= {DEGEN_DUP_BP} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_degenerate,
+       CAST(MAX(dup_bp) AS BIGINT) AS max_dup_bp
+FROM scored GROUP BY conv_id ORDER BY conv_id
+"""
+
+
 QUERIES = {
     "conv_assemble": (conv_assemble, CONV_ASSEMBLE_SQL),
     "conv_stats": (conv_stats, CONV_STATS_SQL),
@@ -1341,6 +1503,8 @@ QUERIES = {
     "conv_refusal_scan": (conv_refusal_scan, CONV_REFUSAL_SQL),
     "conv_verbosity_drift": (conv_verbosity_drift, CONV_VERBOSITY_SQL),
     "conv_tool_latency": (conv_tool_latency, CONV_TOOL_LATENCY_SQL),
+    "conv_lang_mix": (conv_lang_mix, CONV_LANG_MIX_SQL),
+    "conv_degenerate_scan": (conv_degenerate_scan, CONV_DEGEN_SQL),
     "import_sales": (import_sales, IMPORT_SALES_SQL),
     "extract_html_readability": (extract_html_readability, EXTRACT_HTML_SQL),
     "extract_pdf_layout": (extract_pdf_layout_q, EXTRACT_PDF_SQL),

@@ -2265,8 +2265,87 @@ ORDER BY r.source, p
 """
 
 
+# ---------------------------------------------------------------------------
+# URL / link density (C4-style link-spam signal)
+# ---------------------------------------------------------------------------
+
+# [!-~] = printable non-space ASCII: Java \s and RE2 \s disagree on \x0B,
+# so neither appears in the pattern — it is byte-identical on both engines
+_URL_RE = "https?://[!-~]+"
+# a doc whose URL characters exceed 30% of its text is link spam
+URL_SPAM_BP = 3000
+
+
+def txt_url_density(spark, sf_dir):
+    """Link-density screening per source — the C4-style signal that
+    separates prose from link farms / navigation dumps: per doc, the
+    count of URLs and the share of characters inside them; per source,
+    how many docs contain URLs, how many cross the link-spam share, and
+    the aggregate URL-character share.
+
+    Scale shape: one map-only projection (regexp_extract_all + an
+    aggregate fold whose lambda touches only lambda variables) into a
+    tiny groupBy(source) with map-side combine. Every output is an
+    integer or an integer-division basis-point share — exact on both
+    engines (no ROUND edge, no double sums)."""
+    docs = _docs(spark, sf_dir)
+    per = docs.selectExpr(
+        "source",
+        f"CAST(size(regexp_extract_all(coalesce(text, ''),"
+        f" '{_URL_RE}', 0)) AS BIGINT) AS n_urls",
+        f"CAST(aggregate(regexp_extract_all(coalesce(text, ''),"
+        f" '{_URL_RE}', 0), 0L, (a, x) -> a + length(x)) AS BIGINT)"
+        " AS url_chars",
+        "CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars")
+    spam = ((F.col("n_chars") > 0)
+            & (F.col("url_chars") * 10000 >= F.col("n_chars") * URL_SPAM_BP))
+    return (per.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum((F.col("n_urls") > 0).cast("long")).cast("long")
+                 .alias("n_url_docs"),
+                 F.sum(spam.cast("long")).cast("long").alias("n_spam_docs"),
+                 F.sum("n_urls").cast("long").alias("urls_total"),
+                 F.sum("url_chars").cast("long").alias("url_chars_total"),
+                 F.sum("n_chars").cast("long").alias("chars_total"))
+            .withColumn("link_char_bp",
+                        F.expr("url_chars_total * 10000"
+                               " DIV greatest(chars_total, 1)").cast("long"))
+            .select("source", "n_docs", "n_url_docs", "n_spam_docs",
+                    "urls_total", "url_chars_total", "chars_total",
+                    "link_char_bp")
+            .orderBy("source"))
+
+
+TXT_URL_DENSITY_SQL = f"""
+WITH per AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(coalesce(text, ''), '{_URL_RE}'))
+              AS BIGINT) AS n_urls,
+         CAST(coalesce(list_sum(list_transform(
+                regexp_extract_all(coalesce(text, ''), '{_URL_RE}'),
+                x -> len(x))), 0) AS BIGINT) AS url_chars,
+         CAST(len(coalesce(text, '')) AS BIGINT) AS n_chars
+  FROM documents WHERE doc_id IS NOT NULL
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_urls > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_url_docs,
+       CAST(SUM(CASE WHEN n_chars > 0
+                      AND url_chars * 10000 >= n_chars * {URL_SPAM_BP}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_spam_docs,
+       CAST(SUM(n_urls) AS BIGINT) AS urls_total,
+       CAST(SUM(url_chars) AS BIGINT) AS url_chars_total,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+       CAST(SUM(url_chars) * 10000 // GREATEST(SUM(n_chars), 1) AS BIGINT)
+         AS link_char_bp
+FROM per GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "txt_repetition": (txt_repetition, TXT_REPETITION_SQL),
+    "txt_url_density": (txt_url_density, TXT_URL_DENSITY_SQL),
     "txt_pii_scrub": (txt_pii_scrub, TXT_PII_SQL),
     "txt_contamination": (txt_contamination, TXT_CONTAM_SQL),
     "smp_stratified": (smp_stratified, SMP_STRAT_SQL),

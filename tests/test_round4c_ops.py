@@ -1,0 +1,144 @@
+"""Round-4 continuation ops: conv-grain language mix, degenerate-decoding
+scan, URL/link density, MinHash sketch calibration. Planted-semantics
+assertions plus edge-corpus differentials (the sf0.001 oracle compare runs
+in test_operators.py via the ALL_QUERIES parametrize)."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="testdata not available")
+
+
+# doc_id picks the conv (id % 50), the role (id % 4: 1 = assistant) and the
+# langid markers are planted in the text
+EDGE_DOCS = [
+    # conv-000000: one English turn, one German turn (tied counts)
+    (0, "the and of", "en", "web"),
+    (50, "der und die", "de", "web"),
+    # conv-000001: a degenerate assistant turn (30 tokens, one bigram) and
+    # a clean assistant turn (25 distinct tokens)
+    (1, "loop " * 29 + "loop", "en", "web"),
+    (101, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+          "lam mu nu xi omicron pi rho sigma tau upsilon phi chi psi "
+          "omega end", "en", "web"),
+    # conv-000002: assistant turn below the token floor (never checked)
+    (149, "short reply only", "en", "web"),
+    # URL density: a prose doc with one link, a link farm, and empties
+    (7, "see https://example.com/page for details about the thing and "
+        "plenty of ordinary prose around it keeping the share low",
+     "en", "web"),
+    (8, "https://a.example/x https://b.example/y https://c.example/z ok",
+     "en", "crawl"),
+    (9, "", "en", "crawl"),
+    (10, None, "en", "crawl"),
+    # near-dup pair for the sketch calibration (identical text: every
+    # band collides, est = exact = 10000)
+    (11, "zeta one two three four five six seven eight nine ten "
+         "eleven twelve thirteen fourteen fifteen", "en", "books"),
+    (12, "zeta one two three four five six seven eight nine ten "
+         "eleven twelve thirteen fourteen fifteen", "en", "books"),
+]
+
+
+def _edge_dir(spark, tmp_path):
+    d = str(tmp_path / "edge")
+    spark.createDataFrame(
+        EDGE_DOCS, "doc_id long, text string, lang string, source string"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    return d
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                v = None if math.isnan(v) else round(v, 6)
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+
+
+def _duck_on(d, sql):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{os.path.join(d, 'documents.parquet')}/*.parquet'")
+    res = con.execute(sql)
+    return res.fetchall(), [c[0] for c in res.description]
+
+
+@pytest.mark.parametrize("name", [
+    "conv_lang_mix", "conv_degenerate_scan", "txt_url_density",
+    "dd_minhash_est_error"])
+def test_edge_corpus_matches_oracle(spark, tmp_path, name):
+    """NULL/empty text, tied language counts, planted duplicates: Spark
+    and DuckDB must agree row-for-row beyond the well-formed testdata."""
+    from ocr_spark.operators import ALL_QUERIES
+    fn, sql = ALL_QUERIES[name]
+    d = _edge_dir(spark, tmp_path)
+    sdf = fn(spark, d)
+    drows, dcols = _duck_on(d, sql)
+    assert _canon([tuple(r) for r in sdf.collect()], sdf.columns) == \
+        _canon(drows, dcols), f"{name} diverges on the edge corpus"
+
+
+def test_lang_mix_counts_and_tie_order(spark, tmp_path):
+    from ocr_spark.operators.extraction import conv_lang_mix
+    d = _edge_dir(spark, tmp_path)
+    rows = {r.conv_id: r for r in conv_lang_mix(spark, d).collect()}
+    c0 = rows["conv-000000"]
+    assert c0.n_turns == 2 and c0.n_langs == 2
+    # tied counts: lexicographically smaller language wins
+    assert c0.dom_lang == "de" and c0.dom_share_bp == 5000
+    c1 = rows["conv-000001"]            # no marker words in either turn
+    assert c1.dom_lang == "unk" and c1.n_langs == 0
+    assert c1.dom_share_bp == 10000
+
+
+def test_degenerate_scan_flags_looping_assistant(spark, tmp_path):
+    from ocr_spark.operators.extraction import conv_degenerate_scan
+    d = _edge_dir(spark, tmp_path)
+    rows = {r.conv_id: r for r in conv_degenerate_scan(spark, d).collect()}
+    c1 = rows["conv-000001"]
+    assert c1.n_checked == 2          # both assistant turns >= 20 tokens
+    assert c1.n_degenerate == 1       # only the loop
+    assert c1.max_dup_bp == 10000     # every bigram of the loop repeats
+    # the short assistant reply never reaches the signal
+    assert "conv-000049" not in rows and "conv-000002" not in rows
+
+
+def test_url_density_planted_counts(spark, tmp_path):
+    from ocr_spark.operators.quality import txt_url_density
+    d = _edge_dir(spark, tmp_path)
+    rows = {r.source: r for r in txt_url_density(spark, d).collect()}
+    web = rows["web"]
+    assert web.n_url_docs == 1 and web.urls_total == 1
+    assert web.n_spam_docs == 0
+    crawl = rows["crawl"]                 # link farm + empty + NULL text
+    assert crawl.n_docs == 3
+    assert crawl.n_url_docs == 1 and crawl.urls_total == 3
+    assert crawl.n_spam_docs == 1         # URL chars dominate the farm doc
+    books = rows["books"]
+    assert books.n_url_docs == 0 and books.link_char_bp == 0
+
+
+def test_sketch_calibration_exact_dup_bin(spark, tmp_path):
+    """Identical docs collide in every band; the estimator and the exact
+    jaccard both read 10000 — bin 10 with zero error."""
+    from ocr_spark.operators.corpus import dd_minhash_est_error
+    d = _edge_dir(spark, tmp_path)
+    rows = {r.bin: r for r in dd_minhash_est_error(spark, d).collect()}
+    assert 10 in rows
+    top = rows[10]
+    assert top.n_pairs >= 1
+    assert top.abs_err_max_bp == 0
+    assert top.n_over == 0 and top.n_under == 0
