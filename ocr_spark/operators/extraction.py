@@ -1349,8 +1349,12 @@ def conv_lang_mix(spark, sf_dir):
     pred = (t.select("conv_id", *lang_hit_columns(F.col("text")))
             .withColumn("pred_lang", lang_argmax_column())
             .select("conv_id", "pred_lang"))
+    # counts is read twice (dominant pick + per-conv totals); persisting
+    # the ≤ convs×5-label frame keeps the langid HOF scan of the corpus
+    # to ONE pass (the harness owns cache hygiene, per CLAUDE.md)
     counts = (pred.groupBy("conv_id", "pred_lang")
-              .agg(F.count("*").cast("long").alias("n")))
+              .agg(F.count("*").cast("long").alias("n"))
+              .persist())
     w = Window.partitionBy("conv_id").orderBy(
         F.col("n").desc(), F.col("pred_lang").asc())
     dom = (counts.withColumn("rn", F.row_number().over(w))

@@ -314,6 +314,68 @@ def streaming_conv_refusal(turns: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming degenerate-decoding scan (looping assistant turns, as they arrive)
+# ---------------------------------------------------------------------------
+
+DEGEN_OUTPUT_SCHEMA = ("conv_id string, n_checked long, "
+                       "n_degenerate long, max_dup_bp long")
+DEGEN_STATE_SCHEMA = "n_checked long, n_degenerate long, max_dup_bp long"
+
+
+def _degen_fn(key, pdfs, state: GroupState):
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from ..operators.extraction import DEGEN_DUP_BP, DEGEN_MIN_TOKENS
+
+    (conv_id,) = key
+    n_c, n_d, mx = state.get if state.exists else (0, 0, 0)
+    # Java \s (what Spark's split compiles to) is ASCII-only; Python's \s
+    # is unicode — spell the class out so both engines tokenize alike.
+    # Java split also drops TRAILING empty fields but keeps a leading one.
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    for pdf in pdfs:
+        a = pdf[(pdf["role"] == "assistant") & pdf["text"].notna()]
+        for text in a["text"]:
+            toks = ws.split(str(text).lower())
+            while toks and toks[-1] == "":
+                toks.pop()
+            if len(toks) < DEGEN_MIN_TOKENS:
+                continue
+            n_bg = len(toks) - 1
+            counts = Counter(zip(toks, toks[1:]))
+            dup = sum(v for v in counts.values() if v >= 2)
+            bp = dup * 10000 // n_bg
+            n_c += 1
+            n_d += 1 if bp >= DEGEN_DUP_BP else 0
+            mx = max(mx, bp)
+    state.update((n_c, n_d, mx))
+    if n_c > 0:  # batch op's grain: only convs with a checked turn
+        yield pd.DataFrame(
+            [(conv_id, n_c, n_d, mx)],
+            columns=["conv_id", "n_checked", "n_degenerate", "max_dup_bp"])
+
+
+def streaming_conv_degenerate(turns: DataFrame) -> DataFrame:
+    """conv_degenerate_scan (operators/extraction.py) with explicit
+    state — the looping-assistant screen updated AS TURNS ARRIVE, so a
+    generation stuck in a loop is flagged while the conversation is
+    still open, not at the next batch curation run. The per-turn
+    dup-bigram share is turn-local (computed inside the batch, nothing
+    buffered); state is three monotone longs per conversation — O(1),
+    no text retained. Batch equivalence across micro-batch splits is
+    pinned in tests/test_stateful_streaming.py."""
+    return (
+        turns.groupBy("conv_id")
+        .applyInPandasWithState(
+            _degen_fn, DEGEN_OUTPUT_SCHEMA, DEGEN_STATE_SCHEMA,
+            "append", GroupStateTimeout.NoTimeout)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Cross-micro-batch near-duplicate detection (streaming MinHash-LSH)
 # ---------------------------------------------------------------------------
 

@@ -357,3 +357,58 @@ def test_streaming_refusal_matches_batch_scan(spark, tmp_path):
             latest[r.conv_id] = r
     got = {c: tuple(r) for c, r in latest.items()}
     assert got == want
+
+
+def test_streaming_degenerate_matches_batch_scan(spark, tmp_path):
+    """streaming_conv_degenerate must converge to conv_degenerate_scan's
+    exact rows at ANY micro-batch split: turns replayed in two batches
+    split mid-conversation; the LATEST emitted row per conversation
+    (highest n_checked) must equal the batch operator's."""
+    import os
+
+    from ocr_spark.operators.extraction import (_agent_transcripts,
+                                                conv_degenerate_scan)
+    from ocr_spark.streaming.stateful import streaming_conv_degenerate
+
+    d = str(tmp_path / "docs")
+    clean = " ".join(f"tok{j}" for j in range(25))
+    docs = []
+    for i in range(1, 120):
+        if i % 5 == 0:
+            text = "short reply"              # below the token floor
+        elif i % 3 == 0:
+            text = "loop " * 29 + "loop"      # 30 tokens, one bigram
+        else:
+            text = f"prefix{i} " + clean      # 26 distinct tokens
+        docs.append((i, text, "en", "s", len(text)))
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    want = {r.conv_id: tuple(r)
+            for r in conv_degenerate_scan(spark, d).collect()}
+    assert any(v[2] > 0 for v in want.values()), \
+        "fixture must reach the degenerate class"
+    assert any(v[2] == 0 for v in want.values()), \
+        "fixture must include clean checked conversations"
+
+    turns = _agent_transcripts(spark, d).collect()
+    inp = str(tmp_path / "in")
+    schema_str = ("conv_id string, turn_idx int, role string, "
+                  "text string, tool string, ts timestamp")
+    half = len(turns) // 2
+    for batch in (turns[:half], turns[half:]):
+        spark.createDataFrame(batch, schema_str).coalesce(1) \
+            .write.mode("append").parquet(inp)
+    schema = spark.read.parquet(inp).schema
+    stream = spark.readStream.schema(schema).parquet(inp)
+    res = _run_available_now(spark, streaming_conv_degenerate(stream),
+                             str(tmp_path / "out"), str(tmp_path / "ck"))
+    latest = {}
+    for r in res.collect():
+        cur = latest.get(r.conv_id)
+        if cur is None or r.n_checked > cur.n_checked:
+            latest[r.conv_id] = r
+    got = {c: tuple(r) for c, r in latest.items()}
+    assert got == want
