@@ -298,3 +298,45 @@ def test_emb_outliers_centroids_broadcast(spark):
     df = emb_outliers(spark, SF_DIR)
     assert has_broadcast_hash_join(df)
     assert not has_sort_merge_join(df)
+
+
+def test_url_density_one_agg_shuffle_and_pruned_scan(spark):
+    """txt_url_density is one map-only projection into a per-source
+    aggregate: exactly the agg exchange + the final sort's range
+    exchange, and the scan reads only (source, text)."""
+    from ocr_spark.operators.quality import txt_url_density
+    from ocr_spark.plans import exchange_count, scan_read_schema
+    df = txt_url_density(spark, SF_DIR)
+    assert exchange_count(df) == 2
+    assert set(scan_read_schema(df)) <= {"doc_id", "source", "text"}
+
+
+def test_degenerate_scan_fold_is_map_only(spark):
+    """conv_degenerate_scan's dup-bigram fold is turn-local: the plan is
+    scan → project → one keyed aggregation (+ the final sort) — the
+    corpus never shuffles to compute a per-turn number."""
+    from ocr_spark.operators.extraction import conv_degenerate_scan
+    from ocr_spark.plans import exchange_count, scan_read_schema
+    df = conv_degenerate_scan(spark, SF_DIR)
+    assert exchange_count(df) == 2
+    assert set(scan_read_schema(df)) <= {"doc_id", "text"}
+
+
+def test_lang_mix_scores_corpus_once(spark):
+    """conv_lang_mix persists the tiny (conv, lang) count frame; the
+    dominant-pick branch and the totals branch must both read the cache
+    (InMemoryTableScan), never re-plan the langid HOF scan."""
+    from ocr_spark.operators.extraction import conv_lang_mix
+    df = conv_lang_mix(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_est_error_tokenizes_corpus_once(spark):
+    """dd_minhash_est_error shares dd_minhash_verified's combined Arrow
+    stage through the persisted frame: banding + the two sig/shingle
+    attach branches all read the cache."""
+    from ocr_spark.operators.corpus import dd_minhash_est_error
+    df = dd_minhash_est_error(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 3
