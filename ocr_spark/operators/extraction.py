@@ -207,6 +207,28 @@ ORDER BY reference_no, date
 """
 
 
+# the boilerplate chrome as module constants: the payload builder and the
+# extract_yield oracle's raw-length arithmetic derive from the SAME strings
+# (a transcription drift would silently skew the yield denominator)
+_HTML_CHROME = (
+    '<html><body>\n'
+    '<nav class="nav"><a href="/">Home</a> <a href="/a">About</a> '
+    '<a href="/c">Contact</a></nav>\n'
+    '<div class="sidebar"><ul><li><a href="/r1">Related article one'
+    '</a></li><li><a href="/r2">Related article two</a></li></ul>'
+    '</div>\n<div class="content">\n<h1>Document ',
+    "</h1>\n<p>",
+    "</p>\n<p>Document ",
+    " from source ",
+    " has ",
+    " characters of content, restated here, with commas, for "
+    "density.</p>\n</div>\n"
+    '<footer class="footer">Copyright 2026 Example Corp. '
+    "All rights reserved.</footer>\n</body></html>",
+)
+_HTML_CHROME_LEN = sum(len(c) for c in _HTML_CHROME)
+
+
 def _html_transcripts_from_documents(spark, sf_dir):
     """Generic-web-page payloads (north_star): each document's text becomes
     the article body of a boilerplate-wrapped HTML page — nav, sidebar,
@@ -214,25 +236,17 @@ def _html_transcripts_from_documents(spark, sf_dir):
     recover exactly the article."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     payload = F.concat(
-        F.lit('<html><body>\n'
-              '<nav class="nav"><a href="/">Home</a> <a href="/a">About</a> '
-              '<a href="/c">Contact</a></nav>\n'
-              '<div class="sidebar"><ul><li><a href="/r1">Related article one'
-              '</a></li><li><a href="/r2">Related article two</a></li></ul>'
-              '</div>\n<div class="content">\n<h1>Document '),
+        F.lit(_HTML_CHROME[0]),
         F.col("doc_id").cast("string"),
-        F.lit("</h1>\n<p>"),
+        F.lit(_HTML_CHROME[1]),
         F.substring(F.col("text"), 1, 200),
-        F.lit("</p>\n<p>Document "),
+        F.lit(_HTML_CHROME[2]),
         F.col("doc_id").cast("string"),
-        F.lit(" from source "),
+        F.lit(_HTML_CHROME[3]),
         F.col("source"),
-        F.lit(" has "),
+        F.lit(_HTML_CHROME[4]),
         F.col("n_chars").cast("string"),
-        F.lit(" characters of content, restated here, with commas, for "
-              "density.</p>\n</div>\n"
-              '<footer class="footer">Copyright 2026 Example Corp. '
-              "All rights reserved.</footer>\n</body></html>"),
+        F.lit(_HTML_CHROME[5]),
     )
     return docs.select(
         F.format_string("conv-%06d", F.col("doc_id") % 50).alias("conv_id"),
@@ -276,6 +290,69 @@ SELECT printf('conv-%06d', doc_id % 50) AS conv_id,
        3 AS n_spans
 FROM documents
 ORDER BY conv_id, turn_idx, clean_text
+"""
+
+
+def extract_yield(spark, sf_dir):
+    """Extraction-yield accounting — the boilerplate-strip effectiveness
+    read a 100 TB extraction job publishes per partition: raw payload
+    characters in, clean article characters out, spans recovered, and
+    the yield share per conversation. A kind whose yield collapses (or
+    explodes past 10000 bp) is a parser regression caught by accounting,
+    before any text diff.
+
+    Shape note: raw length is aggregated from the payload frame and
+    re-attached to the extracted aggregate by a conversations-sized
+    join, because EXTRACT_SCHEMA is frozen this round; a production
+    deployment folds raw_len into the Arrow stage output (one column)
+    and this becomes a single pass. Both passes here are map-only into
+    keyed aggregations; nothing corpus-sized joins. The oracle derives
+    raw length arithmetically from the SAME chrome constants the payload
+    builder uses, and the clean side from the pinned readability mirror
+    — so the yield is a differential check on the kernel's output
+    length, not a replay of Spark's answer."""
+    from ..pipeline.extract import extract_turns
+    t = _html_transcripts_from_documents(spark, sf_dir)
+    clean = (extract_turns(t, salt_partitions=None)
+             .groupBy("conv_id")
+             .agg(F.count("*").cast("long").alias("n_turns"),
+                  F.sum(F.length("clean_text")).cast("long")
+                  .alias("clean_chars"),
+                  F.sum(F.size("spans")).cast("long").alias("spans_total")))
+    raw = (t.groupBy("conv_id")
+           .agg(F.sum(F.length("text")).cast("long").alias("raw_chars")))
+    return (clean.join(raw, "conv_id")
+            .select("conv_id", "n_turns", "raw_chars", "clean_chars",
+                    "spans_total",
+                    F.expr("clean_chars * 10000 DIV raw_chars").cast("long")
+                    .alias("yield_bp"))
+            .orderBy("conv_id"))
+
+
+EXTRACT_YIELD_SQL = f"""
+WITH per AS (
+  SELECT printf('conv-%06d', doc_id % 50) AS conv_id,
+         {_HTML_CHROME_LEN}
+           + 2 * length(CAST(doc_id AS VARCHAR))
+           + length(substring(text, 1, 200))
+           + length(source)
+           + length(CAST(n_chars AS VARCHAR)) AS raw_chars,
+         length('Document ' || CAST(doc_id AS VARCHAR) || ' ' ||
+           trim(regexp_replace(substring(text, 1, 200), '\\s+', ' ', 'g')) ||
+           ' Document ' || CAST(doc_id AS VARCHAR) || ' from source '
+           || source || ' has ' || CAST(n_chars AS VARCHAR) ||
+           ' characters of content, restated here, with commas, for density.')
+           AS clean_chars
+  FROM documents
+)
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(SUM(raw_chars) AS BIGINT) AS raw_chars,
+       CAST(SUM(clean_chars) AS BIGINT) AS clean_chars,
+       CAST(3 * COUNT(*) AS BIGINT) AS spans_total,
+       CAST(SUM(clean_chars) * 10000 // SUM(raw_chars) AS BIGINT)
+         AS yield_bp
+FROM per GROUP BY conv_id ORDER BY conv_id
 """
 
 
@@ -1511,6 +1588,7 @@ QUERIES = {
     "conv_degenerate_scan": (conv_degenerate_scan, CONV_DEGEN_SQL),
     "import_sales": (import_sales, IMPORT_SALES_SQL),
     "extract_html_readability": (extract_html_readability, EXTRACT_HTML_SQL),
+    "extract_yield": (extract_yield, EXTRACT_YIELD_SQL),
     "extract_pdf_layout": (extract_pdf_layout_q, EXTRACT_PDF_SQL),
     "extract_quality_gate": (extract_quality_gate, EXTRACT_QUALITY_SQL),
     "extract_conversations": (extract_conversations_q, None),

@@ -29,6 +29,9 @@ EDGE_DOCS = [
           "omega end", "en", "web"),
     # conv-000002: assistant turn below the token floor (never checked)
     (149, "short reply only", "en", "web"),
+    # conv-000003: NULL-text assistant turn (size(split(NULL)) is -1 in
+    # Spark, len(NULL) is NULL in DuckDB — both must filter it)
+    (53, None, "en", "web"),
     # URL density: a prose doc with one link, a link farm, and empties
     (7, "see https://example.com/page for details about the thing and "
         "plenty of ordinary prose around it keeping the share low",
