@@ -1805,6 +1805,23 @@ def lang_argmax_column():
     return pred
 
 
+# the DuckDB mirrors of lang_hit_columns / lang_argmax_column, GENERATED
+# from the same _LANG_MARKERS dict (three hand-maintained transcriptions
+# of the marker lists would drift silently); shared by TXT_LANGID_SQL and
+# extraction.py's CONV_LANG_MIX_SQL
+LANG_HITS_SQL = ",\n".join(
+    "    len(list_filter(string_split_regex(lower(text), '\\s+'), "
+    f"t -> t IN ({', '.join(repr(w) for w in words)}))) AS hits_{lang}"
+    for lang, words in _LANG_MARKERS.items())
+
+_LANG_GREATEST = "GREATEST(" + ", ".join(
+    f"hits_{lang}" for lang in _LANG_MARKERS) + ")"
+LANG_PRED_SQL = ("CASE " + "\n         ".join(
+    f"WHEN hits_{lang} = {_LANG_GREATEST} AND {_LANG_GREATEST} > 0"
+    f" THEN '{lang}'" for lang in _LANG_MARKERS)
+    + "\n         ELSE 'unk' END AS pred_lang")
+
+
 def txt_langid(spark, sf_dir):
     """Language-ID n-gram/stopword heuristic as expressions: count marker
     hits per language, argmax with deterministic tie order."""
@@ -1819,22 +1836,15 @@ def txt_langid(spark, sf_dir):
     )
 
 
-TXT_LANGID_SQL = """
+TXT_LANGID_SQL = f"""
 WITH scored AS (
   SELECT doc_id, lang,
-    len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t IN ('the','and','of'))) AS hits_en,
-    len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t IN ('der','und','die'))) AS hits_de,
-    len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t IN ('le','et','les'))) AS hits_fr,
-    len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t IN ('el','y','los'))) AS hits_es
+{LANG_HITS_SQL}
   FROM documents
 ),
 pred AS (
   SELECT lang,
-         CASE WHEN hits_en = GREATEST(hits_en, hits_de, hits_fr, hits_es) AND GREATEST(hits_en, hits_de, hits_fr, hits_es) > 0 THEN 'en'
-              WHEN hits_de = GREATEST(hits_en, hits_de, hits_fr, hits_es) AND GREATEST(hits_en, hits_de, hits_fr, hits_es) > 0 THEN 'de'
-              WHEN hits_fr = GREATEST(hits_en, hits_de, hits_fr, hits_es) AND GREATEST(hits_en, hits_de, hits_fr, hits_es) > 0 THEN 'fr'
-              WHEN hits_es = GREATEST(hits_en, hits_de, hits_fr, hits_es) AND GREATEST(hits_en, hits_de, hits_fr, hits_es) > 0 THEN 'es'
-              ELSE 'unk' END AS pred_lang
+         {LANG_PRED_SQL}
   FROM scored
 )
 SELECT lang, pred_lang, COUNT(*) AS n_docs

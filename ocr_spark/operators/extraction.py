@@ -1451,27 +1451,19 @@ def conv_lang_mix(spark, sf_dir):
             .orderBy("conv_id"))
 
 
-_LANG_HITS_SQL = """
-    len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t IN ('the','and','of'))) AS hits_en,
-    len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t IN ('der','und','die'))) AS hits_de,
-    len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t IN ('le','et','les'))) AS hits_fr,
-    len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t IN ('el','y','los'))) AS hits_es"""
-
-_LANG_PRED_SQL = """
-    CASE WHEN hits_en = GREATEST(hits_en, hits_de, hits_fr, hits_es) AND GREATEST(hits_en, hits_de, hits_fr, hits_es) > 0 THEN 'en'
-         WHEN hits_de = GREATEST(hits_en, hits_de, hits_fr, hits_es) AND GREATEST(hits_en, hits_de, hits_fr, hits_es) > 0 THEN 'de'
-         WHEN hits_fr = GREATEST(hits_en, hits_de, hits_fr, hits_es) AND GREATEST(hits_en, hits_de, hits_fr, hits_es) > 0 THEN 'fr'
-         WHEN hits_es = GREATEST(hits_en, hits_de, hits_fr, hits_es) AND GREATEST(hits_en, hits_de, hits_fr, hits_es) > 0 THEN 'es'
-         ELSE 'unk' END AS pred_lang"""
+# SQL blocks generated from the same _LANG_MARKERS dict as the Spark
+# scoring — a third hand-maintained copy of the marker lists would drift
+# (corpus.py imports no sibling operator module, so this is cycle-free)
+from .corpus import LANG_HITS_SQL, LANG_PRED_SQL  # noqa: E402
 
 CONV_LANG_MIX_SQL = f"""
 WITH t AS ({_AGENT_TRANSCRIPTS_CTE}),
 scored AS (
   SELECT conv_id,
-{_LANG_HITS_SQL}
+{LANG_HITS_SQL}
   FROM t
 ),
-pred AS (SELECT conv_id, {_LANG_PRED_SQL} FROM scored),
+pred AS (SELECT conv_id, {LANG_PRED_SQL} FROM scored),
 counts AS (
   SELECT conv_id, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
   FROM pred GROUP BY 1, 2

@@ -333,15 +333,15 @@ def _degen_fn(key, pdfs, state: GroupState):
     (conv_id,) = key
     n_c, n_d, mx = state.get if state.exists else (0, 0, 0)
     # Java \s (what Spark's split compiles to) is ASCII-only; Python's \s
-    # is unicode — spell the class out so both engines tokenize alike.
-    # Java split also drops TRAILING empty fields but keeps a leading one.
+    # is unicode — spell the class out so batch and stream tokenize alike.
+    # Spark's split uses limit -1 semantics: leading AND trailing empty
+    # fields are KEPT (verified: split('a b ','\s+') = ['a','b','']), and
+    # re.split matches that exactly — no trimming.
     ws = re.compile(r"[ \t\n\x0b\f\r]+")
     for pdf in pdfs:
         a = pdf[(pdf["role"] == "assistant") & pdf["text"].notna()]
         for text in a["text"]:
             toks = ws.split(str(text).lower())
-            while toks and toks[-1] == "":
-                toks.pop()
             if len(toks) < DEGEN_MIN_TOKENS:
                 continue
             n_bg = len(toks) - 1

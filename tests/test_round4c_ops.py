@@ -27,7 +27,7 @@ EDGE_DOCS = [
     (101, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
           "lam mu nu xi omicron pi rho sigma tau upsilon phi chi psi "
           "omega end", "en", "web"),
-    # conv-000002: assistant turn below the token floor (never checked)
+    # conv-000049: assistant turn below the token floor (never checked)
     (149, "short reply only", "en", "web"),
     # conv-000003: NULL-text assistant turn (size(split(NULL)) is -1 in
     # Spark, len(NULL) is NULL in DuckDB — both must filter it)
@@ -116,7 +116,7 @@ def test_degenerate_scan_flags_looping_assistant(spark, tmp_path):
     assert c1.n_degenerate == 1       # only the loop
     assert c1.max_dup_bp == 10000     # every bigram of the loop repeats
     # the short assistant reply never reaches the signal
-    assert "conv-000049" not in rows and "conv-000002" not in rows
+    assert "conv-000049" not in rows
 
 
 def test_url_density_planted_counts(spark, tmp_path):

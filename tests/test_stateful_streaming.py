@@ -374,7 +374,12 @@ def test_streaming_degenerate_matches_batch_scan(spark, tmp_path):
     clean = " ".join(f"tok{j}" for j in range(25))
     docs = []
     for i in range(1, 120):
-        if i % 5 == 0:
+        if i == 13:
+            # trailing whitespace: Spark's split KEEPS the trailing empty
+            # field, so 19 tokens + ' ' crosses the 20-field floor — the
+            # stream must tokenize identically (a trim would skip it)
+            text = " ".join(f"w{j}" for j in range(19)) + " "
+        elif i % 5 == 0:
             text = "short reply"              # below the token floor
         elif i % 3 == 0:
             text = "loop " * 29 + "loop"      # 30 tokens, one bigram
