@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""spark-submit entrypoint for the persisted banded MinHash dedup index.
+
+    spark-submit --master local[N] --py-files dist/ocr_spark.zip \
+        jobs/dedup_index_job.py build --input /root/testdata/sf0.01 \
+        --index /tmp/dedup_index
+    spark-submit ... jobs/dedup_index_job.py check --input ... --index ...
+    spark-submit ... jobs/dedup_index_job.py append --input ... --index ...
+
+build: band every document of {input}/documents.parquet and commit the
+(band, band_hash) bucket index + manifest. check: run the batch slice
+(doc_id % 10 == --batch-residue) against the index and print verdict
+counts. append: merge that slice's bands into the index. Each mode
+prints ONE JSON line on stdout.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("mode", choices=["build", "check", "append"])
+    ap.add_argument("--input", required=True,
+                    help="dir containing documents.parquet")
+    ap.add_argument("--index", required=True, help="index artifact dir")
+    ap.add_argument("--batch-residue", type=int, default=3,
+                    help="check/append operate on doc_id %% 10 == residue")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (SparkSession.builder.appName("ocr-spark-dedup-index")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+             .getOrCreate())
+    try:
+        docs = (spark.read.parquet(f"{args.input}/documents.parquet")
+                .where(F.col("doc_id").isNotNull()))
+        batch = docs.where(F.col("doc_id") % 10 == args.batch_residue)
+        if args.mode == "build":
+            from ocr_spark.pipeline.dedup_index import build_dedup_index
+            corpus = docs.where(F.col("doc_id") % 10 != args.batch_residue)
+            print(json.dumps(build_dedup_index(spark, corpus, args.index),
+                             sort_keys=True))
+        elif args.mode == "check":
+            from ocr_spark.pipeline.dedup_index import check_batch
+            t0 = time.time()
+            rows = check_batch(spark, args.index, batch).collect()
+            print(json.dumps({
+                "n_batch": len(rows),
+                "n_dup": sum(r.is_dup for r in rows),
+                "n_full_collision": sum(r.n_band_hits >= 4 for r in rows),
+                "wall_ms": int((time.time() - t0) * 1000),
+            }, sort_keys=True))
+        else:
+            from ocr_spark.pipeline.dedup_index import append_batch
+            print(json.dumps(append_batch(spark, args.index, batch),
+                             sort_keys=True))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

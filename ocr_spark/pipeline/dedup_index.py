@@ -1,0 +1,157 @@
+"""Persisted banded MinHash dedup index — the between-crawls artifact.
+
+The in-registry operator (operators/corpus.dd_incremental_neardup) shows
+the SHAPE of incremental fuzzy dedup — corpus collapses to one row per
+(band, band_hash), the batch joins that index — but recodes the corpus on
+every call. A real crawl pipeline materializes the index once and then,
+per crawl: (1) checks the new batch against it, (2) appends the batch's
+bands so the NEXT crawl sees it. This module is that artifact:
+
+- build_dedup_index: signatures (one map-only Arrow stage over the
+  corpus) → bands → one row per (band, band_hash) carrying the bucket's
+  canonical (min) doc_id and its member count. Partitioned by band.
+- check_batch: batch → bands → keyed equi-join on the index; per doc the
+  number of colliding bands and the smallest colliding canonical.
+  The 100 TB corpus is never touched — only its ~|buckets| summary rows.
+- append_batch: merge the batch's bands into the index (min of
+  canonicals, sum of counts) and swap atomically. Parquet has no MERGE,
+  so the fallback is rewrite-into-tmp + directory swap (the
+  maintenance.compact_parquet pattern); on Iceberg this becomes one
+  MERGE INTO keyed on (band, band_hash).
+
+Atomicity contract (same as ann_index.py / extract.py): the manifest is
+written only after the data commit/swap succeeds; readers treat a
+missing manifest as "no index". A crashed build or append leaves orphan
+files, never a readable-but-partial index.
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.corpus import (N_BANDS, N_MINHASH, _minhash_bands,
+                                _minhash_sig_stage, _spread)
+
+INDEX_VERSION = 1
+
+_MANIFEST = "_index_manifest.json"
+_DATA = "band_index"
+
+
+def _bands_of(docs: DataFrame) -> DataFrame:
+    sigs = _spread(docs.select("doc_id", "text")).mapInPandas(
+        _minhash_sig_stage(), "doc_id long, sig array<long>")
+    return _minhash_bands(sigs)
+
+
+def _bucketize(bands: DataFrame) -> DataFrame:
+    return (bands.groupBy("band", "band_hash")
+            .agg(F.min("doc_id").alias("canonical_id"),
+                 F.count("*").cast("long").alias("n_members")))
+
+
+def _write_manifest(index_dir: str, manifest: dict) -> None:
+    with open(os.path.join(index_dir, _MANIFEST), "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+
+
+def build_dedup_index(spark: SparkSession, docs: DataFrame,
+                      output_dir: str) -> dict:
+    """Signature + band the corpus once and commit the bucket index."""
+    t0 = time.time()
+    data_dir = os.path.join(output_dir, _DATA)
+    n_docs = docs.count()
+    (_bucketize(_bands_of(docs))
+     .write.mode("overwrite").partitionBy("band").parquet(data_dir))
+    n_buckets = spark.read.parquet(data_dir).count()
+    manifest = {
+        "version": INDEX_VERSION,
+        "n_docs": n_docs,
+        "n_buckets": n_buckets,
+        "n_bands": N_BANDS,
+        "n_minhash": N_MINHASH,
+        "appends": 0,
+        "built_unix": int(time.time()),
+        "build_wall_ms": int((time.time() - t0) * 1000),
+    }
+    _write_manifest(output_dir, manifest)  # manifest AFTER data
+    return manifest
+
+
+def read_manifest(index_dir: str) -> dict:
+    path = os.path.join(index_dir, _MANIFEST)
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"no committed index at {index_dir} (missing {_MANIFEST})")
+    with open(path) as f:
+        m = json.load(f)
+    if m.get("version") != INDEX_VERSION or m.get("n_bands") != N_BANDS \
+            or m.get("n_minhash") != N_MINHASH:
+        raise ValueError(f"incompatible dedup-index manifest: {m}")
+    return m
+
+
+def check_batch(spark: SparkSession, index_dir: str,
+                batch: DataFrame) -> DataFrame:
+    """Per batch doc: colliding band count and smallest colliding
+    canonical from the committed index (NULLs for novel docs — same
+    verdict shape as dd_incremental_neardup). One keyed equi-join on
+    (band, band_hash); the index side is bucket summaries, broadcast- or
+    skew-handled by AQE, never the corpus."""
+    read_manifest(index_dir)
+    index = spark.read.parquet(os.path.join(index_dir, _DATA))
+    hits = (_bands_of(batch)
+            .join(index, ["band", "band_hash"])
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_band_hits"),
+                 F.min("canonical_id").alias("match_id")))
+    return (batch.select("doc_id")
+            .join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_band_hits", F.lit(0)).cast("long")
+                    .alias("n_band_hits"),
+                    "match_id",
+                    (F.col("n_band_hits").isNotNull()).cast("int")
+                    .alias("is_dup"))
+            .orderBy("doc_id"))
+
+
+def append_batch(spark: SparkSession, index_dir: str,
+                 batch: DataFrame) -> dict:
+    """Merge the batch's bands into the index so the next crawl sees
+    these docs: per (band, band_hash) the canonical stays the MIN over
+    old and new members and counts add. Rewrite-into-tmp + atomic swap
+    (parquet fallback for Iceberg's MERGE INTO); the manifest is
+    rewritten only after the swap, so a crash mid-append leaves the OLD
+    index readable."""
+    manifest = read_manifest(index_dir)
+    t0 = time.time()
+    data_dir = os.path.join(index_dir, _DATA)
+    n_new = batch.count()
+    merged = (spark.read.parquet(data_dir)
+              .unionByName(_bucketize(_bands_of(batch)))
+              .groupBy("band", "band_hash")
+              .agg(F.min("canonical_id").alias("canonical_id"),
+                   F.sum("n_members").cast("long").alias("n_members")))
+    tmp = data_dir + ".append-tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged.write.partitionBy("band").parquet(tmp)
+    n_buckets = spark.read.parquet(tmp).count()
+    old = data_dir + ".append-old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(data_dir, old)
+    os.rename(tmp, data_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    manifest.update({
+        "n_docs": manifest["n_docs"] + n_new,
+        "n_buckets": n_buckets,
+        "appends": manifest["appends"] + 1,
+        "built_unix": int(time.time()),
+        "build_wall_ms": int((time.time() - t0) * 1000),
+    })
+    _write_manifest(index_dir, manifest)  # manifest AFTER the swap
+    return manifest
