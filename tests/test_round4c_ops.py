@@ -145,3 +145,59 @@ def test_sketch_calibration_exact_dup_bin(spark, tmp_path):
     assert top.n_pairs >= 1
     assert top.abs_err_max_bp == 0
     assert top.n_over == 0 and top.n_under == 0
+
+
+def test_degenerate_scan_randomized_differential(spark, tmp_path):
+    """Seeded randomized differential for the trickiest math in the
+    family: the Spark run-length fold (batch), the streaming twin's
+    Counter, and a pure-Python reference must all agree on dup-bigram
+    shares over texts with repeats, leading/trailing/multi whitespace —
+    the split-semantics class the review caught (Spark split KEEPS empty
+    boundary fields)."""
+    import os
+    import random
+    import re
+    from collections import Counter
+
+    from ocr_spark.operators.extraction import (DEGEN_DUP_BP,
+                                                DEGEN_MIN_TOKENS,
+                                                conv_degenerate_scan)
+
+    rng = random.Random(42)
+    vocab = ["a", "b", "ab", "ba", "x"]
+    ws_runs = [" ", "  ", "\t", " \t ", "\n"]
+    docs = []
+    for i in range(1, 241):          # ids 1..240: 60 assistant turns
+        n = rng.randint(0, 40)
+        parts = [rng.choice(vocab) for _ in range(n)]
+        text = (rng.choice(["", " ", "\t"])
+                + "".join(p + rng.choice(ws_runs) for p in parts).rstrip()
+                + rng.choice(["", " ", "  "]))
+        docs.append((i, text, "en", "s"))
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    # pure-Python reference with Spark's split semantics (empties kept)
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    want = {}
+    for doc_id, text, _lang, _src in docs:
+        if doc_id % 4 != 1:          # only assistant turns
+            continue
+        toks = ws.split(text.lower())
+        if len(toks) < DEGEN_MIN_TOKENS:
+            continue
+        n_bg = len(toks) - 1
+        dup = sum(v for v in Counter(zip(toks, toks[1:])).values() if v >= 2)
+        bp = dup * 10000 // n_bg
+        conv = "conv-%06d" % (doc_id % 50)
+        cur = want.setdefault(conv, [0, 0, 0])
+        cur[0] += 1
+        cur[1] += 1 if bp >= DEGEN_DUP_BP else 0
+        cur[2] = max(cur[2], bp)
+    assert want, "fixture must produce checked turns"
+
+    got = {r.conv_id: [r.n_checked, r.n_degenerate, r.max_dup_bp]
+           for r in conv_degenerate_scan(spark, d).collect()}
+    assert got == want
