@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""spark-submit entrypoint for the persisted BPE tokenizer.
+
+    spark-submit --master local[N] --py-files dist/ocr_spark.zip \
+        jobs/tokenizer_job.py train --input /root/testdata/sf0.01 \
+        --tokenizer /tmp/bpe_tok --n-merges 32
+    spark-submit ... jobs/tokenizer_job.py apply --input ... --tokenizer ...
+
+train: learn the merge table on {input}/documents.parquet and commit it.
+apply: tokenize the corpus with the committed merges (map-only) and print
+aggregate token accounting. Each mode prints ONE JSON line on stdout.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("mode", choices=["train", "apply"])
+    ap.add_argument("--input", required=True,
+                    help="dir containing documents.parquet")
+    ap.add_argument("--tokenizer", required=True, help="artifact dir")
+    ap.add_argument("--n-merges", type=int, default=32)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (SparkSession.builder.appName("ocr-spark-tokenizer")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+             .getOrCreate())
+    try:
+        docs = (spark.read.parquet(f"{args.input}/documents.parquet")
+                .where(F.col("doc_id").isNotNull()))
+        if args.mode == "train":
+            from ocr_spark.pipeline.tokenizer import train_tokenizer
+            print(json.dumps(
+                train_tokenizer(spark, docs, args.tokenizer,
+                                n_merges=args.n_merges), sort_keys=True))
+        else:
+            from ocr_spark.pipeline.tokenizer import apply_tokenizer
+            t0 = time.time()
+            agg = (apply_tokenizer(spark, args.tokenizer, docs)
+                   .agg(F.count("*").alias("n_docs"),
+                        F.sum("n_words").alias("words_total"),
+                        F.sum("n_bpe_tokens").alias("bpe_tokens_total"))
+                   .collect()[0])
+            print(json.dumps({
+                "n_docs": agg.n_docs,
+                "words_total": agg.words_total,
+                "bpe_tokens_total": agg.bpe_tokens_total,
+                "wall_ms": int((time.time() - t0) * 1000),
+            }, sort_keys=True))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1980,7 +1980,17 @@ def bpe_train_merges(spark, sf_dir):
     exact-equality with a pure-Python reference trainer is pinned by
     tests/test_operators.py::test_bpe_train_matches_reference (count
     desc, then lexicographic (left, right) tie order on both sides)."""
-    docs = _docs(spark, sf_dir)
+    merges = train_bpe_merge_list(_docs(spark, sf_dir), BPE_TRAIN_MERGES)
+    return spark.createDataFrame(
+        merges, "merge_rank INT, left STRING, right STRING, pair_count BIGINT")
+
+
+def train_bpe_merge_list(docs: DataFrame,
+                         n_merges: int) -> list[tuple[int, str, str, int]]:
+    """The bpe_train_merges training loop over an arbitrary documents
+    frame, returning the ordered merge list — shared by the registry
+    query and the persisted tokenizer artifact (pipeline/tokenizer.py);
+    two copies of the argmax/tie/rewrite rules would drift."""
     vocab = (docs.select(F.explode(F.split(F.lower(
                  F.coalesce(F.col("text"), F.lit(""))), r"\s+")).alias("w"))
              .where(F.col("w") != "")
@@ -1989,7 +1999,7 @@ def bpe_train_merges(spark, sf_dir):
              .localCheckpoint(eager=True))
 
     merges = []
-    for rank in range(1, BPE_TRAIN_MERGES + 1):
+    for rank in range(1, n_merges + 1):
         lhs = F.slice(F.col("syms"), 1, F.size("syms") - 1)
         rhs = F.slice(F.col("syms"), 2, F.size("syms") - 1)
         best = (vocab.where(F.size("syms") >= 2)
@@ -2028,8 +2038,7 @@ def bpe_train_merges(spark, sf_dir):
         vocab = (vocab.mapInPandas(_merge_batch, schema=vocab.schema)
                  .localCheckpoint(eager=True))
 
-    return spark.createDataFrame(
-        merges, "merge_rank INT, left STRING, right STRING, pair_count BIGINT")
+    return merges
 
 
 def txt_fingerprint(spark, sf_dir):

@@ -1,0 +1,103 @@
+"""Persisted BPE tokenizer artifact: train/commit/apply contract,
+segmentation parity with the trainer's rewrite rule, merge monotonicity,
+manifest gating."""
+
+import json
+import os
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="testdata not available")
+
+
+DOCS = [
+    # 'lo' dominates pairs, then 'low' / 'er' chains — the classic BPE toy
+    (1, "low lower lowest low low"),
+    (2, "newer newest new lower low"),
+    (3, "er er er low lowest newer"),
+]
+
+
+def _docs_df(spark, rows=DOCS):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_train_apply_matches_reference_segmentation(spark, tmp_path):
+    from ocr_spark.pipeline.tokenizer import (apply_tokenizer, load_merges,
+                                              segment_word, train_tokenizer)
+    tok = str(tmp_path / "tok")
+    m = train_tokenizer(spark, _docs_df(spark), tok, n_merges=6)
+    assert m["n_merges"] == 6
+    merges = load_merges(spark, tok)
+    assert len(merges) == 6
+
+    got = {r.doc_id: r for r in
+           apply_tokenizer(spark, tok, _docs_df(spark)).collect()}
+    for doc_id, text in DOCS:
+        words = text.split()
+        want = sum(len(segment_word(w, merges)) for w in words)
+        assert got[doc_id].n_words == len(words)
+        assert got[doc_id].n_bpe_tokens == want
+    # merges learned: tokens strictly below raw character counts
+    assert got[1].n_bpe_tokens < sum(len(w) for w in DOCS[0][1].split())
+
+
+def test_zero_merges_is_char_tokenizer(spark, tmp_path):
+    from ocr_spark.pipeline.tokenizer import apply_tokenizer, train_tokenizer
+    tok = str(tmp_path / "tok0")
+    train_tokenizer(spark, _docs_df(spark), tok, n_merges=0)
+    got = {r.doc_id: r for r in
+           apply_tokenizer(spark, tok, _docs_df(spark)).collect()}
+    for doc_id, text in DOCS:
+        assert got[doc_id].n_bpe_tokens == sum(len(w) for w in text.split())
+
+
+def test_more_merges_never_grow_token_counts(spark, tmp_path):
+    from ocr_spark.pipeline.tokenizer import apply_tokenizer, train_tokenizer
+    small, big = str(tmp_path / "s"), str(tmp_path / "b")
+    train_tokenizer(spark, _docs_df(spark), small, n_merges=2)
+    train_tokenizer(spark, _docs_df(spark), big, n_merges=8)
+    a = {r.doc_id: r.n_bpe_tokens for r in
+         apply_tokenizer(spark, small, _docs_df(spark)).collect()}
+    b = {r.doc_id: r.n_bpe_tokens for r in
+         apply_tokenizer(spark, big, _docs_df(spark)).collect()}
+    assert all(b[k] <= a[k] for k in a)
+
+
+def test_artifact_matches_registry_trainer(spark, tmp_path):
+    """The committed merge table must be EXACTLY bpe_train_merges' output
+    on the same corpus (shared training core, no drift)."""
+    from ocr_spark.operators.corpus import BPE_TRAIN_MERGES, bpe_train_merges
+    from ocr_spark.pipeline.tokenizer import train_tokenizer
+    tok = str(tmp_path / "tok")
+    train_tokenizer(spark, _docs_df(spark), tok,
+                    n_merges=BPE_TRAIN_MERGES)
+    committed = [(r.merge_rank, r.left, r.right, r.pair_count)
+                 for r in (spark.read.parquet(os.path.join(tok, "merges"))
+                           .orderBy("merge_rank").collect())]
+    d = str(tmp_path / "docs")
+    _docs_df(spark).write.parquet(os.path.join(d, "documents.parquet"))
+    want = [(r.merge_rank, r.left, r.right, r.pair_count)
+            for r in bpe_train_merges(spark, d).orderBy("merge_rank")
+            .collect()]
+    assert committed == want
+
+
+def test_manifest_gating(spark, tmp_path):
+    from ocr_spark.pipeline.tokenizer import (load_merges, read_manifest,
+                                              train_tokenizer)
+    with pytest.raises(FileNotFoundError):
+        load_merges(spark, str(tmp_path / "nope"))
+    tok = str(tmp_path / "tok")
+    train_tokenizer(spark, _docs_df(spark), tok, n_merges=2)
+    path = os.path.join(tok, "_tokenizer_manifest.json")
+    with open(path) as f:
+        m = json.load(f)
+    m["version"] = 99
+    with open(path, "w") as f:
+        json.dump(m, f)
+    with pytest.raises(ValueError):
+        read_manifest(tok)
