@@ -2289,13 +2289,19 @@ def txt_url_density(spark, sf_dir):
     integer or an integer-division basis-point share — exact on both
     engines (no ROUND edge, no double sums)."""
     docs = _docs(spark, sf_dir)
+    # url_chars = length minus length-after-strip: no HOF, no match-array
+    # materialization, whole projection stays in codegen. Tight warm A/B
+    # vs the regexp_extract_all + aggregate-HOF form is EQUAL at sf0.1
+    # (~0.3s both; regex cost dominates) — kept for the plan shape, not a
+    # measured win: the HOF form drops the projection out of codegen and
+    # builds every doc's match array twice, which is the shape that bites
+    # at 100 TB row widths.
     per = docs.selectExpr(
         "source",
-        f"CAST(size(regexp_extract_all(coalesce(text, ''),"
-        f" '{_URL_RE}', 0)) AS BIGINT) AS n_urls",
-        f"CAST(aggregate(regexp_extract_all(coalesce(text, ''),"
-        f" '{_URL_RE}', 0), 0L, (a, x) -> a + length(x)) AS BIGINT)"
-        " AS url_chars",
+        f"CAST(regexp_count(coalesce(text, ''), '{_URL_RE}') AS BIGINT)"
+        " AS n_urls",
+        "CAST(length(coalesce(text, '')) - length(regexp_replace("
+        f"coalesce(text, ''), '{_URL_RE}', '')) AS BIGINT) AS url_chars",
         "CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars")
     spam = ((F.col("n_chars") > 0)
             & (F.col("url_chars") * 10000 >= F.col("n_chars") * URL_SPAM_BP))
@@ -2321,9 +2327,9 @@ WITH per AS (
   SELECT source,
          CAST(len(regexp_extract_all(coalesce(text, ''), '{_URL_RE}'))
               AS BIGINT) AS n_urls,
-         CAST(coalesce(list_sum(list_transform(
-                regexp_extract_all(coalesce(text, ''), '{_URL_RE}'),
-                x -> len(x))), 0) AS BIGINT) AS url_chars,
+         CAST(length(coalesce(text, ''))
+              - length(regexp_replace(coalesce(text, ''), '{_URL_RE}',
+                                      '', 'g')) AS BIGINT) AS url_chars,
          CAST(len(coalesce(text, '')) AS BIGINT) AS n_chars
   FROM documents WHERE doc_id IS NOT NULL
 )
