@@ -28,6 +28,9 @@ def main() -> None:
     ap.add_argument("--index", required=True, help="index artifact dir")
     ap.add_argument("--batch-residue", type=int, default=3,
                     help="check/append operate on doc_id %% 10 == residue")
+    ap.add_argument("--batch-tag", default=None,
+                    help="stable crawl/snapshot id; a retried append of "
+                         "the same tag is a no-op")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession, functions as F
@@ -57,8 +60,9 @@ def main() -> None:
             }, sort_keys=True))
         else:
             from ocr_spark.pipeline.dedup_index import append_batch
-            print(json.dumps(append_batch(spark, args.index, batch),
-                             sort_keys=True))
+            print(json.dumps(
+                append_batch(spark, args.index, batch,
+                             batch_tag=args.batch_tag), sort_keys=True))
     finally:
         spark.stop()
 

@@ -121,14 +121,23 @@ def check_batch(spark: SparkSession, index_dir: str,
 
 
 def append_batch(spark: SparkSession, index_dir: str,
-                 batch: DataFrame) -> dict:
+                 batch: DataFrame, batch_tag: str | None = None) -> dict:
     """Merge the batch's bands into the index so the next crawl sees
     these docs: per (band, band_hash) the canonical stays the MIN over
     old and new members and counts add. Rewrite-into-tmp + atomic swap
     (parquet fallback for Iceberg's MERGE INTO); the manifest is
     rewritten only after the swap, so a crash mid-append leaves the OLD
-    index readable."""
+    index readable.
+
+    Idempotence: pass a stable batch_tag (crawl id / snapshot id) and a
+    RETRIED append of the same batch is a no-op — the tag is recorded in
+    the manifest only after the swap commits, exactly the extract job's
+    resume contract (a crash between swap and manifest re-applies the
+    batch; canonical ids are min-stable so verdicts never change, only
+    n_members double-counts, and only for that one crash window)."""
     manifest = read_manifest(index_dir)
+    if batch_tag is not None and batch_tag in manifest.get("batch_tags", []):
+        return manifest
     t0 = time.time()
     data_dir = os.path.join(index_dir, _DATA)
     n_new = batch.count()
@@ -153,5 +162,8 @@ def append_batch(spark: SparkSession, index_dir: str,
         "built_unix": int(time.time()),
         "build_wall_ms": int((time.time() - t0) * 1000),
     })
+    if batch_tag is not None:
+        manifest["batch_tags"] = (manifest.get("batch_tags", [])
+                                  + [batch_tag])
     _write_manifest(index_dir, manifest)  # manifest AFTER the swap
     return manifest

@@ -120,3 +120,19 @@ def test_incompatible_manifest_rejected(spark, tmp_path):
         json.dump(m, f)
     with pytest.raises(ValueError):
         read_manifest(idx)
+
+
+def test_append_idempotent_by_batch_tag(spark, tmp_path):
+    """A RETRIED append of the same tagged batch is a no-op (the resume
+    contract): counts don't double, the manifest doesn't re-record it."""
+    from ocr_spark.pipeline.dedup_index import append_batch, build_dedup_index
+    idx = str(tmp_path / "idx")
+    build_dedup_index(spark, _docs_df(spark, CORPUS), idx)
+    b = _docs_df(spark, [(12, CORPUS[1][1])])
+    m1 = append_batch(spark, idx, b, batch_tag="crawl-0007")
+    assert m1["appends"] == 1 and m1["batch_tags"] == ["crawl-0007"]
+    m2 = append_batch(spark, idx, b, batch_tag="crawl-0007")   # retry
+    assert m2["appends"] == 1 and m2["n_docs"] == m1["n_docs"]
+    rows = (spark.read.parquet(os.path.join(idx, "band_index"))
+            .where("canonical_id = 2").collect())
+    assert rows and all(r.n_members == 2 for r in rows)   # not 3
