@@ -143,7 +143,85 @@ GROUP BY band_id ORDER BY band_id
 """
 
 
+# events within this many seconds of the previous event in the same
+# (user, type) stream are one retry chain
+RETRY_GAP_S = 60
+
+
+def qr_retry_collapse(spark, sf_dir):
+    """Retry-storm collapse — the event-stream hygiene pass an ingest
+    pipeline runs before analytics: events of the same (user, type)
+    landing within RETRY_GAP_S of their predecessor are one chain
+    (client retries / double-clicks / at-least-once replays); keep the
+    chain head, report how much collapsed. Gap-chain semantics — the
+    same contract as W3 sessionization, applied as dedup.
+
+    One shuffle (the per-key window); chain ids are a cumulative sum of
+    integer-microsecond gap flags, so every number is exact on both
+    engines (no timestamp truncation class — the w3 lesson). Ties on ts
+    break by event_id on both sides."""
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull()))
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap_us = RETRY_GAP_S * 1_000_000
+    # lag, then cumsum: two projections over the SAME window spec — one
+    # shuffle, the second window reuses the sort (a window expr can't
+    # nest inside another window's aggregate). Gap math is tz-free
+    # timestampdiff on the NTZ column (unix_micros requires an instant;
+    # the cast would shift by the session-tz offset — the w3 lesson).
+    flagged = (ev.select("user_id", "event_type", "ts", "event_id")
+               .withColumn("prev_ts", F.lag("ts").over(w))
+               .withColumn("new_chain",
+                           (F.col("prev_ts").isNull()
+                            | (F.expr("timestampdiff(MICROSECOND, prev_ts,"
+                                      " ts)") > gap_us))
+                           .cast("long")))
+    chained = flagged.withColumn("chain_id", F.sum("new_chain").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    chains = (chained.groupBy("user_id", "event_type", "chain_id")
+              .agg(F.count("*").cast("long").alias("chain_len")))
+    return (chains.groupBy("user_id", "event_type")
+            .agg(F.sum("chain_len").cast("long").alias("n_events"),
+                 F.count("*").cast("long").alias("n_kept"),
+                 (F.sum("chain_len") - F.count("*")).cast("long")
+                 .alias("n_collapsed"),
+                 F.max("chain_len").cast("long").alias("max_chain_len"))
+            .orderBy("user_id", "event_type"))
+
+
+QR_RETRY_SQL = f"""
+WITH chained AS (
+  SELECT user_id, event_type,
+         SUM(CASE WHEN prev_ts IS NULL
+                   OR datediff('microseconds', prev_ts, ts)
+                      > {RETRY_GAP_S * 1_000_000}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id, event_type
+                 ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS chain_id
+  FROM (
+    SELECT user_id, event_type, ts, event_id,
+           lag(ts) OVER (PARTITION BY user_id, event_type
+                         ORDER BY ts, event_id) AS prev_ts
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  )
+),
+chains AS (
+  SELECT user_id, event_type, chain_id,
+         CAST(COUNT(*) AS BIGINT) AS chain_len
+  FROM chained GROUP BY 1, 2, 3
+)
+SELECT user_id, event_type,
+       CAST(SUM(chain_len) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(chain_len) - COUNT(*) AS BIGINT) AS n_collapsed,
+       CAST(MAX(chain_len) AS BIGINT) AS max_chain_len
+FROM chains GROUP BY 1, 2 ORDER BY user_id, event_type
+"""
+
+
 QUERIES = {
     "qr_asof_join": (qr_asof_join, QR_ASOF_SQL),
     "qr_range_join": (qr_range_join, QR_RANGE_SQL),
+    "qr_retry_collapse": (qr_retry_collapse, QR_RETRY_SQL),
 }

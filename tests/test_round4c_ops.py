@@ -201,3 +201,46 @@ def test_degenerate_scan_randomized_differential(spark, tmp_path):
     got = {r.conv_id: [r.n_checked, r.n_degenerate, r.max_dup_bp]
            for r in conv_degenerate_scan(spark, d).collect()}
     assert got == want
+
+
+def test_retry_collapse_planted_chains(spark, tmp_path):
+    """Gap-chain semantics: events within RETRY_GAP_S of their
+    predecessor extend the chain (not anchored to the head), ties on ts
+    break by event_id, and different (user, type) streams never mix."""
+    import datetime
+    import os
+
+    from ocr_spark.operators.temporal import qr_retry_collapse
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def at(sec):
+        return t0 + datetime.timedelta(seconds=sec)
+
+    rows = [
+        # u1/click: chain {0,30,50} then a fresh chain {130}
+        (1, at(0), 1, "click", 1.0, "{}"),
+        (2, at(30), 1, "click", 1.0, "{}"),
+        (3, at(50), 1, "click", 1.0, "{}"),
+        (4, at(130), 1, "click", 1.0, "{}"),
+        # u1/view: independent stream, single event
+        (5, at(10), 1, "view", 1.0, "{}"),
+        # u2/click: exactly-at-gap is SAME chain (> gap starts a new one)
+        (6, at(0), 2, "click", 1.0, "{}"),
+        (7, at(60), 2, "click", 1.0, "{}"),
+        (8, at(121), 2, "click", 1.0, "{}"),
+    ]
+    d = str(tmp_path / "ev")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string"
+    ).write.parquet(os.path.join(d, "events.parquet"))
+
+    got = {(r.user_id, r.event_type): r
+           for r in qr_retry_collapse(spark, d).collect()}
+    u1 = got[(1, "click")]
+    assert (u1.n_events, u1.n_kept, u1.n_collapsed, u1.max_chain_len) \
+        == (4, 2, 2, 3)
+    assert got[(1, "view")].n_kept == 1
+    u2 = got[(2, "click")]
+    assert (u2.n_kept, u2.max_chain_len) == (2, 2)   # 60s joins, 61s breaks
