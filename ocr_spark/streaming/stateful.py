@@ -314,6 +314,74 @@ def streaming_conv_refusal(turns: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming language-mix scan (route conversations by language on arrival)
+# ---------------------------------------------------------------------------
+
+LANGMIX_OUTPUT_SCHEMA = ("conv_id string, n_turns long, n_langs long, "
+                         "dom_lang string, dom_share_bp long")
+# one counter per langid label (en/de/fr/es/unk) — fixed, O(1) state
+LANGMIX_STATE_SCHEMA = ("n_en long, n_de long, n_fr long, n_es long, "
+                        "n_unk long")
+
+
+def _langmix_fn(key, pdfs, state: GroupState):
+    import re
+
+    import pandas as pd
+
+    from ..operators.corpus import _LANG_MARKERS
+
+    (conv_id,) = key
+    langs = list(_LANG_MARKERS)                      # ordered: tie winner
+    counts = dict(zip(langs + ["unk"],
+                      state.get if state.exists else [0] * 5))
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")             # Java \s, not unicode
+    marker_sets = {lang: set(w) for lang, w in _LANG_MARKERS.items()}
+    for pdf in pdfs:
+        for text in pdf["text"]:
+            toks = ws.split(("" if text is None else str(text)).lower())
+            hits = {lang: sum(t in s for t in toks)
+                    for lang, s in marker_sets.items()}
+            best = max(hits.values())
+            if best > 0:
+                # earlier marker language wins ties (lang_argmax_column)
+                pred = next(la for la in langs if hits[la] == best)
+            else:
+                pred = "unk"
+            counts[pred] += 1
+    state.update(tuple(counts[la] for la in langs + ["unk"]))
+    n_turns = sum(counts.values())
+    if n_turns > 0:
+        # dominant = max count, tie -> lexicographically smaller label
+        # (the batch op's row_number order: n DESC, pred_lang ASC)
+        dom = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        n_langs = sum(1 for la, n in counts.items()
+                      if la != "unk" and n > 0)
+        yield pd.DataFrame(
+            [(conv_id, n_turns, n_langs, dom[0],
+              dom[1] * 10000 // n_turns)],
+            columns=["conv_id", "n_turns", "n_langs", "dom_lang",
+                     "dom_share_bp"])
+
+
+def streaming_conv_lang_mix(turns: DataFrame) -> DataFrame:
+    """conv_lang_mix (operators/extraction.py) with explicit state — the
+    per-conversation language-consistency verdict updated AS TURNS
+    ARRIVE, so a router can direct a live conversation to
+    language-specific curation without waiting for the batch pass. State
+    is five fixed counters per conversation — O(1), no text retained;
+    the marker sets come from the SAME _LANG_MARKERS dict as the batch
+    scoring and its oracle. Batch equivalence across micro-batch splits
+    pinned in tests/test_stateful_streaming.py."""
+    return (
+        turns.groupBy("conv_id")
+        .applyInPandasWithState(
+            _langmix_fn, LANGMIX_OUTPUT_SCHEMA, LANGMIX_STATE_SCHEMA,
+            "append", GroupStateTimeout.NoTimeout)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Streaming degenerate-decoding scan (looping assistant turns, as they arrive)
 # ---------------------------------------------------------------------------
 

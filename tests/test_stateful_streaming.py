@@ -417,3 +417,48 @@ def test_streaming_degenerate_matches_batch_scan(spark, tmp_path):
             latest[r.conv_id] = r
     got = {c: tuple(r) for c, r in latest.items()}
     assert got == want
+
+
+def test_streaming_lang_mix_matches_batch_scan(spark, tmp_path):
+    """streaming_conv_lang_mix must converge to conv_lang_mix's exact
+    rows at ANY micro-batch split (dominant-language tie order included)."""
+    import os
+
+    from ocr_spark.operators.extraction import (_agent_transcripts,
+                                                conv_lang_mix)
+    from ocr_spark.streaming.stateful import streaming_conv_lang_mix
+
+    d = str(tmp_path / "docs")
+    texts = ["the and of market report", "der und die bericht",
+             "le et les rapport", "el y los informe",
+             "no markers anywhere here", "", "the der le el y of und"]
+    docs = [(i, texts[i % len(texts)], "en", "s", 10)
+            for i in range(1, 140)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    want = {r.conv_id: tuple(r) for r in conv_lang_mix(spark, d).collect()}
+    assert any(v[2] >= 2 for v in want.values()), \
+        "fixture must include multilingual conversations"
+
+    turns = _agent_transcripts(spark, d).collect()
+    inp = str(tmp_path / "in")
+    schema_str = ("conv_id string, turn_idx int, role string, "
+                  "text string, tool string, ts timestamp")
+    half = len(turns) // 2
+    for batch in (turns[:half], turns[half:]):
+        spark.createDataFrame(batch, schema_str).coalesce(1) \
+            .write.mode("append").parquet(inp)
+    schema = spark.read.parquet(inp).schema
+    stream = spark.readStream.schema(schema).parquet(inp)
+    res = _run_available_now(spark, streaming_conv_lang_mix(stream),
+                             str(tmp_path / "out"), str(tmp_path / "ck"))
+    latest = {}
+    for r in res.collect():
+        cur = latest.get(r.conv_id)
+        if cur is None or r.n_turns > cur.n_turns:
+            latest[r.conv_id] = r
+    got = {c: tuple(r) for c, r in latest.items()}
+    assert got == want
