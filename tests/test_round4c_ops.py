@@ -244,3 +244,37 @@ def test_retry_collapse_planted_chains(spark, tmp_path):
     assert got[(1, "view")].n_kept == 1
     u2 = got[(2, "click")]
     assert (u2.n_kept, u2.max_chain_len) == (2, 2)   # 60s joins, 61s breaks
+
+
+def test_url_density_randomized_engine_parity(spark, tmp_path):
+    """Seeded randomized differential for the URL regex pair: Java
+    (Spark regexp_count / regexp_replace) and RE2 (DuckDB
+    regexp_extract_all) must agree on every count and char total over
+    noisy text — partial schemes, adjacent URLs, boundary punctuation,
+    whitespace variants."""
+    import os
+    import random
+
+    from ocr_spark.operators.quality import txt_url_density
+
+    rng = random.Random(7)
+    frags = ["http://a.b/c", "https://x.y/z?q=1&r=2", "http://", "https:/",
+             "httpx://nope", "see", "at", "(http://paren.io/p)", "end.",
+             "https://trail.io/x,", "word", "\t", "http://tab\there",
+             "https://unicode.é/π", "HTTP://upper.case/u"]
+    docs = []
+    for i in range(1, 160):
+        n = rng.randint(0, 12)
+        text = " ".join(rng.choice(frags) for _ in range(n))
+        docs.append((i, text, "en", f"s{i % 4}"))
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    from ocr_spark.operators import ALL_QUERIES
+    _fn, sql = ALL_QUERIES["txt_url_density"]
+    sdf = txt_url_density(spark, d)
+    drows, dcols = _duck_on(d, sql)
+    assert _canon([tuple(r) for r in sdf.collect()], sdf.columns) == \
+        _canon(drows, dcols)
