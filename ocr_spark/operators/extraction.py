@@ -1527,9 +1527,11 @@ def conv_degenerate_scan(spark, sf_dir):
 
 
 # the oracle keys per-turn stats by doc_id (unique per synthesized turn);
-# the Spark side never needs it — the fold is row-local
-CONV_DEGEN_SQL = f"""
-WITH t AS (
+# the Spark side never needs it — the fold is row-local. The chain is a
+# shared constant (dg_-prefixed names so it embeds in other WITH chains,
+# e.g. the conversation curation funnel's) — two transcriptions of the
+# keyed bigram fold would drift.
+DEGEN_TURNS_CTES = f"""dg_t AS (
   SELECT doc_id AS turn_uid,
          printf('conv-%06d', ((doc_id % 50) + 50) % 50) AS conv_id,
          ['user', 'assistant', 'tool', 'system']
@@ -1537,12 +1539,12 @@ WITH t AS (
          text
   FROM documents
 ),
-tok AS (
+dg_tok AS (
   SELECT turn_uid, conv_id, string_split_regex(lower(text), '\\s+') AS t
-  FROM t WHERE role = 'assistant'
+  FROM dg_t WHERE role = 'assistant'
     AND len(string_split_regex(lower(text), '\\s+')) >= {DEGEN_MIN_TOKENS}
 ),
-bg AS (
+dg_bg AS (
   SELECT turn_uid, conv_id,
          CAST(SUM(c) AS BIGINT) AS n_bg,
          CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_bg
@@ -1551,10 +1553,14 @@ bg AS (
     FROM (SELECT turn_uid, conv_id,
                  unnest(list_transform(range(1, len(t)),
                         i -> t[i] || ' ' || t[i + 1])) AS g
-          FROM tok) GROUP BY 1, 2, 3)
+          FROM dg_tok) GROUP BY 1, 2, 3)
   GROUP BY 1, 2
 ),
-scored AS (SELECT conv_id, dup_bg * 10000 // n_bg AS dup_bp FROM bg)
+dg_scored AS (SELECT conv_id, dup_bg * 10000 // n_bg AS dup_bp FROM dg_bg)"""
+
+CONV_DEGEN_SQL = f"""
+WITH {DEGEN_TURNS_CTES},
+scored AS (SELECT conv_id, dup_bp FROM dg_scored)
 SELECT conv_id,
        CAST(COUNT(*) AS BIGINT) AS n_checked,
        CAST(SUM(CASE WHEN dup_bp >= {DEGEN_DUP_BP} THEN 1 ELSE 0 END)

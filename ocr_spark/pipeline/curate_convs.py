@@ -7,6 +7,9 @@ key on conv_id:
                   turn order inside the aggregation)
                → conversation quality gate (must contain a user turn,
                   char floor — drops tool-only/agent-only logs)
+               → degenerate-decoding gate (any looping assistant turn —
+                  the conv_degenerate_scan dup-bigram signal — drops the
+                  conversation before it can claim a dedup slot)
                → exact dedup of assembled text (normalized md5,
                   first-wins by conv_id)
                → MinHash-LSH near-dup drop (the corpus layer's signature
@@ -38,23 +41,25 @@ from pyspark.sql.window import Window
 from ..operators.corpus import (_lsh_candidate_pairs, _md5_long,
                                 _MINHASH_CTES, _minhash_bands,
                                 _minhash_sig_stage, min_label_components)
-from ..operators.extraction import _AGENT_TRANSCRIPTS_CTE, _agent_transcripts
+from ..operators.extraction import (_AGENT_TRANSCRIPTS_CTE,
+                                    _agent_transcripts, DEGEN_DUP_BP,
+                                    DEGEN_MIN_TOKENS, DEGEN_TURNS_CTES)
 from ..operators.quality import (CONTAM_NGRAM, _smp_threshold_u64,
-                                 token_shingle_expr)
+                                 token_shingle_expr, with_repetition_signals)
 from .util import write_manifest
 
 MIN_CONV_CHARS = 100     # assembled-conversation char floor
 CONV_KEEP_RATE = 0.8     # deterministic sampling keep rate
 CONV_BENCH_RATE = 0.125  # md5 slice of convs that plays the eval suite
-CONV_CURATOR_VERSION = "curate-convs-v2"
+CONV_CURATOR_VERSION = "curate-convs-v3"
 
 
 def conv_curation_flags(t: DataFrame,
                         _track: list | None = None) -> DataFrame:
     """(conv_id, n_turns, drop_reason) for every conversation in the
     transcripts frame t (conv_id, turn_idx, role, text, ts, ...);
-    drop_reason NULL = kept. Priority: quality > exact_dup > near_dup >
-    contaminated > sampled_out — each conversation reports the FIRST gate rejecting it.
+    drop_reason NULL = kept. Priority: quality > degenerate > exact_dup >
+    near_dup > contaminated > sampled_out — each conversation reports the FIRST gate rejecting it.
 
     The assembled frame is persisted: the exact-dup window, the near-dup
     signature stage, and the final flag projection all branch from it
@@ -95,11 +100,25 @@ def conv_curation_flags(t: DataFrame,
     if _track is not None:
         _track.append(flags0)
 
-    # near-dup candidates among the quality+exact survivors only: the
-    # MinHash surrogate ids are md5-derived longs so the oracle replays
-    # the identical chain (the dd_conv_neardup pattern)
+    # degenerate-decoding gate (the conv_degenerate_scan signal as a
+    # funnel stage): a conversation with ANY looping assistant turn of
+    # >= DEGEN_MIN_TOKENS tokens drops before dedup — a degenerate
+    # generation must not claim a cluster's canonical slot. The fold is
+    # turn-local map-only; only flagged (conv_id) rows shuffle.
+    asst = (t.where(F.col("role") == "assistant")
+            .selectExpr("conv_id", "split(lower(text), '\\\\s+') AS tt")
+            .where(f"size(tt) >= {DEGEN_MIN_TOKENS}"))
+    degen = (with_repetition_signals(asst, tcol="tt")
+             .where(F.expr(f"dup_bg * 10000 DIV n_bg >= {DEGEN_DUP_BP}"))
+             .select("conv_id").distinct()
+             .withColumn("degenerate", F.lit(True)))
+
+    # near-dup candidates among the quality+degenerate+exact survivors
+    # only: the MinHash surrogate ids are md5-derived longs so the oracle
+    # replays the identical chain (the dd_conv_neardup pattern)
     survivors = (flags0.where(~F.col("quality_fail")
                               & (F.col("dup_rank") == 1))
+                 .join(degen.select("conv_id"), "conv_id", "left_anti")
                  .select(_md5_long(F.col("conv_id")).alias("doc_id"),
                          "conv_id", F.col("doc").alias("text")))
     # cached: _lsh_candidate_pairs consumes the bands through two
@@ -157,12 +176,15 @@ def conv_curation_flags(t: DataFrame,
     sampled_in = _md5_long(
         F.concat(F.col("conv_id"), F.lit(":csmp"))) < F.lit(thr)
     reason = (F.when(F.col("quality_fail"), "quality")
+              .when(F.coalesce(F.col("degenerate"), F.lit(False)),
+                    "degenerate")
               .when(F.col("dup_rank") > 1, "exact_dup")
               .when(F.coalesce(F.col("near_dup"), F.lit(False)), "near_dup")
               .when(F.coalesce(F.col("contaminated"), F.lit(False)),
                     "contaminated")
               .when(~sampled_in, "sampled_out"))
-    return (flags0.join(near_dropped, "conv_id", "left")
+    return (flags0.join(degen, "conv_id", "left")
+            .join(near_dropped, "conv_id", "left")
             .join(contam, "conv_id", "left")
             .select("conv_id", "n_turns", reason.alias("drop_reason")))
 
@@ -198,11 +220,16 @@ flags0 AS (
            ORDER BY conv_id) AS dup_rank
   FROM conv
 ),
+{DEGEN_TURNS_CTES},
+dg_degen AS (
+  SELECT DISTINCT conv_id FROM dg_scored WHERE dup_bp >= {DEGEN_DUP_BP}
+),
 ids AS (
   SELECT conv_id, doc AS text,
          CAST(('0x' || substr(md5(conv_id), 1, 16))::UBIGINT::HUGEINT
               - 9223372036854775808 AS BIGINT) AS doc_id
   FROM flags0 WHERE NOT quality_fail AND dup_rank = 1
+    AND conv_id NOT IN (SELECT conv_id FROM dg_degen)
 ),
 {_MINHASH_CTES.format(src="ids")},
 near_edges AS (
@@ -252,12 +279,14 @@ samp AS (
 staged AS (
   SELECT f.conv_id, f.n_turns,
          CASE WHEN f.quality_fail THEN 'quality'
+              WHEN dg.conv_id IS NOT NULL THEN 'degenerate'
               WHEN f.dup_rank > 1 THEN 'exact_dup'
               WHEN near.conv_id IS NOT NULL THEN 'near_dup'
               WHEN contam.conv_id IS NOT NULL THEN 'contaminated'
               WHEN NOT samp.sampled_in THEN 'sampled_out'
               ELSE 'kept' END AS stage
   FROM flags0 f
+  LEFT JOIN dg_degen dg ON dg.conv_id = f.conv_id
   LEFT JOIN near ON near.conv_id = f.conv_id
   LEFT JOIN contam ON contam.conv_id = f.conv_id
   LEFT JOIN samp ON samp.conv_id = f.conv_id

@@ -331,3 +331,51 @@ def test_conv_neardup_cluster_first_wins_not_one_hop(spark):
     assert flags[f"conv-b{sfx}"] == "near_dup"  # one-hop kept it
     assert flags[f"conv-c{sfx}"] == "near_dup"
     assert flags[f"conv-a{sfx}"] in (None, "sampled_out")
+
+
+def test_conv_degenerate_gate_planted(spark):
+    """The degenerate-decoding gate fires on a directly-built transcripts
+    frame (the synthesized corpus's role parity — conv ≡ doc mod 50 and
+    role ≡ doc mod 4 share the factor 2 — means no synthesized conv mixes
+    user and assistant, so the gate is exercised here at the API grain
+    run_conv_curation actually receives). Priority: quality still beats
+    degenerate; degenerate beats exact_dup."""
+    import datetime as dt
+
+    from ocr_spark.pipeline.curate_convs import conv_curation_flags
+
+    pad = " ".join(f"w{j}" for j in range(30))          # > char floor
+    loop = "loop " * 29 + "loop"                        # 30-token loop
+    rows = []
+
+    def conv(cid, turns):
+        for i, (role, text) in enumerate(turns):
+            rows.append((cid, i, role, text, None,
+                         dt.datetime(2025, 1, 1, 0, 0, i)))
+
+    conv("c-clean", [("user", "please summarize " + pad),
+                     ("assistant", "fine answer " + pad)])
+    conv("c-degen", [("user", "please summarize " + pad),
+                     ("assistant", loop)])
+    # exact copy of c-degen: BOTH report degenerate (it outranks
+    # exact_dup), neither claims the dedup keeper slot
+    conv("c-degen2", [("user", "please summarize " + pad),
+                      ("assistant", loop)])
+    # looping assistant but NO user turn: quality outranks degenerate
+    conv("c-agentlog", [("system", "boot"), ("assistant", loop)])
+    # short looping reply (< 20 tokens) never reaches the signal; the
+    # vocabulary is disjoint from c-clean so near-dup can't claim it
+    qad = " ".join(f"q{j}x" for j in range(30))
+    conv("c-short", [("user", "different topic " + qad),
+                     ("assistant", "loop loop loop loop over")])
+
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    flags = {r.conv_id: r.drop_reason
+             for r in conv_curation_flags(t).collect()}
+    assert flags["c-degen"] == "degenerate"
+    assert flags["c-degen2"] == "degenerate"
+    assert flags["c-agentlog"] == "quality"
+    assert flags["c-clean"] in (None, "sampled_out")
+    assert flags["c-short"] in (None, "sampled_out")
