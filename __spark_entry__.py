@@ -54,7 +54,7 @@ _MEASURED_COST = {
     'w5_first_match_cascade': 0.6, 'txt_repetition': 0.7,
     'smp_pack_sequences': 0.5, 'smp_pack_assembly': 0.6, 'conv_stats': 0.7,
     'dd_incremental': 0.8, 'dd_incremental_neardup': 1.5,
-    'conv_curate_funnel': 1.8,
+    'conv_curate_funnel': 3.5,
     'j2b_sale_cost_derivation': 0.8, 'sim_cosine_topk': 0.8,
     't26_llm_json_cascade': 0.8, 'txt_contamination': 0.8,
     't18_imputation': 0.9, 'dd_chunk_dup': 1.0, 'mm_winnow_fingerprint': 1.0,
