@@ -65,6 +65,29 @@ def blocklist_gate_stream(docs: DataFrame) -> DataFrame:
             .where(F.col("block_reason") == "kept"))
 
 
+def url_spam_gate_stream(docs: DataFrame) -> DataFrame:
+    """Drop link farms as documents land: the txt_url_density spam
+    predicate (URL characters >= URL_SPAM_BP of the text, integer
+    arithmetic — no ROUND edge) as a stateless map-only expression,
+    annotating survivors with their link share. Same regex class as the
+    batch op ([!-~], Java/RE2-identical); batch/stream equivalence is
+    pinned by tests/test_streaming_quality.py."""
+    from ..operators.quality import _URL_RE, URL_SPAM_BP
+    url_chars = (
+        "CAST(length(coalesce(text, '')) - length(regexp_replace("
+        f"coalesce(text, ''), '{_URL_RE}', '')) AS BIGINT)")
+    n_chars = "CAST(length(coalesce(text, '')) AS BIGINT)"
+    # underscore names: the documents schema already carries n_chars
+    return (docs.selectExpr(
+                "*", f"{url_chars} AS _uq_url", f"{n_chars} AS _uq_len")
+            .where(f"NOT (_uq_len > 0"
+                   f" AND _uq_url * 10000 >= _uq_len * {URL_SPAM_BP})")
+            .selectExpr(
+                "* EXCEPT (_uq_url, _uq_len)",
+                "CAST(_uq_url * 10000 DIV greatest(_uq_len, 1) AS BIGINT)"
+                " AS link_char_bp"))
+
+
 def chunk_windows_stream(docs: DataFrame) -> DataFrame:
     """Overlapping token-window chunks of a (streaming or batch)
     documents frame — txt_chunk_windows' exact projection without its

@@ -150,3 +150,34 @@ def test_blocklist_and_chunking_stream_equal_batch(spark, tmp_path):
         blocklist_gate_stream(spark.read.parquet(src)).collect()}
     assert blocked == {r.doc_id + 10_000_000
                        for r in batch.limit(3).collect()}
+
+
+def test_url_spam_gate_stream_equals_batch(spark, tmp_path):
+    """url_spam_gate_stream drops the identical planted link farms on a
+    micro-batched stream as on the batch frame (stateless map-only), and
+    the survivors carry the same integer link share."""
+    from ocr_spark.streaming.quality import url_spam_gate_stream
+    batch = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    farms = batch.limit(4).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        F.lit("https://a.spam/x https://b.spam/y ok").alias("text"),
+        "lang", "source", "n_chars")
+    docs = batch.unionByName(farms.select(*batch.columns))
+    src = str(tmp_path / "in")
+    docs.repartition(4).write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (url_spam_gate_stream(stream).select("doc_id", "link_char_bp")
+         .writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    want = {tuple(r) for r in
+            url_spam_gate_stream(spark.read.parquet(src))
+            .select("doc_id", "link_char_bp").collect()}
+    assert got == want and len(got) > 0
+    kept_ids = {t[0] for t in got}
+    assert not any(i >= 20_000_000 for i in kept_ids), \
+        "every planted link farm must drop"
