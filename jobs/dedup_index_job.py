@@ -42,20 +42,27 @@ def main() -> None:
     try:
         docs = (spark.read.parquet(f"{args.input}/documents.parquet")
                 .where(F.col("doc_id").isNotNull()))
-        batch = docs.where(F.col("doc_id") % 10 == args.batch_residue)
+        # pmod, not %: Spark's % keeps the dividend's sign, and
+        # production doc_ids are md5-longs uniform over signed int64 —
+        # plain % would silently exclude every negative id from any
+        # batch slice with residue 1-9
+        residue = F.pmod(F.col("doc_id"), F.lit(10))
+        batch = docs.where(residue == args.batch_residue)
         if args.mode == "build":
             from ocr_spark.pipeline.dedup_index import build_dedup_index
-            corpus = docs.where(F.col("doc_id") % 10 != args.batch_residue)
+            corpus = docs.where(residue != args.batch_residue)
             print(json.dumps(build_dedup_index(spark, corpus, args.index),
                              sort_keys=True))
         elif args.mode == "check":
+            from ocr_spark.operators.corpus import N_BANDS
             from ocr_spark.pipeline.dedup_index import check_batch
             t0 = time.time()
             rows = check_batch(spark, args.index, batch).collect()
             print(json.dumps({
                 "n_batch": len(rows),
                 "n_dup": sum(r.is_dup for r in rows),
-                "n_full_collision": sum(r.n_band_hits >= 4 for r in rows),
+                "n_full_collision": sum(r.n_band_hits >= N_BANDS
+                                        for r in rows),
                 "wall_ms": int((time.time() - t0) * 1000),
             }, sort_keys=True))
         else:

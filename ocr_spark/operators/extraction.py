@@ -1558,6 +1558,15 @@ dg_bg AS (
 ),
 dg_scored AS (SELECT conv_id, dup_bg * 10000 // n_bg AS dup_bp FROM dg_bg)"""
 
+
+def degen_turns_ctes(conv_mod: int = 50) -> str:
+    """DEGEN_TURNS_CTES at an alternate conv modulus (conv_mod=25 mixes
+    all four roles per conversation — see _agent_transcripts' parity
+    note)."""
+    return DEGEN_TURNS_CTES.replace(
+        "% 50) + 50) % 50", f"% {conv_mod}) + {conv_mod}) % {conv_mod}")
+
+
 CONV_DEGEN_SQL = f"""
 WITH {DEGEN_TURNS_CTES},
 scored AS (SELECT conv_id, dup_bp FROM dg_scored)

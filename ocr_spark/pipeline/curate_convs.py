@@ -41,9 +41,9 @@ from pyspark.sql.window import Window
 from ..operators.corpus import (_lsh_candidate_pairs, _md5_long,
                                 _MINHASH_CTES, _minhash_bands,
                                 _minhash_sig_stage, min_label_components)
-from ..operators.extraction import (_AGENT_TRANSCRIPTS_CTE,
-                                    _agent_transcripts, DEGEN_DUP_BP,
-                                    DEGEN_MIN_TOKENS, DEGEN_TURNS_CTES)
+from ..operators.extraction import (_agent_transcripts,
+                                    _agent_transcripts_cte, DEGEN_DUP_BP,
+                                    DEGEN_MIN_TOKENS, degen_turns_ctes)
 from ..operators.quality import (CONTAM_NGRAM, _smp_threshold_u64,
                                  token_shingle_expr, with_repetition_signals)
 from .util import write_manifest
@@ -108,10 +108,16 @@ def conv_curation_flags(t: DataFrame,
     asst = (t.where(F.col("role") == "assistant")
             .selectExpr("conv_id", "split(lower(text), '\\\\s+') AS tt")
             .where(f"size(tt) >= {DEGEN_MIN_TOKENS}"))
+    # persisted: both the survivors anti-join and the final flag join
+    # read it — uncached, the assistant-turn fold + distinct shuffle run
+    # twice (the import_star two-branch lesson)
     degen = (with_repetition_signals(asst, tcol="tt")
              .where(F.expr(f"dup_bg * 10000 DIV n_bg >= {DEGEN_DUP_BP}"))
              .select("conv_id").distinct()
-             .withColumn("degenerate", F.lit(True)))
+             .withColumn("degenerate", F.lit(True))
+             .persist())
+    if _track is not None:
+        _track.append(degen)
 
     # near-dup candidates among the quality+degenerate+exact survivors
     # only: the MinHash surrogate ids are md5-derived longs so the oracle
@@ -189,10 +195,14 @@ def conv_curation_flags(t: DataFrame,
             .select("conv_id", "n_turns", reason.alias("drop_reason")))
 
 
-def conv_curate_funnel(spark, sf_dir) -> DataFrame:
+def conv_curate_funnel(spark, sf_dir, conv_mod: int = 50) -> DataFrame:
     """Per-stage funnel over the synthesized agent transcripts — the
-    oracle-paired surface of run_conv_curation."""
-    t = _agent_transcripts(spark, sf_dir)
+    oracle-paired surface of run_conv_curation. conv_mod=25 mixes all
+    four roles per conversation (the registered query keeps the default
+    50; the 25 twin makes the degenerate branch's oracle differential
+    REAL in tests — under 50, role parity means no conversation carries
+    both a user and an assistant turn)."""
+    t = _agent_transcripts(spark, sf_dir, conv_mod=conv_mod)
     return (conv_curation_flags(t)
             .groupBy(F.coalesce(F.col("drop_reason"), F.lit("kept"))
                      .alias("stage"))
@@ -201,8 +211,11 @@ def conv_curate_funnel(spark, sf_dir) -> DataFrame:
             .orderBy("stage"))
 
 
-CONV_CURATE_SQL = f"""
-WITH RECURSIVE t AS ({_AGENT_TRANSCRIPTS_CTE}),
+def conv_curate_sql(conv_mod: int = 50) -> str:
+    """The funnel oracle at an arbitrary conv modulus (mirrors
+    conv_curate_funnel's conv_mod)."""
+    return f"""
+WITH RECURSIVE t AS ({_agent_transcripts_cte(conv_mod)}),
 conv AS (
   SELECT conv_id,
          CAST(COUNT(*) AS BIGINT) AS n_turns,
@@ -220,7 +233,7 @@ flags0 AS (
            ORDER BY conv_id) AS dup_rank
   FROM conv
 ),
-{DEGEN_TURNS_CTES},
+{degen_turns_ctes(conv_mod)},
 dg_degen AS (
   SELECT DISTINCT conv_id FROM dg_scored WHERE dup_bp >= {DEGEN_DUP_BP}
 ),
@@ -295,6 +308,9 @@ SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_convs,
        CAST(SUM(n_turns) AS BIGINT) AS n_turns
 FROM staged GROUP BY stage ORDER BY stage
 """
+
+
+CONV_CURATE_SQL = conv_curate_sql()
 
 
 def run_conv_curation(spark, t: DataFrame, out_dir: str) -> dict:

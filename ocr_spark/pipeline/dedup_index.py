@@ -64,15 +64,32 @@ def _write_manifest(index_dir: str, manifest: dict) -> None:
         json.dump(manifest, f, sort_keys=True)
 
 
+def _index_stats(spark: SparkSession, data_dir: str) -> tuple[int, int]:
+    """(n_buckets, n_docs) from the committed index itself: every signed
+    doc contributes exactly N_BANDS member rows, so the doc count is
+    free from the (tiny) index — no second scan of the corpus."""
+    row = (spark.read.parquet(data_dir)
+           .agg(F.count("*").alias("b"),
+                F.sum("n_members").alias("m")).collect()[0])
+    return int(row.b), int(row.m or 0) // N_BANDS
+
+
 def build_dedup_index(spark: SparkSession, docs: DataFrame,
                       output_dir: str) -> dict:
-    """Signature + band the corpus once and commit the bucket index."""
+    """Signature + band the corpus once and commit the bucket index.
+    n_docs counts SIGNED documents (sub-3-word docs produce no
+    signature and are invisible to fuzzy dedup by construction)."""
     t0 = time.time()
     data_dir = os.path.join(output_dir, _DATA)
-    n_docs = docs.count()
+    # invalidate any PRIOR build before the overwrite starts writing: a
+    # crash mid-rebuild must not leave the old manifest pointing at
+    # half-rewritten data (readable-but-partial is the banned state)
+    stale = os.path.join(output_dir, _MANIFEST)
+    if os.path.exists(stale):
+        os.remove(stale)
     (_bucketize(_bands_of(docs))
      .write.mode("overwrite").partitionBy("band").parquet(data_dir))
-    n_buckets = spark.read.parquet(data_dir).count()
+    n_buckets, n_docs = _index_stats(spark, data_dir)
     manifest = {
         "version": INDEX_VERSION,
         "n_docs": n_docs,
@@ -87,7 +104,20 @@ def build_dedup_index(spark: SparkSession, docs: DataFrame,
     return manifest
 
 
+def _recover_swap(index_dir: str) -> None:
+    """Roll back a crash INSIDE append_batch's two-rename swap window
+    (data renamed to .append-old, tmp not yet promoted): restore the old
+    data so the committed manifest points at readable data again. The
+    manifest was not yet rewritten at that point, so rolling back
+    restores exactly the state it describes."""
+    data_dir = os.path.join(index_dir, _DATA)
+    old = data_dir + ".append-old"
+    if not os.path.exists(data_dir) and os.path.exists(old):
+        os.rename(old, data_dir)
+
+
 def read_manifest(index_dir: str) -> dict:
+    _recover_swap(index_dir)
     path = os.path.join(index_dir, _MANIFEST)
     if not os.path.exists(path):
         raise FileNotFoundError(
@@ -166,7 +196,6 @@ def append_batch(spark: SparkSession, index_dir: str,
         return manifest
     t0 = time.time()
     data_dir = os.path.join(index_dir, _DATA)
-    n_new = batch.count()
     merged = (spark.read.parquet(data_dir)
               .unionByName(_bucketize(_bands_of(batch)))
               .groupBy("band", "band_hash")
@@ -175,14 +204,16 @@ def append_batch(spark: SparkSession, index_dir: str,
     tmp = data_dir + ".append-tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     merged.write.partitionBy("band").parquet(tmp)
-    n_buckets = spark.read.parquet(tmp).count()
+    n_buckets, n_docs = _index_stats(spark, tmp)
     old = data_dir + ".append-old"
     shutil.rmtree(old, ignore_errors=True)
+    # a crash between these two renames is rolled back by _recover_swap
+    # on the next read (manifest still describes the old data)
     os.rename(data_dir, old)
     os.rename(tmp, data_dir)
     shutil.rmtree(old, ignore_errors=True)
     manifest.update({
-        "n_docs": manifest["n_docs"] + n_new,
+        "n_docs": n_docs,
         "n_buckets": n_buckets,
         "appends": manifest["appends"] + 1,
         "built_unix": int(time.time()),

@@ -23,19 +23,25 @@ _KEYS = ["conv_id", "turn_idx"]
 
 
 def _digest(df: DataFrame) -> DataFrame:
+    # the digest covers (kind, text): a kernel change that reroutes a
+    # payload to a different kind with IDENTICAL text must still read as
+    # a divergence — that's a parser-routing regression, not parity
     return (df.groupBy(*_KEYS)
             .agg(F.min("source_kind").alias("kind"),
                  F.count("*").cast("long").alias("n"),
                  F.md5(F.concat_ws(
                      "\x00",
-                     F.sort_array(F.collect_list("clean_text"))))
+                     F.sort_array(F.collect_list(F.concat_ws(
+                         "\x1f", "source_kind", "clean_text")))))
                  .alias("digest")))
 
 
 def diff_extractions(run_a: DataFrame, run_b: DataFrame) -> DataFrame:
     """Per-kind parity report between two extraction outputs (columns
     conv_id, turn_idx, source_kind, clean_text). equal = same number of
-    tie rows AND the same sorted text multiset at that turn key."""
+    tie rows AND the same sorted (kind, text) multiset at that turn key;
+    the report buckets each key under run A's kind (run B's for
+    B-only keys)."""
     a = _digest(run_a).select(
         *_KEYS, F.col("kind").alias("kind_a"), F.col("n").alias("n_a"),
         F.col("digest").alias("dig_a"))

@@ -39,8 +39,14 @@ def train_tokenizer(spark: SparkSession, docs: DataFrame, output_dir: str,
     """Train n_merges BPE rules on the documents frame and commit the
     ordered merge table + manifest."""
     t0 = time.time()
-    merges = train_bpe_merge_list(docs, n_merges)
     data_dir = os.path.join(output_dir, _DATA)
+    # invalidate any PRIOR tokenizer before rewriting its data: a crash
+    # mid-retrain must not leave the old manifest pointing at a partial
+    # merge table (readable-but-partial is the banned state)
+    stale = os.path.join(output_dir, _MANIFEST)
+    if os.path.exists(stale):
+        os.remove(stale)
+    merges = train_bpe_merge_list(docs, n_merges)
     (spark.createDataFrame(
         merges, "merge_rank INT, left STRING, right STRING, pair_count BIGINT")
      .coalesce(1).write.mode("overwrite").parquet(data_dir))
@@ -112,8 +118,11 @@ def apply_tokenizer(spark: SparkSession, tok_dir: str,
         # the trainer's vocab words come from Spark split on Java \s+
         # (ASCII-only); Python str.split is unicode — spell the class out
         ws = re.compile(r"[ \t\n\x0b\f\r]+")
-        cache: dict[str, int] = {}
         for pdf in batches:
+            # per-BATCH memo (Zipf makes most words repeat within a
+            # batch); a partition-lifetime dict would grow unbounded on
+            # high-entropy text and OOM the Python worker
+            cache: dict[str, int] = {}
             ids, n_words, n_tokens = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 words = [w for w in ws.split((text or "").lower()) if w]

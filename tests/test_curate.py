@@ -379,3 +379,43 @@ def test_conv_degenerate_gate_planted(spark):
     assert flags["c-agentlog"] == "quality"
     assert flags["c-clean"] in (None, "sampled_out")
     assert flags["c-short"] in (None, "sampled_out")
+
+
+def test_conv_funnel_oracle_degenerate_stage_mod25(spark, tmp_path):
+    """The funnel's degenerate branch, differentially: at conv_mod=25
+    every conversation mixes all four roles (the parity note in
+    _agent_transcripts), so a planted looping assistant turn yields a
+    conversation that PASSES quality and drops at 'degenerate' — and the
+    conv_mod=25 SQL twin must reproduce the whole funnel including that
+    stage. Under the registered conv_mod=50 surface the stage is
+    structurally unreachable (assistant-bearing conversations carry no
+    user turn), so this is the test that keeps the dg_ CTE chain honest."""
+    import duckdb
+
+    from ocr_spark.pipeline.curate_convs import (conv_curate_funnel,
+                                                 conv_curate_sql)
+
+    texts = {i: f"turn body {i} " + " ".join(f"tok{i}w{j}" for j in range(20))
+             for i in range(100)}
+    # doc 1: conv-1 at mod 25 ({1, 26, 51, 76}), role 1 % 4 = assistant —
+    # a 30-token loop; doc 76 (76 % 4 = 0) is its user turn
+    texts[1] = "loop " * 29 + "loop"
+    docs = [(i, texts[i], "en", "s", len(texts[i])) for i in range(100)]
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    rows = sorted(tuple(r) for r in
+                  conv_curate_funnel(spark, d, conv_mod=25).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{os.path.join(d, 'documents.parquet')}/*.parquet'")
+    orows = sorted(tuple(r) for r in
+                   con.execute(conv_curate_sql(25)).fetchall())
+    assert rows == orows
+    stages = {r[0]: r[1] for r in rows}
+    assert stages.get("degenerate", 0) == 1, \
+        "the planted looping conversation must drop at the degenerate stage"
+    assert "kept" in stages

@@ -171,3 +171,39 @@ def test_check_stream_matches_batch_verdicts(spark, tmp_path):
             match = r.match_id if match is None else min(match, r.match_id)
         got[r.doc_id] = (hits, match)
     assert got == want
+
+
+def test_swap_crash_window_recovers(spark, tmp_path):
+    """Crash INSIDE append's two-rename swap (data renamed away, tmp not
+    yet promoted): the next reader rolls the old data back and serves the
+    state the committed manifest describes."""
+    from ocr_spark.pipeline.dedup_index import build_dedup_index, check_batch
+    idx = str(tmp_path / "idx")
+    build_dedup_index(spark, _docs_df(spark, CORPUS), idx)
+    data = os.path.join(idx, "band_index")
+    os.rename(data, data + ".append-old")      # the mid-swap crash state
+    got = {r.doc_id: r for r in
+           check_batch(spark, idx, _docs_df(spark, BATCH)).collect()}
+    assert got[12].is_dup == 1 and got[12].match_id == 2
+    assert os.path.exists(data)
+    assert not os.path.exists(data + ".append-old")
+
+
+def test_rebuild_crash_leaves_no_stale_manifest(spark, tmp_path):
+    """Rebuilding over a committed index first invalidates the old
+    manifest, so a crash mid-rewrite reads as 'no index', never as a
+    readable-but-partial one."""
+    from ocr_spark.pipeline.dedup_index import (_MANIFEST, _bands_of,
+                                                _bucketize,
+                                                build_dedup_index,
+                                                check_batch)
+    idx = str(tmp_path / "idx")
+    build_dedup_index(spark, _docs_df(spark, CORPUS), idx)
+    # simulate the crash: manifest removed (the rebuild's first step),
+    # data half-rewritten (here: still the old data)
+    os.remove(os.path.join(idx, _MANIFEST))
+    with pytest.raises(FileNotFoundError):
+        check_batch(spark, idx, _docs_df(spark, BATCH))
+    # a completed rebuild recommits cleanly
+    m = build_dedup_index(spark, _docs_df(spark, CORPUS), idx)
+    assert m["n_docs"] == 3

@@ -65,6 +65,7 @@ def test_regression_diff_per_kind_parity(spark):
         ("c1", 2, "pdf", "a only"),             # missing in b
         ("c2", 0, "html", "tie x"), ("c2", 0, "html", "tie y"),  # tie pair
         ("c3", 0, "pdf", "tie p"),              # b has TWO rows here
+        ("c4", 0, "html", "rerouted"),          # b re-kinds it, text same
     ], cols)
     b = spark.createDataFrame([
         ("c1", 0, "html", "same text"),
@@ -72,13 +73,15 @@ def test_regression_diff_per_kind_parity(spark):
         ("c1", 3, "pdf", "b only"),             # missing in a
         ("c2", 0, "html", "tie y"), ("c2", 0, "html", "tie x"),  # reordered
         ("c3", 0, "pdf", "tie p"), ("c3", 0, "pdf", "tie p"),
+        ("c4", 0, "pdf", "rerouted"),           # kind flip, text identical
     ], cols)
     rows = {r.source_kind: r for r in diff_extractions(a, b).collect()}
     html = rows["html"]
-    # c1t0 equal, c1t1 diverges, c2t0 equal (multiset, order-free)
+    # c1t0 equal, c1t1 diverges, c2t0 equal (multiset, order-free),
+    # c4t0 present both sides but RE-KINDED -> counted, not equal
     assert (html.n_both, html.n_equal, html.n_a_only, html.n_b_only) \
-        == (3, 2, 0, 0)
-    assert html.equal_bp == 6666
+        == (4, 2, 0, 0)
+    assert html.equal_bp == 5000
     pdf = rows["pdf"]
     # c3t0 present both sides but tie COUNT differs -> not equal
     assert (pdf.n_both, pdf.n_equal, pdf.n_a_only, pdf.n_b_only) \
