@@ -40,6 +40,12 @@ def build_lsh_index(spark: SparkSession, emb: DataFrame,
     index partitioned by bucket code. Returns the manifest."""
     t0 = time.time()
     data_dir = os.path.join(output_dir, _DATA)
+    # invalidate any PRIOR index before the overwrite starts writing: a
+    # crash mid-rebuild must not leave the old manifest pointing at
+    # half-rewritten buckets (same contract as dedup_index/tokenizer)
+    stale = os.path.join(output_dir, _MANIFEST)
+    if os.path.exists(stale):
+        os.remove(stale)
     coded = lsh_code_frame(emb)
     (coded.write.mode("overwrite").partitionBy("code").parquet(data_dir))
     n = spark.read.parquet(data_dir).count()

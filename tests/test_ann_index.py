@@ -68,3 +68,32 @@ def test_index_read_is_partition_pruned(spark, index_dir):
 def test_missing_manifest_refused(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         read_manifest(str(tmp_path / "nope"))
+
+
+def test_rebuild_invalidates_stale_manifest(spark, tmp_path):
+    """Rebuilding over a committed ANN index removes the old manifest
+    before rewriting buckets: a crash mid-rebuild reads as 'no index',
+    never as a readable-but-partial one (the dedup_index contract)."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ocr_spark.pipeline.ann_index import (build_lsh_index,
+                                              query_lsh_index,
+                                              read_manifest)
+
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .where(F.col("vec_id").isNotNull()))
+    idx = str(tmp_path / "idx")
+    build_lsh_index(spark, emb, idx)
+    # simulate the crash state the fix creates: manifest already removed
+    os.remove(os.path.join(idx, "_index_manifest.json"))
+    with pytest.raises(FileNotFoundError):
+        read_manifest(idx)
+    with pytest.raises(FileNotFoundError):
+        query_lsh_index(spark, idx,
+                        emb.limit(1).select(
+                            F.col("vec_id").alias("query_id"), "embedding"))
+    m = build_lsh_index(spark, emb, idx)       # completed rebuild recommits
+    assert m["n_vectors"] > 0
