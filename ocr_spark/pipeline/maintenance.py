@@ -54,6 +54,7 @@ def compact_parquet(spark: SparkSession, path: str,
 
     Returns {files_before, files_after, bytes, target_files}.
     """
+    recover_compaction(path)
     files_before, total_bytes = _dir_stats(path)
     target_files = max(1, -(-total_bytes // (target_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
@@ -80,3 +81,16 @@ def compact_parquet(spark: SparkSession, path: str,
     return {"files_before": files_before, "files_after": files_after,
             "bytes": total_bytes, "target_files": target_files,
             "rows": n_in}
+
+
+def recover_compaction(path: str) -> bool:
+    """Roll back a crash INSIDE compact_parquet's two-rename swap window
+    (data renamed to .compact-old, tmp not yet promoted): restore the
+    original directory. Called automatically by compact_parquet, so a
+    retried compaction self-heals; readers hitting a missing dir next to
+    a .compact-old can call it directly. Returns True if it recovered."""
+    old = path.rstrip("/") + ".compact-old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.replace(old, path)
+        return True
+    return False
