@@ -62,7 +62,7 @@ _MEASURED_COST = {
     'extract_quality_gate': 1.2, 'sim_lsh_topk': 1.2, 'dd_minhash_lsh': 1.3,
     'extract_conversations': 1.3, 'extract_html_readability': 1.3,
     'extract_pdf_layout': 1.4, 'extract_synthetic': 1.4,
-    'extract_yield': 2.4,
+    'extract_yield': 2.6,
     'txt_quality_hist': 0.5, 'txt_vocab_topk': 0.6, 'dd_url_dup': 0.6,
     'smp_source_mix': 1.1,
     'txt_bpe_pair_counts': 0.7, 'conv_dialogue_balance': 0.7,

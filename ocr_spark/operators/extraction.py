@@ -228,6 +228,18 @@ _HTML_CHROME = (
 )
 _HTML_CHROME_LEN = sum(len(c) for c in _HTML_CHROME)
 
+# same contract for the PDF payload builder (used by extract_yield's
+# pdf_layout raw-length arithmetic)
+_PDF_CHROME = (
+    "%PDF-1.4\n1 0 obj << /Type /Page >> endobj\n"
+    "4 0 obj << /Length 0 >> stream\n"
+    "BT /F1 16 Tf 72 720 Td (Document ",
+    " report) Tj ET\nBT /F1 12 Tf 72 690 Td (",
+    ") Tj 0 -14 TD (",
+    ") Tj ET\nendstream endobj\n%%EOF",
+)
+_PDF_CHROME_LEN = sum(len(c) for c in _PDF_CHROME)
+
 
 def _html_transcripts_from_documents(spark, sf_dir):
     """Generic-web-page payloads (north_star): each document's text becomes
@@ -312,26 +324,33 @@ def extract_yield(spark, sf_dir):
     — so the yield is a differential check on the kernel's output
     length, not a replay of Spark's answer."""
     from ..pipeline.extract import extract_turns
-    t = _html_transcripts_from_documents(spark, sf_dir)
-    clean = (extract_turns(t, salt_partitions=None)
-             .groupBy("conv_id")
+    th = _html_transcripts_from_documents(spark, sf_dir)
+    tp = _pdf_transcripts_from_documents(spark, sf_dir)
+    clean = (extract_turns(th.unionByName(tp), salt_partitions=None)
+             .groupBy("source_kind", "conv_id")
              .agg(F.count("*").cast("long").alias("n_turns"),
                   F.sum(F.length("clean_text")).cast("long")
                   .alias("clean_chars"),
                   F.sum(F.size("spans")).cast("long").alias("spans_total")))
-    raw = (t.groupBy("conv_id")
-           .agg(F.sum(F.length("text")).cast("long").alias("raw_chars")))
-    return (clean.join(raw, "conv_id")
-            .select("conv_id", "n_turns", "raw_chars", "clean_chars",
-                    "spans_total",
+    raw = (th.select(F.lit("readability_html").alias("source_kind"),
+                     "conv_id", F.length("text").alias("n"))
+           .unionByName(tp.select(
+               F.lit("pdf_layout").alias("source_kind"),
+               "conv_id", F.length("text").alias("n")))
+           .groupBy("source_kind", "conv_id")
+           .agg(F.sum("n").cast("long").alias("raw_chars")))
+    return (clean.join(raw, ["source_kind", "conv_id"])
+            .select("source_kind", "conv_id", "n_turns", "raw_chars",
+                    "clean_chars", "spans_total",
                     F.expr("clean_chars * 10000 DIV raw_chars").cast("long")
                     .alias("yield_bp"))
-            .orderBy("conv_id"))
+            .orderBy("source_kind", "conv_id"))
 
 
 EXTRACT_YIELD_SQL = f"""
 WITH per AS (
-  SELECT printf('conv-%06d', doc_id % 50) AS conv_id,
+  SELECT 'readability_html' AS source_kind,
+         printf('conv-%06d', doc_id % 50) AS conv_id,
          {_HTML_CHROME_LEN}
            + 2 * length(CAST(doc_id AS VARCHAR))
            + length(substring(text, 1, 200))
@@ -342,17 +361,33 @@ WITH per AS (
            ' Document ' || CAST(doc_id AS VARCHAR) || ' from source '
            || source || ' has ' || CAST(n_chars AS VARCHAR) ||
            ' characters of content, restated here, with commas, for density.')
-           AS clean_chars
+           AS clean_chars,
+         3 AS n_spans
+  FROM documents
+  UNION ALL
+  SELECT 'pdf_layout' AS source_kind,
+         printf('conv-%06d', doc_id % 50) AS conv_id,
+         {_PDF_CHROME_LEN}
+           + length(CAST(doc_id AS VARCHAR))
+           + length(trim(substring(text, 1, 60)))
+           + length(trim(substring(text, 61, 60))) AS raw_chars,
+         length('Document ' || CAST(doc_id AS VARCHAR) || ' report' ||
+           chr(10) || chr(10) || trim(substring(text, 1, 60)) ||
+           CASE WHEN trim(substring(text, 61, 60)) = '' THEN ''
+                ELSE chr(10) || trim(substring(text, 61, 60)) END)
+           AS clean_chars,
+         CASE WHEN trim(substring(text, 61, 60)) = '' THEN 2 ELSE 3 END
+           AS n_spans
   FROM documents
 )
-SELECT conv_id,
+SELECT source_kind, conv_id,
        CAST(COUNT(*) AS BIGINT) AS n_turns,
        CAST(SUM(raw_chars) AS BIGINT) AS raw_chars,
        CAST(SUM(clean_chars) AS BIGINT) AS clean_chars,
-       CAST(3 * COUNT(*) AS BIGINT) AS spans_total,
+       CAST(SUM(n_spans) AS BIGINT) AS spans_total,
        CAST(SUM(clean_chars) * 10000 // SUM(raw_chars) AS BIGINT)
          AS yield_bp
-FROM per GROUP BY conv_id ORDER BY conv_id
+FROM per GROUP BY 1, 2 ORDER BY source_kind, conv_id
 """
 
 
@@ -365,15 +400,13 @@ def _pdf_transcripts_from_documents(spark, sf_dir):
     p1 = F.trim(F.substring(F.col("text"), 1, 60))
     p2 = F.trim(F.substring(F.col("text"), 61, 60))
     payload = F.concat(
-        F.lit("%PDF-1.4\n1 0 obj << /Type /Page >> endobj\n"
-              "4 0 obj << /Length 0 >> stream\n"
-              "BT /F1 16 Tf 72 720 Td (Document "),
+        F.lit(_PDF_CHROME[0]),
         F.col("doc_id").cast("string"),
-        F.lit(" report) Tj ET\nBT /F1 12 Tf 72 690 Td ("),
+        F.lit(_PDF_CHROME[1]),
         p1,
-        F.lit(") Tj 0 -14 TD ("),
+        F.lit(_PDF_CHROME[2]),
         p2,
-        F.lit(") Tj ET\nendstream endobj\n%%EOF"),
+        F.lit(_PDF_CHROME[3]),
     )
     return docs.select(
         F.format_string("conv-%06d", F.col("doc_id") % 50).alias("conv_id"),
