@@ -40,6 +40,11 @@ EDGE_DOCS = [
      "en", "crawl"),
     (9, "", "en", "crawl"),
     (10, None, "en", "crawl"),
+    # NEGATIVE ids (production doc_ids are md5-longs over signed int64):
+    # pmod must agree with the oracle's ((x % n) + n) % n — a degenerate
+    # assistant turn at conv-000047 and a French turn at conv-000043
+    (-3, "loop " * 29 + "loop", "en", "web"),
+    (-7, "le et les rapport", "fr", "web"),
     # near-dup pair for the sketch calibration (identical text: every
     # band collides, est = exact = 10000)
     (11, "zeta one two three four five six seven eight nine ten "
