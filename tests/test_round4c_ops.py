@@ -283,3 +283,51 @@ def test_url_density_randomized_engine_parity(spark, tmp_path):
     drows, dcols = _duck_on(d, sql)
     assert _canon([tuple(r) for r in sdf.collect()], sdf.columns) == \
         _canon(drows, dcols)
+
+
+def test_retry_collapse_randomized_engine_parity(spark, tmp_path):
+    """Seeded randomized differential for the gap-chain math: microsecond
+    timestamp noise, exact-boundary gaps, and (ts, event_id) ties must
+    produce identical chains on both engines."""
+    import datetime
+    import os
+    import random
+
+    from ocr_spark.operators import ALL_QUERIES
+    from ocr_spark.operators.temporal import RETRY_GAP_S
+
+    rng = random.Random(11)
+    t0 = datetime.datetime(2024, 3, 1)
+    rows, eid = [], 0
+    for user in range(6):
+        for etype in ("click", "view"):
+            cur_us = 0
+            for _ in range(rng.randint(0, 25)):
+                # gaps hugging the boundary: exactly gap, gap±1µs, tiny,
+                # huge — plus occasional zero (a (ts, event_id) tie)
+                gap = rng.choice([0, 1, 5_000_000,
+                                  RETRY_GAP_S * 1_000_000 - 1,
+                                  RETRY_GAP_S * 1_000_000,
+                                  RETRY_GAP_S * 1_000_000 + 1,
+                                  300_000_000])
+                cur_us += gap
+                rows.append((eid, t0 + datetime.timedelta(
+                    microseconds=cur_us), user, etype,
+                    1.0, "{}"))
+                eid += 1
+    d = str(tmp_path / "ev")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string"
+    ).write.parquet(os.path.join(d, "events.parquet"))
+
+    fn, sql = ALL_QUERIES["qr_retry_collapse"]
+    sdf = fn(spark, d)
+    import duckdb
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{os.path.join(d, 'events.parquet')}/*.parquet'")
+    res = con.execute(sql)
+    drows, dcols = res.fetchall(), [c[0] for c in res.description]
+    assert _canon([tuple(r) for r in sdf.collect()], sdf.columns) == \
+        _canon(drows, dcols)
