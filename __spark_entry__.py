@@ -85,7 +85,7 @@ _MEASURED_COST = {
     'txt_len_quantiles': 0.7, 'dd_syndication_matrix': 0.9,
     'dd_boilerplate_topk': 0.8, 'conv_tool_latency': 0.8,
     'txt_url_density': 0.7, 'conv_degenerate_scan': 1.2,
-    'qr_retry_collapse': 0.8,
+    'qr_retry_collapse': 0.8, 'qr_conversion_cohorts': 0.9,
     'conv_lang_mix': 2.0, 'dd_minhash_est_error': 4.0,
     'dd_embedding_neardup': 1.5, 'curate_funnel': 1.6, 'dd_simhash': 1.6,
     't19_code_gen': 1.6, 'dd_ngram_jaccard': 1.7, 'dd_minhash_verified': 1.3,

@@ -80,6 +80,7 @@ HEADLINE = HEADLINE_R1 + [
     "dd_syndication_matrix", "dd_boilerplate_topk", "conv_tool_latency",
     "conv_lang_mix", "conv_degenerate_scan", "txt_url_density",
     "dd_minhash_est_error", "extract_yield", "qr_retry_collapse",
+    "qr_conversion_cohorts",
 ]
 
 

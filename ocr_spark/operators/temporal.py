@@ -220,8 +220,69 @@ FROM chains GROUP BY 1, 2 ORDER BY user_id, event_type
 """
 
 
+CONVERT_WINDOW_S = 7 * 86400  # purchase within a week of first signup
+
+
+def qr_conversion_cohorts(spark, sf_dir):
+    """Cohort conversion — the event-sequence funnel every product
+    analytics stack runs: users grouped by the DATE of their first
+    signup; a cohort member converts if any purchase lands within
+    CONVERT_WINDOW_S of that first signup (inclusive both ends).
+
+    Shape: one keyed aggregation for first signups, one keyed
+    (user-co-partitioned) semi join against purchases with the window
+    predicate, one tiny cohort-date aggregation. Window math is tz-free
+    integer-second timestampdiff on the NTZ column (the w3 lesson);
+    conversion share is integer basis points — exact on both engines."""
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull()))
+    first = (ev.where(F.col("event_type") == "signup")
+             .groupBy("user_id").agg(F.min("ts").alias("s_ts")))
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"))
+    converted = (first.join(buys, "user_id")
+                 .where(F.expr("timestampdiff(SECOND, s_ts, p_ts)")
+                        .between(0, CONVERT_WINDOW_S))
+                 .select("user_id").distinct()
+                 .withColumn("converted", F.lit(1)))
+    return (first.join(converted, "user_id", "left")
+            .groupBy(F.to_date("s_ts").alias("cohort_date"))
+            .agg(F.count("*").cast("long").alias("n_users"),
+                 F.sum(F.coalesce("converted", F.lit(0))).cast("long")
+                 .alias("n_converted"))
+            .withColumn("conv_bp",
+                        F.expr("n_converted * 10000 DIV n_users")
+                        .cast("long"))
+            .orderBy("cohort_date"))
+
+
+QR_COHORT_SQL = f"""
+WITH first AS (
+  SELECT user_id, MIN(ts) AS s_ts FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type = 'signup'
+  GROUP BY user_id
+),
+converted AS (
+  SELECT DISTINCT f.user_id
+  FROM first f
+  JOIN events p ON p.user_id = f.user_id AND p.event_type = 'purchase'
+   AND p.ts IS NOT NULL
+   AND datediff('second', f.s_ts, p.ts) BETWEEN 0 AND {CONVERT_WINDOW_S}
+)
+SELECT CAST(f.s_ts AS DATE) AS cohort_date,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_converted,
+       CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+            * 10000 // COUNT(*) AS BIGINT) AS conv_bp
+FROM first f LEFT JOIN converted c ON c.user_id = f.user_id
+GROUP BY 1 ORDER BY cohort_date
+"""
+
+
 QUERIES = {
     "qr_asof_join": (qr_asof_join, QR_ASOF_SQL),
     "qr_range_join": (qr_range_join, QR_RANGE_SQL),
     "qr_retry_collapse": (qr_retry_collapse, QR_RETRY_SQL),
+    "qr_conversion_cohorts": (qr_conversion_cohorts, QR_COHORT_SQL),
 }

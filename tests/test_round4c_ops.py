@@ -331,3 +331,48 @@ def test_retry_collapse_randomized_engine_parity(spark, tmp_path):
     drows, dcols = res.fetchall(), [c[0] for c in res.description]
     assert _canon([tuple(r) for r in sdf.collect()], sdf.columns) == \
         _canon(drows, dcols)
+
+
+def test_conversion_cohorts_window_boundaries(spark, tmp_path):
+    """Cohort conversion boundaries: a purchase exactly at the window end
+    converts, one second past does not, a purchase BEFORE the first
+    signup does not, and the cohort keys on the FIRST signup's date."""
+    import datetime
+    import os
+
+    from ocr_spark.operators.temporal import (CONVERT_WINDOW_S,
+                                              qr_conversion_cohorts)
+
+    t0 = datetime.datetime(2024, 5, 1, 12, 0, 0)
+
+    def at(sec):
+        return t0 + datetime.timedelta(seconds=sec)
+
+    rows = [
+        # u1: converts exactly at the window end
+        (1, at(0), 1, "signup", 1.0, "{}"),
+        (2, at(CONVERT_WINDOW_S), 1, "purchase", 1.0, "{}"),
+        # u2: one second past the window — no conversion
+        (3, at(0), 2, "signup", 1.0, "{}"),
+        (4, at(CONVERT_WINDOW_S + 1), 2, "purchase", 1.0, "{}"),
+        # u3: purchase BEFORE signup — no conversion
+        (5, at(100), 3, "signup", 1.0, "{}"),
+        (6, at(50), 3, "purchase", 1.0, "{}"),
+        # u4: second signup next day must NOT move the cohort; purchase
+        # within window of the FIRST signup converts
+        (7, at(0), 4, "signup", 1.0, "{}"),
+        (8, at(90000), 4, "signup", 1.0, "{}"),
+        (9, at(1000), 4, "purchase", 1.0, "{}"),
+    ]
+    d = str(tmp_path / "ev")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string"
+    ).write.parquet(os.path.join(d, "events.parquet"))
+
+    got = {str(r.cohort_date): r
+           for r in qr_conversion_cohorts(spark, d).collect()}
+    day = got["2024-05-01"]
+    assert day.n_users == 4            # all first signups on day one
+    assert day.n_converted == 2        # u1 (boundary) and u4
+    assert day.conv_bp == 5000
