@@ -420,6 +420,23 @@ GROUP BY p.source ORDER BY p.source
 
 CENTROID_QUANT = 1000000  # per-coordinate micro-unit quantization
 
+# Shared coordinate quantizer for the emb_* stats family: non-finite
+# coordinates quantize to 0 IDENTICALLY on both engines. Without the
+# guard, Spark's non-ANSI CAST(nan AS BIGINT) silently yields 0 while
+# DuckDB RAISES on the same cast — a single NaN/Inf coordinate would
+# make the oracle error rather than mismatch (advice r4; the exact
+# hazard emb_norm_stats documents). Finiteness predicate mirrors
+# emb_norm_stats's.
+_Q_COORD_EXPR = (
+    f"transform(embedding, x -> CAST(floor(CASE WHEN isnan(x)"
+    f" OR abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE)"
+    f" THEN CAST(0.0 AS DOUBLE) ELSE CAST(x AS DOUBLE) END"
+    f" * {CENTROID_QUANT}) AS BIGINT))")
+_Q_COORD_SQL = (
+    f"list_transform(embedding, x -> CAST(floor(CASE WHEN isnan(x)"
+    f" OR isinf(x) THEN CAST(0.0 AS DOUBLE) ELSE CAST(x AS DOUBLE) END"
+    f" * {CENTROID_QUANT}) AS BIGINT))")
+
 
 def emb_label_centroids(spark, sf_dir):
     """Per-label embedding centroid statistics — the cluster-health
@@ -440,8 +457,7 @@ def emb_label_centroids(spark, sf_dir):
     at most labels×dim partial rows PER PARTITION, never the exploded
     corpus."""
     emb = _emb(spark, sf_dir).where(F.col("label").isNotNull())
-    q = F.expr(f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
-               f" * {CENTROID_QUANT}) AS BIGINT))")
+    q = F.expr(_Q_COORD_EXPR)
     e = emb.select("label", F.posexplode(q).alias("dim_idx", "q"))
     return (e.groupBy("label", "dim_idx")
             .agg(F.count("*").cast("long").alias("n"),
@@ -456,9 +472,7 @@ EMB_CENTROID_SQL = f"""
 WITH e AS (
   SELECT label,
          unnest(range(len(embedding))) AS dim_idx,
-         unnest(list_transform(embedding,
-                x -> CAST(floor(CAST(x AS DOUBLE) * {CENTROID_QUANT})
-                          AS BIGINT))) AS q
+         unnest({_Q_COORD_SQL}) AS q
   FROM embeddings
   WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND label IS NOT NULL
 )
@@ -3294,8 +3308,7 @@ def emb_dim_variance(spark, sf_dir):
     hash aggregate with map-side combine — the shuffle carries at most
     dims partial rows per partition."""
     emb = _emb(spark, sf_dir)
-    q = F.expr(f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
-               f" * {CENTROID_QUANT}) AS BIGINT))")
+    q = F.expr(_Q_COORD_EXPR)
     e = emb.select(F.posexplode(q).alias("dim_idx", "q"))
     agg = (e.groupBy("dim_idx")
            .agg(F.count("*").cast("long").alias("n"),
@@ -3314,9 +3327,7 @@ def emb_dim_variance(spark, sf_dir):
 EMB_DIM_VAR_SQL = f"""
 WITH e AS (
   SELECT unnest(range(len(embedding))) AS dim_idx,
-         unnest(list_transform(embedding,
-                x -> CAST(floor(CAST(x AS DOUBLE) * {CENTROID_QUANT})
-                          AS BIGINT))) AS q
+         unnest({_Q_COORD_SQL}) AS q
   FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
 ),
 agg AS (
@@ -3356,8 +3367,7 @@ def emb_outliers(spark, sf_dir):
     per vector and a per-label top-K window over rows already shuffled
     by label."""
     emb = _emb(spark, sf_dir).where(F.col("label").isNotNull())
-    q = F.expr(f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
-               f" * {CENTROID_QUANT}) AS BIGINT))")
+    q = F.expr(_Q_COORD_EXPR)
     e = emb.select("vec_id", "label",
                    F.posexplode(q).alias("dim_idx", "q"))
     cent = (e.groupBy("label", "dim_idx")
@@ -3381,9 +3391,7 @@ EMB_OUTLIER_SQL = f"""
 WITH e AS (
   SELECT vec_id, label,
          unnest(range(len(embedding))) AS dim_idx,
-         unnest(list_transform(embedding,
-                x -> CAST(floor(CAST(x AS DOUBLE) * {CENTROID_QUANT})
-                          AS BIGINT))) AS q
+         unnest({_Q_COORD_SQL}) AS q
   FROM embeddings
   WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND label IS NOT NULL
 ),

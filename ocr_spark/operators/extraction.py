@@ -1268,7 +1268,11 @@ def conv_refusal_scan(spark, sf_dir):
         F.concat(F.lit("Sorry, I can't help with that. (template "),
                  (ln % 3).cast("string"), F.lit(")"))
     ).otherwise(F.col("text"))
-    low = F.lower(turn_text)
+    # NULL-text assistant turns: contains() on NULL yields NULL, and a
+    # conversation whose assistant turns are ALL NULL would report NULL
+    # counts while the oracle's CASE and the streaming twin report 0 —
+    # coalesce to '' so all three surfaces agree (advice r4).
+    low = F.lower(F.coalesce(turn_text, F.lit("")))
     is_refusal = F.lit(False)
     for m in _REFUSAL_MARKS:
         is_refusal = is_refusal | low.contains(m)

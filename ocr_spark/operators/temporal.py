@@ -232,7 +232,10 @@ def qr_conversion_cohorts(spark, sf_dir):
     Shape: one keyed aggregation for first signups, one keyed
     (user-co-partitioned) semi join against purchases with the window
     predicate, one tiny cohort-date aggregation. Window math is tz-free
-    integer-second timestampdiff on the NTZ column (the w3 lesson);
+    integer-MICROSECOND timestampdiff on the NTZ column (the w3 lesson;
+    second-granularity diffs diverge between engines — Spark truncates
+    elapsed seconds, DuckDB counts boundary crossings, so a sub-second
+    gap straddling a boundary flips the edge-of-window predicate);
     conversion share is integer basis points — exact on both engines."""
     ev = (_t(spark, sf_dir, "events")
           .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull()))
@@ -241,8 +244,8 @@ def qr_conversion_cohorts(spark, sf_dir):
     buys = ev.where(F.col("event_type") == "purchase").select(
         "user_id", F.col("ts").alias("p_ts"))
     converted = (first.join(buys, "user_id")
-                 .where(F.expr("timestampdiff(SECOND, s_ts, p_ts)")
-                        .between(0, CONVERT_WINDOW_S))
+                 .where(F.expr("timestampdiff(MICROSECOND, s_ts, p_ts)")
+                        .between(0, CONVERT_WINDOW_S * 1_000_000))
                  .select("user_id").distinct()
                  .withColumn("converted", F.lit(1)))
     return (first.join(converted, "user_id", "left")
@@ -267,7 +270,8 @@ converted AS (
   FROM first f
   JOIN events p ON p.user_id = f.user_id AND p.event_type = 'purchase'
    AND p.ts IS NOT NULL
-   AND datediff('second', f.s_ts, p.ts) BETWEEN 0 AND {CONVERT_WINDOW_S}
+   AND datediff('microseconds', f.s_ts, p.ts)
+       BETWEEN 0 AND {CONVERT_WINDOW_S * 1_000_000}
 )
 SELECT CAST(f.s_ts AS DATE) AS cohort_date,
        CAST(COUNT(*) AS BIGINT) AS n_users,
