@@ -28,3 +28,13 @@ def test_bench_emits_single_json_line():
     assert payload["sf"] == 0.001
     assert payload["value"] > 0
     assert all(v >= 0 for v in payload["queries"].values())
+    # the driver keeps only the last 2,000 chars of stdout: the line must
+    # stay comfortably inside that window (r04's 3,057-char line was
+    # silently truncated and recorded parsed=null)
+    assert len(lines[0]) <= 1500, f"stdout line too long: {len(lines[0])}"
+    # the FULL per-query record must land in BENCH/last_run.json and
+    # superset the stdout line's stable subset
+    full = json.load(open(os.path.join(ROOT, "BENCH", "last_run.json")))
+    assert set(payload["queries"]) <= set(full["queries"])
+    assert len(full["queries"]) >= len(payload["queries"])
+    assert full["value"] == payload["value"]
