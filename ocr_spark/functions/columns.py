@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 def clean_string(c: Column) -> Column:
     """Collapse runs of whitespace to one space and trim
     (AbstractParser.php:138-142 cleanString)."""
-    return F.trim(F.regexp_replace(c, r"\s+", " "))
+    return F.trim(F.regexp_replace(c, r"[ \t\n\x0b\f\r]+", " "))
 
 
 def clean_cell(c: Column) -> Column:
@@ -30,7 +30,7 @@ def parse_number(c: Column) -> Column:
     """Strip currency symbols / whitespace / thousands separators and
     extract the numeric value (TableExtraction.php:422-437 parseNumber;
     Util.php:40-44 money). Returns double, null when no digits survive."""
-    stripped = F.regexp_replace(c, r"[¥￥$€£\s]", "")
+    stripped = F.regexp_replace(c, r"[¥￥$€£ \t\n\x0b\f\r]", "")
     no_commas = F.regexp_replace(stripped, r",(?=\d{3})", "")
     num = F.regexp_extract(no_commas, r"(-?[\d.]+)", 1)
     return F.when(num == "", None).otherwise(num.cast("double"))

@@ -68,7 +68,7 @@ def dd_exact_dup(spark, sf_dir):
     groupBy hash, keep min(doc_id) as canonical. Map-side combine makes the
     shuffle carry one row per distinct hash per partition."""
     docs = _docs(spark, sf_dir)
-    norm = F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    norm = F.md5(F.regexp_replace(F.lower(F.col("text")), r"[ \t\n\x0b\f\r]+", " "))
     return (
         docs.withColumn("text_hash", norm)
         .groupBy("text_hash")
@@ -80,7 +80,7 @@ def dd_exact_dup(spark, sf_dir):
 
 
 DD_EXACT_SQL = """
-SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS text_hash,
+SELECT md5(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS text_hash,
        MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
 FROM documents
 GROUP BY 1 ORDER BY text_hash
@@ -244,7 +244,7 @@ def dd_domain_stats(spark, sf_dir):
         F.regexp_extract(norm, "^[^/?]*", 0).alias("host"),
         _md5_long(norm).alias("url_key"),
         F.size(F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))),
-                       r"\s+")).cast("long").alias("n_tokens_b"))
+                       r"[ \t\n\x0b\f\r]+")).cast("long").alias("n_tokens_b"))
     return (per_doc.groupBy("host")
             .agg(F.count("*").cast("long").alias("n_docs"),
                  F.count_distinct("url_key").cast("long").alias("n_urls"),
@@ -259,7 +259,7 @@ WITH {_URL_KEYED_CTES},
 per_doc AS (
   SELECT regexp_extract(k.url_norm, '^[^/?]*') AS host,
          k.url_key,
-         CAST(len(string_split_regex(lower(coalesce(d.text, '')), '\\s+'))
+         CAST(len(string_split_regex(lower(coalesce(d.text, '')), '[ \\t\\n\\x0b\\f\\r]+'))
               AS BIGINT) AS n_tokens_b
   FROM keyed k JOIN documents d USING (doc_id)
 )
@@ -372,7 +372,7 @@ def dd_dup_rate_by_source(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     key = F.md5(F.regexp_replace(F.lower(F.coalesce(_synd_text(),
                                                     F.lit(""))),
-                                 r"\s+", " "))
+                                 r"[ \t\n\x0b\f\r]+", " "))
     per = docs.select("doc_id", "source", key.alias("text_hash")).persist()
     stats = (per.groupBy("text_hash")
              .agg(F.count_distinct("source").alias("n_sources")))
@@ -397,7 +397,7 @@ DD_DUP_RATE_SQL = f"""
 WITH per AS (
   SELECT doc_id, source,
          md5(regexp_replace(lower(coalesce({_SYND_CASE_SQL}, '')),
-                            '\\s+', ' ', 'g')) AS text_hash
+                            '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS text_hash
   FROM documents WHERE doc_id IS NOT NULL
 ),
 stats AS (
@@ -515,12 +515,12 @@ def dd_prefix_dup(spark, sf_dir):
                   F.concat(F.lit(_PREFIX_BOILERPLATE + " "),
                            F.coalesce(F.col("text"), F.lit(""))))\
         .otherwise(F.coalesce(F.col("text"), F.lit("")))
-    tf = F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != "")
+    tf = F.filter(F.split(F.lower(text), r"[ \t\n\x0b\f\r]+"), lambda x: x != "")
     prefix = F.array_join(F.slice(tf, 1, PREFIX_DUP_K), " ")
     per_doc = docs.select(
         "doc_id",
         _md5_long(prefix).alias("prefix_key"),
-        F.md5(F.regexp_replace(F.lower(text), r"\s+", " "))
+        F.md5(F.regexp_replace(F.lower(text), r"[ \t\n\x0b\f\r]+", " "))
         .alias("full_hash"))
     return (per_doc.groupBy("prefix_key")
             .agg(F.count("*").cast("long").alias("n_docs"),
@@ -541,12 +541,14 @@ WITH prefixed AS (
 ),
 per_doc AS (
   SELECT doc_id,
-         CAST(CAST(('0x' || substr(md5(array_to_string(
-                 list_filter(string_split_regex(lower(text), '\\s+'),
-                             x -> x <> '')[1:{PREFIX_DUP_K}], ' ')), 1, 16))
+         -- coalesce: DuckDB array_to_string([]) is NULL where Spark's
+         -- array_join([]) is '' (an all-whitespace doc hits this)
+         CAST(CAST(('0x' || substr(md5(coalesce(array_to_string(
+                 list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'),
+                             x -> x <> '')[1:{PREFIX_DUP_K}], ' '), '')), 1, 16))
               ::UBIGINT AS HUGEINT)
               - 9223372036854775808 AS BIGINT) AS prefix_key,
-         md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS full_hash
+         md5(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS full_hash
   FROM prefixed
 )
 SELECT prefix_key,
@@ -581,7 +583,7 @@ def dd_incremental(spark, sf_dir):
     is_batch = F.col("doc_id") % 10 == INCR_BATCH_RESIDUE
 
     def text_hash(c):
-        return F.md5(F.regexp_replace(F.lower(c), r"\s+", " "))
+        return F.md5(F.regexp_replace(F.lower(c), r"[ \t\n\x0b\f\r]+", " "))
 
     # the incoming batch: doc_id % 20 == 7 replays the text of doc_id-7
     # (a corpus doc — residue 0 — so a guaranteed exact dup); the rest
@@ -621,7 +623,7 @@ WITH base AS (
   FROM base b JOIN base d ON d.doc_id = b.doc_id - {INCR_BATCH_RESIDUE}
   WHERE b.doc_id % 10 = {INCR_BATCH_RESIDUE}
 ), corpus_idx AS (
-  SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS text_hash,
+  SELECT md5(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS text_hash,
          MIN(doc_id) AS dup_of
   FROM base WHERE doc_id % 10 <> {INCR_BATCH_RESIDUE} GROUP BY 1
 )
@@ -629,7 +631,7 @@ SELECT b.doc_id,
        CASE WHEN c.dup_of IS NOT NULL THEN 'dup' ELSE 'new' END AS status,
        c.dup_of
 FROM (SELECT doc_id,
-             md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS text_hash
+             md5(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS text_hash
       FROM batch) b
 LEFT JOIN corpus_idx c USING (text_hash)
 ORDER BY b.doc_id
@@ -731,9 +733,9 @@ def _ngram_shingle_stage(batches):
     Tokenization replicates the oracle SQL: lowercase, the Java \\s class
     ([ \\t\\n\\x0b\\f\\r]+) collapsed to one space, split on ' ' KEEPING
     empty tokens (leading/trailing separators), 3-gram join with ' '.
-    (RE2's \\s excludes \\x0b — a \\v-bearing doc would tokenize
-    differently in DuckDB; inside the repo's documented ASCII-whitespace
-    oracle boundary, same as every shipped text oracle.) The hash is
+    (The oracle SQL spells the SAME explicit class — RE2's \\s shorthand
+    excludes \\x0b, so a \\v-bearing doc tokenizes identically on both
+    engines; pinned by the \\x0b differential tests.) The hash is
     corpus._md5_long's fold — first 8 md5 bytes as
     a signed int64 — so DuckDB reproduces every value. Doing this in
     Python beats the zip_with/array_distinct HOF chain: higher-order
@@ -837,7 +839,7 @@ WITH shingled_all AS (
            words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
     FROM (
       SELECT doc_id,
-             string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS words
+             string_split(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ') AS words
       FROM documents
     ), UNNEST(range(1, len(words) - 1)) AS t(i)
     WHERE len(words) >= 3
@@ -1178,7 +1180,7 @@ shingled AS (
            words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
     FROM (
       SELECT doc_id,
-             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+             string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' ') AS words
       FROM {{src}}
     ), UNNEST(range(1, len(words) - 1)) AS t(i)
     WHERE len(words) >= 3
@@ -1298,7 +1300,7 @@ exact_pairs AS (
   SELECT keep AS doc_a, doc_id AS doc_b FROM (
     SELECT doc_id,
            MIN(doc_id) OVER (
-             PARTITION BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+             PARTITION BY md5(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))
            ) AS keep
     FROM documents
   ) WHERE doc_id != keep
@@ -1497,7 +1499,7 @@ def _dd_simhash_sql() -> str:
 WITH toks AS (
   SELECT DISTINCT doc_id, t AS tok FROM (
     SELECT doc_id,
-           UNNEST(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+')) AS t
+           UNNEST(string_split_regex(trim(lower(coalesce(text, ''))), '[ \\t\\n\\x0b\\f\\r]+')) AS t
     FROM documents
   ) WHERE t != ''
 ),
@@ -1754,7 +1756,7 @@ def txt_quality(spark, sf_dir):
     """Quality scoring: length / token / stopword / punctuation ratios as
     pure column expressions (langdetect-style heuristics, JVM-side)."""
     docs = _docs(spark, sf_dir)
-    tokens = F.split(F.col("text"), r"\s+")
+    tokens = F.split(F.col("text"), r"[ \t\n\x0b\f\r]+")
     n_tokens = F.size(tokens)
     n_stop = F.size(F.filter(tokens, lambda t: t.isin(*_STOPWORDS_EN)))
     n_punct = F.length(F.regexp_replace(F.col("text"), r"[^\.,;:!\?]", ""))
@@ -1764,8 +1766,12 @@ def txt_quality(spark, sf_dir):
             "doc_id",
             n_chars.alias("n_chars_m"),
             n_tokens.alias("n_tokens"),
+            # n_tokens >= 1 always (split('') = ['']); n_chars CAN be 0
+            # for an empty doc — guard like avg_token_len or ANSI mode
+            # raises DIVIDE_BY_ZERO where the oracle returns a value
             F.round(n_stop / n_tokens, 4).alias("stopword_ratio"),
-            F.round(n_punct / n_chars, 4).alias("punct_ratio"),
+            F.round(F.when(n_chars > 0, n_punct / n_chars)
+                    .otherwise(0.0), 4).alias("punct_ratio"),
             F.round(
                 F.when(n_tokens > 0,
                        n_chars / n_tokens).otherwise(0.0), 4).alias("avg_token_len"),
@@ -1777,14 +1783,16 @@ def txt_quality(spark, sf_dir):
 TXT_QUALITY_SQL = """
 SELECT doc_id,
        length(text) AS n_chars_m,
-       len(string_split_regex(text, '\\s+')) AS n_tokens,
-       ROUND(CAST(len(list_filter(string_split_regex(text, '\\s+'),
+       len(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')) AS n_tokens,
+       ROUND(CAST(len(list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'),
                   t -> t IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
-             / len(string_split_regex(text, '\\s+')), 4) AS stopword_ratio,
-       ROUND(CAST(length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g')) AS DOUBLE)
-             / length(text), 4) AS punct_ratio,
-       ROUND(CASE WHEN len(string_split_regex(text, '\\s+')) > 0
-             THEN CAST(length(text) AS DOUBLE) / len(string_split_regex(text, '\\s+'))
+             / len(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')), 4) AS stopword_ratio,
+       ROUND(CASE WHEN length(text) > 0
+             THEN CAST(length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g'))
+                       AS DOUBLE) / length(text)
+             ELSE 0.0 END, 4) AS punct_ratio,
+       ROUND(CASE WHEN len(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')) > 0
+             THEN CAST(length(text) AS DOUBLE) / len(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'))
              ELSE 0.0 END, 4) AS avg_token_len
 FROM documents ORDER BY doc_id
 """
@@ -1801,7 +1809,7 @@ _LANG_MARKERS = {
 def lang_hit_columns(text_col):
     """Per-language stopword-marker hit counts for a text Column (the
     txt_langid heuristic's scoring half, reusable by pipelines)."""
-    tokens = F.split(F.lower(text_col), r"\s+")
+    tokens = F.split(F.lower(text_col), r"[ \t\n\x0b\f\r]+")
     return [
         F.size(F.filter(tokens, lambda t: t.isin(*words))).alias(f"hits_{lang}")
         for lang, words in _LANG_MARKERS.items()
@@ -1824,7 +1832,7 @@ def lang_argmax_column():
 # of the marker lists would drift silently); shared by TXT_LANGID_SQL and
 # extraction.py's CONV_LANG_MIX_SQL
 LANG_HITS_SQL = ",\n".join(
-    "    len(list_filter(string_split_regex(lower(text), '\\s+'), "
+    "    len(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'), "
     f"t -> t IN ({', '.join(repr(w) for w in words)}))) AS hits_{lang}"
     for lang, words in _LANG_MARKERS.items())
 
@@ -1870,9 +1878,9 @@ def txt_token_count(spark, sf_dir):
     """Token counting: whitespace tokens + BPE-ish regex tokens
     ([letters]+ | [digits]+ | single other) as expressions."""
     docs = _docs(spark, sf_dir)
-    ws_tokens = F.size(F.split(F.col("text"), r"\s+"))
+    ws_tokens = F.size(F.split(F.col("text"), r"[ \t\n\x0b\f\r]+"))
     bpe_tokens = F.size(F.regexp_extract_all(
-        F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)))
+        F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]"), F.lit(0)))
     return (
         docs.select("doc_id", ws_tokens.alias("ws_tokens"),
                     bpe_tokens.alias("bpe_tokens"))
@@ -1882,8 +1890,8 @@ def txt_token_count(spark, sf_dir):
 
 TXT_TOKEN_SQL = """
 SELECT doc_id,
-       len(string_split_regex(text, '\\s+')) AS ws_tokens,
-       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
+       len(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')) AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]')) AS bpe_tokens
 FROM documents ORDER BY doc_id
 """
 
@@ -1904,7 +1912,7 @@ def txt_vocab_topk(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     words = (docs.select(
         "doc_id",
-        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"))
+        F.explode(F.split(F.lower(F.col("text")), r"[ \t\n\x0b\f\r]+")).alias("word"))
         .where(F.col("word") != ""))
     return (words.groupBy("word")
             .agg(F.count("*").cast("long").alias("n_occ"),
@@ -1917,7 +1925,7 @@ TXT_VOCAB_SQL = f"""
 SELECT word, CAST(COUNT(*) AS BIGINT) AS n_occ,
        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
 FROM (
-  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+')) AS word
   FROM documents WHERE doc_id IS NOT NULL
 )
 WHERE word <> ''
@@ -1942,7 +1950,7 @@ def txt_bpe_pair_counts(spark, sf_dir):
     top-K. One shuffle of (pair, partial count) rows."""
     docs = _docs(spark, sf_dir)
     toks = docs.select(
-        F.filter(F.split(F.lower(F.col("text")), r"\s+"),
+        F.filter(F.split(F.lower(F.col("text")), r"[ \t\n\x0b\f\r]+"),
                  lambda x: x != "").alias("t"))
     lhs = F.slice(F.col("t"), 1, F.size("t") - 1)
     rhs = F.slice(F.col("t"), 2, F.size("t") - 1)
@@ -1958,7 +1966,7 @@ def txt_bpe_pair_counts(spark, sf_dir):
 
 TXT_BPE_PAIRS_SQL = f"""
 WITH toks AS (
-  SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+  SELECT list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'),
                      x -> x <> '') AS t
   FROM documents WHERE doc_id IS NOT NULL
 ), pairs AS (
@@ -2006,7 +2014,7 @@ def train_bpe_merge_list(docs: DataFrame,
     query and the persisted tokenizer artifact (pipeline/tokenizer.py);
     two copies of the argmax/tie/rewrite rules would drift."""
     vocab = (docs.select(F.explode(F.split(F.lower(
-                 F.coalesce(F.col("text"), F.lit(""))), r"\s+")).alias("w"))
+                 F.coalesce(F.col("text"), F.lit(""))), r"[ \t\n\x0b\f\r]+")).alias("w"))
              .where(F.col("w") != "")
              .groupBy("w").agg(F.count("*").cast("long").alias("freq"))
              .select(F.split("w", "").alias("syms"), "freq")
@@ -2063,14 +2071,14 @@ def txt_fingerprint(spark, sf_dir):
     return (
         docs.select(
             "doc_id",
-            F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+            F.md5(F.regexp_replace(F.lower(F.col("text")), r"[ \t\n\x0b\f\r]+", " "))
             .alias("fingerprint"))
         .orderBy("doc_id")
     )
 
 
 TXT_FP_SQL = """
-SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
+SELECT doc_id, md5(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fingerprint
 FROM documents ORDER BY doc_id
 """
 
@@ -2113,7 +2121,7 @@ def mm_winnow_fingerprint(spark, sf_dir):
 MM_WINNOW_SQL = f"""
 WITH norm AS (
   SELECT doc_id,
-         trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')) AS s
+         trim(regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS s
   FROM documents
 ),
 grams AS (
@@ -3127,7 +3135,7 @@ def dd_dup_clusters(spark, sf_dir):
     (md5-reproducible) edge set; pytest additionally verifies against a
     driver-side union-find at test scale."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    norm = F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    norm = F.md5(F.regexp_replace(F.lower(F.col("text")), r"[ \t\n\x0b\f\r]+", " "))
     exact = (docs.withColumn("h", norm)
              .withColumn("keep", F.min("doc_id").over(Window.partitionBy("h")))
              .where(F.col("doc_id") != F.col("keep"))
@@ -3158,9 +3166,9 @@ def dd_effective_tokens(spark, sf_dir):
     anyway) + one tiny groupBy(source); token counts are exact integers
     on both engines."""
     docs = _docs(spark, sf_dir)
-    norm = F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    norm = F.md5(F.regexp_replace(F.lower(F.col("text")), r"[ \t\n\x0b\f\r]+", " "))
     toks = F.size(F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))),
-                          r"\s+")).cast("long")
+                          r"[ \t\n\x0b\f\r]+")).cast("long")
     d = (docs.select("doc_id", "source", norm.alias("h"),
                      toks.alias("n_tokens"))
          .withColumn("keep",
@@ -3182,10 +3190,10 @@ def dd_effective_tokens(spark, sf_dir):
 DD_EFF_TOKENS_SQL = """
 WITH d AS (
   SELECT source, doc_id,
-         CAST(len(string_split_regex(lower(coalesce(text, '')), '\\s+'))
+         CAST(len(string_split_regex(lower(coalesce(text, '')), '[ \\t\\n\\x0b\\f\\r]+'))
               AS BIGINT) AS n_tokens,
          (doc_id = MIN(doc_id) OVER (
-            PARTITION BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+            PARTITION BY md5(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))
           ))::INT AS k
   FROM documents WHERE doc_id IS NOT NULL
 )
@@ -3217,7 +3225,7 @@ def dd_cluster_canonical(spark, sf_dir):
     corpus, so the extra ranking shuffle is on the small side. Token
     count is an exact integer on both engines (no float argmax)."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    norm = F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    norm = F.md5(F.regexp_replace(F.lower(F.col("text")), r"[ \t\n\x0b\f\r]+", " "))
     exact = (docs.withColumn("h", norm)
              .withColumn("keep", F.min("doc_id").over(Window.partitionBy("h")))
              .where(F.col("doc_id") != F.col("keep"))
@@ -3229,7 +3237,7 @@ def dd_cluster_canonical(spark, sf_dir):
     toks = docs.select(
         "doc_id",
         F.size(F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))),
-                       r"\s+")).cast("long").alias("n_tokens"))
+                       r"[ \t\n\x0b\f\r]+")).cast("long").alias("n_tokens"))
     wk = Window.partitionBy("cluster_id").orderBy(
         F.desc("n_tokens"), F.asc("doc_id"))
     ranked = (labels.withColumnRenamed("label", "cluster_id")
@@ -3253,7 +3261,7 @@ exact_pairs AS (
   SELECT keep AS doc_a, doc_id AS doc_b FROM (
     SELECT doc_id,
            MIN(doc_id) OVER (
-             PARTITION BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+             PARTITION BY md5(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))
            ) AS keep
     FROM documents
   ) WHERE doc_id != keep
@@ -3273,7 +3281,7 @@ reach AS (
 lab AS (SELECT doc_id, MIN(label) AS label FROM reach GROUP BY doc_id),
 toks AS (
   SELECT doc_id,
-         CAST(len(string_split_regex(lower(coalesce(text, '')), '\\s+'))
+         CAST(len(string_split_regex(lower(coalesce(text, '')), '[ \\t\\n\\x0b\\f\\r]+'))
               AS BIGINT) AS n_tokens
   FROM documents
 ),
@@ -3434,7 +3442,7 @@ def dd_syndication_matrix(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     key = F.md5(F.regexp_replace(F.lower(F.coalesce(_synd_text(),
                                                     F.lit(""))),
-                                 r"\s+", " "))
+                                 r"[ \t\n\x0b\f\r]+", " "))
     per = (docs.select(key.alias("h"), "source").distinct().persist())
     a, b = per.alias("a"), per.alias("b")
     pairs = a.join(b, (F.col("a.h") == F.col("b.h"))
@@ -3449,7 +3457,7 @@ DD_SYNDICATION_SQL = f"""
 WITH per AS (
   SELECT DISTINCT
          md5(regexp_replace(lower(coalesce({_SYND_CASE_SQL}, '')),
-                            '\\s+', ' ', 'g')) AS h,
+                            '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS h,
          source
   FROM documents WHERE doc_id IS NOT NULL
 )
@@ -3506,7 +3514,7 @@ WITH shingled_all AS (
            words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
     FROM (
       SELECT doc_id,
-             string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+             string_split(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'),
                           ' ') AS words
       FROM documents WHERE doc_id IS NOT NULL
     ), UNNEST(range(1, len(words) - 1)) AS t(i)

@@ -294,7 +294,7 @@ SELECT printf('conv-%06d', doc_id % 50) AS conv_id,
        CAST(doc_id % 1000 AS INTEGER) AS turn_idx,
        'readability_html' AS source_kind,
        'Document ' || CAST(doc_id AS VARCHAR) || ' ' ||
-         trim(regexp_replace(substring(text, 1, 200), '\\s+', ' ', 'g')) ||
+         trim(regexp_replace(substring(text, 1, 200), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) ||
          ' Document ' || CAST(doc_id AS VARCHAR) || ' from source ' || source ||
          ' has ' || CAST(n_chars AS VARCHAR) ||
          ' characters of content, restated here, with commas, for density.'
@@ -357,7 +357,7 @@ WITH per AS (
            + length(source)
            + length(CAST(n_chars AS VARCHAR)) AS raw_chars,
          length('Document ' || CAST(doc_id AS VARCHAR) || ' ' ||
-           trim(regexp_replace(substring(text, 1, 200), '\\s+', ' ', 'g')) ||
+           trim(regexp_replace(substring(text, 1, 200), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) ||
            ' Document ' || CAST(doc_id AS VARCHAR) || ' from source '
            || source || ' has ' || CAST(n_chars AS VARCHAR) ||
            ' characters of content, restated here, with commas, for density.')
@@ -486,7 +486,7 @@ EXTRACT_QUALITY_SQL = """
 WITH cleaned AS (
   SELECT printf('conv-%06d', doc_id % 50) AS conv_id,
          'Document ' || CAST(doc_id AS VARCHAR) || ' ' ||
-           trim(regexp_replace(substring(text, 1, 200), '\\s+', ' ', 'g')) ||
+           trim(regexp_replace(substring(text, 1, 200), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) ||
            ' Document ' || CAST(doc_id AS VARCHAR) || ' from source ' ||
            source || ' has ' || CAST(n_chars AS VARCHAR) ||
            ' characters of content, restated here, with commas, for density.'
@@ -1199,7 +1199,7 @@ def conv_turn_dedup(spark, sf_dir):
                  (ln % 3).cast("string"), F.lit(")"))
     ).otherwise(F.col("text"))
     asst = t.where(F.col("role") == "assistant").select(
-        F.md5(F.regexp_replace(F.lower(turn_text), r"\s+", " "))
+        F.md5(F.regexp_replace(F.lower(turn_text), r"[ \t\n\x0b\f\r]+", " "))
         .alias("text_hash"),
         "conv_id",
         F.format_string("%s#%010d", F.col("conv_id"), F.col("turn_idx"))
@@ -1223,7 +1223,7 @@ templ AS (
   FROM t WHERE role = 'assistant'
 ),
 asst AS (
-  SELECT md5(regexp_replace(lower(turn_text), '\\s+', ' ', 'g'))
+  SELECT md5(regexp_replace(lower(turn_text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))
            AS text_hash,
          conv_id,
          printf('%s#%010d', conv_id, turn_idx) AS loc
@@ -1549,7 +1549,7 @@ def conv_degenerate_scan(spark, sf_dir):
     from .quality import with_repetition_signals
     t = _agent_transcripts(spark, sf_dir)
     asst = (t.where(F.col("role") == "assistant")
-            .selectExpr("conv_id", "split(lower(text), '\\\\s+') AS t")
+            .selectExpr("conv_id", "split(lower(text), '[ \\\\t\\\\n\\\\x0b\\\\f\\\\r]+') AS t")
             .where(f"size(t) >= {DEGEN_MIN_TOKENS}"))
     per_turn = (with_repetition_signals(asst)
                 .select("conv_id",
@@ -1577,9 +1577,9 @@ DEGEN_TURNS_CTES = f"""dg_t AS (
   FROM documents
 ),
 dg_tok AS (
-  SELECT turn_uid, conv_id, string_split_regex(lower(text), '\\s+') AS t
+  SELECT turn_uid, conv_id, string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+') AS t
   FROM dg_t WHERE role = 'assistant'
-    AND len(string_split_regex(lower(text), '\\s+')) >= {DEGEN_MIN_TOKENS}
+    AND len(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+')) >= {DEGEN_MIN_TOKENS}
 ),
 dg_bg AS (
   SELECT turn_uid, conv_id,

@@ -35,7 +35,7 @@ from .corpus import _STOPWORDS_EN, _URL_KEYED_CTES, _docs, _md5_long
 # Repetition signals (Gopher-style quality filters)
 # ---------------------------------------------------------------------------
 
-_TOKENS = "split(lower(text), '\\\\s+')"
+_TOKENS = "split(lower(text), '[ \\\\t\\\\n\\\\x0b\\\\f\\\\r]+')"
 
 
 _ONE = "CAST(1 AS BIGINT)"
@@ -126,8 +126,8 @@ def txt_repetition(spark, sf_dir):
 
 TXT_REPETITION_SQL = """
 WITH tok AS (
-  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
-  FROM documents WHERE doc_id IS NOT NULL AND len(string_split_regex(lower(text), '\\s+')) >= 2
+  SELECT doc_id, string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+') AS t
+  FROM documents WHERE doc_id IS NOT NULL AND len(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+')) >= 2
 ),
 uni AS (
   SELECT doc_id, MAX(c) AS max_tok, CAST(SUM(c) AS BIGINT) AS n_tok FROM (
@@ -202,7 +202,7 @@ WITH ch AS (
              i -> array_to_string(t[i * {CHUNK_TOKENS} + 1
                                     : i * {CHUNK_TOKENS} + {CHUNK_TOKENS}],
                                   ' '))) AS chunk
-    FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+    FROM (SELECT doc_id, string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+') AS t
           FROM documents WHERE doc_id IS NOT NULL))
 ),
 stats AS (
@@ -265,7 +265,7 @@ WITH ch AS (
          array_to_string(t[i * {CHUNK_TOKENS} + 1
                            : i * {CHUNK_TOKENS} + {CHUNK_TOKENS}], ' ')
            AS chunk
-  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+  FROM (SELECT doc_id, string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+') AS t
         FROM documents WHERE doc_id IS NOT NULL),
        UNNEST(range(0, cast(ceil(len(t) / {CHUNK_TOKENS}.0) AS int))) AS u(i)
 ), ranked AS (
@@ -334,7 +334,7 @@ def dd_substring_dup(spark, sf_dir):
     front end."""
     K, W = SUBSTR_TOKENS, SUBSTR_WINNOW
     docs = (_docs(spark, sf_dir)
-            .select("doc_id", F.split(F.lower("text"), r"\s+").alias("t"))
+            .select("doc_id", F.split(F.lower("text"), r"[ \t\n\x0b\f\r]+").alias("t"))
             # k+w-1 tokens = first full winnowing window; shorter docs
             # have no fingerprints (LEFT JOIN restores them with 0s)
             .where(F.size("t") >= K + W - 1))
@@ -364,7 +364,7 @@ def dd_substring_dup(spark, sf_dir):
 
 DD_SUBSTR_SQL = f"""
 WITH tok AS (
-  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+  SELECT doc_id, string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+') AS t
   FROM documents WHERE doc_id IS NOT NULL
 ),
 hs AS (
@@ -415,7 +415,7 @@ def txt_contamination(spark, sf_dir):
     corpus side is scanned once, map-side joined, and aggregated per doc;
     no corpus-wide shuffle of shingles."""
     n = CONTAM_NGRAM
-    t = F.split(F.lower(F.col("text")), r"\s+")
+    t = F.split(F.lower(F.col("text")), r"[ \t\n\x0b\f\r]+")
     grams = F.array_distinct(
         F.filter(_window_join(t, n), lambda x: x.isNotNull()))
     sh = (_docs(spark, sf_dir)
@@ -436,10 +436,10 @@ WITH sh AS (
     SELECT doc_id,
            unnest(list_transform(range(1, len(t) - {CONTAM_NGRAM - 2}),
                   i -> {" || ' ' || ".join(f"t[i + {j}]" for j in range(CONTAM_NGRAM))})) AS s
-    FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+    FROM (SELECT doc_id, string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+') AS t
           FROM documents
           WHERE doc_id IS NOT NULL
-            AND len(string_split_regex(lower(text), '\\s+')) >= {CONTAM_NGRAM}))
+            AND len(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+')) >= {CONTAM_NGRAM}))
 )
 SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
 FROM sh c JOIN (SELECT DISTINCT s FROM sh WHERE doc_id % {BENCH_MOD} = 0) b
@@ -672,11 +672,11 @@ def smp_token_budget(spark, sf_dir):
 
 SMP_BUDGET_SQL = f"""
 SELECT doc_id, lang,
-       CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tokens_b,
-       CAST(SUM(len(string_split_regex(lower(text), '\\s+')))
+       CAST(len(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+')) AS BIGINT) AS n_tokens_b,
+       CAST(SUM(len(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+')))
             OVER (PARTITION BY lang ORDER BY doc_id
                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
-       CAST(SUM(len(string_split_regex(lower(text), '\\s+')))
+       CAST(SUM(len(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+')))
             OVER (PARTITION BY lang ORDER BY doc_id
                   ROWS UNBOUNDED PRECEDING) <= {SMP_TOKEN_BUDGET} AS INT) AS kept
 FROM documents WHERE doc_id IS NOT NULL
@@ -806,7 +806,7 @@ def smp_pack_sequences(spark, sf_dir):
 SMP_PACK_SQL = f"""
 WITH toks AS (
   SELECT doc_id, lang, source,
-         CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT)
+         CAST(len(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+')) AS BIGINT)
            AS n_tokens_b
   FROM documents WHERE doc_id IS NOT NULL
 ), pos AS (
@@ -858,7 +858,7 @@ def smp_pack_assembly(spark, sf_dir):
 SMP_PACK_ASSEMBLY_SQL = f"""
 WITH toks AS (
   SELECT doc_id, lang, source,
-         CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT)
+         CAST(len(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+')) AS BIGINT)
            AS n_tokens_b
   FROM documents WHERE doc_id IS NOT NULL
 ), pos AS (
@@ -927,7 +927,7 @@ def smp_source_mix(spark, sf_dir):
     # DuckDB — NULL text must count 1 empty token on both engines
     proj = (docs.selectExpr(
         "doc_id", "source",
-        "CAST(size(split(lower(coalesce(text, '')), '\\\\s+')) AS BIGINT)"
+        "CAST(size(split(lower(coalesce(text, '')), '[ \\\\t\\\\n\\\\x0b\\\\f\\\\r]+')) AS BIGINT)"
         " AS n_tokens_b")
             .withColumn("h", h)
             .persist())
@@ -974,7 +974,7 @@ _MIX_CASES = "\n".join(
 SMP_MIX_SQL = f"""
 WITH proj AS (
   SELECT doc_id, source,
-         CAST(len(string_split_regex(lower(coalesce(text, '')), '\\s+'))
+         CAST(len(string_split_regex(lower(coalesce(text, '')), '[ \\t\\n\\x0b\\f\\r]+'))
               AS BIGINT) AS n_tokens_b,
          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 16))
               ::UBIGINT::HUGEINT - 9223372036854775808 AS BIGINT) AS h
@@ -1028,7 +1028,7 @@ def txt_quality_hist(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     # lowercase before matching the lowercase stopword list (sentence-
     # initial 'The'/'It' must count, like every other op via _TOKENS)
-    tokens = F.split(F.lower(F.col("text")), r"\s+")
+    tokens = F.split(F.lower(F.col("text")), r"[ \t\n\x0b\f\r]+")
     n_tokens = F.size(tokens)
     n_stop = F.size(F.filter(
         tokens, lambda t: t.isin(*_STOPWORDS_EN)))
@@ -1042,11 +1042,11 @@ def txt_quality_hist(spark, sf_dir):
 
 TXT_QUALITY_HIST_SQL = """
 SELECT lang,
-       CAST(CASE WHEN len(string_split_regex(lower(text), '\\s+')) > 0
+       CAST(CASE WHEN len(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+')) > 0
             THEN floor(CAST(len(list_filter(
-                   string_split_regex(lower(text), '\\s+'),
+                   string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'),
                    t -> t IN ('the','a','of','and','to','in','is','it','for','on')))
-                 AS DOUBLE) / len(string_split_regex(lower(text), '\\s+')) * 10)
+                 AS DOUBLE) / len(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+')) * 10)
             ELSE -1 END AS BIGINT) AS bin,
        CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM documents WHERE doc_id IS NOT NULL
@@ -1081,7 +1081,7 @@ def txt_lm_unigram_score(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     words = (docs.select(
         "doc_id",
-        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"))
+        F.explode(F.split(F.lower(F.col("text")), r"[ \t\n\x0b\f\r]+")).alias("word"))
         .where(F.col("word") != "")
         .persist())
     counts = words.groupBy("word").agg(F.count("*").alias("c"))
@@ -1103,7 +1103,7 @@ def txt_lm_unigram_score(spark, sf_dir):
 TXT_LM_SCORE_SQL = """
 WITH w AS (
   SELECT doc_id,
-         unnest(string_split_regex(lower(text), '\\s+')) AS word
+         unnest(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+')) AS word
   FROM documents WHERE doc_id IS NOT NULL
 ), words AS (
   SELECT * FROM w WHERE word <> ''
@@ -1150,7 +1150,7 @@ def txt_ttr(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return (docs.selectExpr(
         "doc_id",
-        "filter(split(lower(coalesce(text, '')), '\\\\s+'), x -> x <> '')"
+        "filter(split(lower(coalesce(text, '')), '[ \\\\t\\\\n\\\\x0b\\\\f\\\\r]+'), x -> x <> '')"
         " AS tf")
         .selectExpr(
             "doc_id",
@@ -1171,7 +1171,7 @@ def txt_ttr(spark, sf_dir):
 TXT_TTR_SQL = """
 WITH tok AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+         list_filter(string_split_regex(lower(coalesce(text, '')), '[ \\t\\n\\x0b\\f\\r]+'),
                      x -> x <> '') AS tf
   FROM documents WHERE doc_id IS NOT NULL
 ), w AS (
@@ -1288,8 +1288,9 @@ def txt_sentence_stats(spark, sf_dir):
     run-on sentences — the doc-shape signal quality gates use beside
     token ratios (wall-of-text dumps have few, enormous sentences;
     shredded OCR has thousands of one-word ones). Sentences split on
-    [.!?]+ runs; whitespace classes are EXPLICIT ([ \\t\\n\\r\\f]) so
-    Java and RE2 agree (Java's \\s includes \\x0B, RE2's does not).
+    [.!?]+ runs; whitespace classes are EXPLICIT (the Java \\s set
+    [ \\t\\n\\x0b\\f\\r]) so Java and RE2 agree — RE2's \\s shorthand
+    would exclude \\x0B.
 
     All outputs are integer counts or integer-division ratios — exact
     on both engines. Scale shape: ONE map-only projection (the HOF
@@ -1299,7 +1300,8 @@ def txt_sentence_stats(spark, sf_dir):
     sents = F.filter(F.split(text, r"[.!?]+"),
                      lambda s: F.trim(s) != "")
     wc = F.transform(sents,
-                     lambda s: F.size(F.split(F.trim(s), "[ \\t\\n\\r\\f]+")))
+                     lambda s: F.size(F.split(F.trim(s),
+                                              "[ \\t\\n\\x0b\\f\\r]+")))
     g = docs.select(
         "doc_id",
         F.size(sents).cast("long").alias("n_sentences"),
@@ -1318,7 +1320,7 @@ def txt_sentence_stats(spark, sf_dir):
         .orderBy("doc_id"))
 
 
-_WS_CLS_SQL = "'[ ' || chr(9) || chr(10) || chr(13) || chr(12) || ']+'"
+_WS_CLS_SQL = "'[ \\t\\n\\x0b\\f\\r]+'"
 
 TXT_SENTENCE_SQL = f"""
 WITH g AS (
@@ -1362,8 +1364,9 @@ def txt_char_class_mix(spark, sf_dir):
     CJK run planted (_CJK_SNIPPET) so the class is exercised.
 
     Engine-exactness: every count is a length-of-replace diff on the
-    SAME explicit character classes (no \\s shorthand: Java includes
-    \\x0B in \\s, RE2 does not), shares are integer-division basis
+    SAME explicit character classes (no \\s shorthand — Java includes
+    \\x0B in \\s, RE2 does not; the repo-wide sweep spells the Java set
+    [ \\t\\n\\x0b\\f\\r] on both engines), shares are integer-division basis
     points. Scale shape: ONE codegen'd map-only projection; no shuffle
     beyond the display sort."""
     docs = _docs(spark, sf_dir)
@@ -1453,7 +1456,7 @@ def txt_lm_bigram_score(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     words = (docs.select(
         "doc_id",
-        F.posexplode(F.filter(F.split(F.lower(F.col("text")), r"\s+"),
+        F.posexplode(F.filter(F.split(F.lower(F.col("text")), r"[ \t\n\x0b\f\r]+"),
                               lambda x: x != ""))
         .alias("pos", "word")))
     w = Window.partitionBy("doc_id").orderBy("pos")
@@ -1493,7 +1496,7 @@ WITH words AS (
          unnest(range(len(t))) AS pos,
          unnest(t) AS word
   FROM (SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '\\s+'),
+               list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'),
                            x -> x <> '') AS t
         FROM documents WHERE doc_id IS NOT NULL)
 ), pairs AS (
@@ -1562,7 +1565,7 @@ def smp_temperature_mix(spark, sf_dir):
     h = _md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":tmix")))
     proj = (docs.selectExpr(
         "doc_id", "source",
-        "CAST(size(split(lower(coalesce(text, '')), '\\\\s+')) AS BIGINT)"
+        "CAST(size(split(lower(coalesce(text, '')), '[ \\\\t\\\\n\\\\x0b\\\\f\\\\r]+')) AS BIGINT)"
         " AS n_tokens_b")
             .withColumn("h", h)
             .persist())
@@ -1603,7 +1606,7 @@ def smp_temperature_mix(spark, sf_dir):
 SMP_TEMP_MIX_SQL = f"""
 WITH proj AS (
   SELECT doc_id, source,
-         CAST(len(string_split_regex(lower(coalesce(text, '')), '\\s+'))
+         CAST(len(string_split_regex(lower(coalesce(text, '')), '[ \\t\\n\\x0b\\f\\r]+'))
               AS BIGINT) AS n_tokens_b,
          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':tmix'), 1, 16))
               ::UBIGINT::HUGEINT - 9223372036854775808 AS BIGINT) AS h
@@ -1676,7 +1679,7 @@ def smp_shard_assign(spark, sf_dir):
     key = shard_key_column()
     return (docs.select(
         "doc_id",
-        F.expr("CAST(size(split(lower(coalesce(text, '')), '\\\\s+'))"
+        F.expr("CAST(size(split(lower(coalesce(text, '')), '[ \\\\t\\\\n\\\\x0b\\\\f\\\\r]+'))"
                " AS BIGINT)").alias("n_tokens_b"))
         .withColumn("k", key)
         .select(F.pmod(F.col("k"), F.lit(N_TRAIN_SHARDS)).cast("int")
@@ -1692,7 +1695,7 @@ def smp_shard_assign(spark, sf_dir):
 SMP_SHARD_SQL = f"""
 WITH proj AS (
   SELECT doc_id,
-         CAST(len(string_split_regex(lower(coalesce(text, '')), '\\s+'))
+         CAST(len(string_split_regex(lower(coalesce(text, '')), '[ \\t\\n\\x0b\\f\\r]+'))
               AS BIGINT) AS n_tokens_b,
          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard'),
                               1, 16))
@@ -1739,9 +1742,9 @@ def txt_gopher_gate(spark, sf_dir):
     stop_lit = ", ".join(f"'{w}'" for w in _GOPHER_STOPWORDS)
     return (docs.selectExpr(
         "doc_id",
-        "split(lower(coalesce(text, '')), '\\\\s+') AS tk",
+        "split(lower(coalesce(text, '')), '[ \\\\t\\\\n\\\\x0b\\\\f\\\\r]+') AS tk",
         "split(coalesce(text, ''), '\\n') AS ln",
-        "CAST(length(regexp_replace(coalesce(text, ''), '\\\\s', ''))"
+        "CAST(length(regexp_replace(coalesce(text, ''), '[ \\\\t\\\\n\\\\x0b\\\\f\\\\r]', ''))"
         " AS BIGINT) AS n_word_chars",
         "CAST(length(coalesce(text, ''))"
         " - length(replace(coalesce(text, ''), '#', '')) AS BIGINT)"
@@ -1783,9 +1786,9 @@ _GOPHER_STOP_SQL = ", ".join(f"'{w}'" for w in _GOPHER_STOPWORDS)
 TXT_GOPHER_SQL = f"""
 WITH feat AS (
   SELECT doc_id,
-         string_split_regex(lower(coalesce(text, '')), '\\s+') AS tk,
+         string_split_regex(lower(coalesce(text, '')), '[ \\t\\n\\x0b\\f\\r]+') AS tk,
          string_split_regex(coalesce(text, ''), '\\n') AS ln,
-         CAST(length(regexp_replace(coalesce(text, ''), '\\s', '', 'g'))
+         CAST(length(regexp_replace(coalesce(text, ''), '[ \\t\\n\\x0b\\f\\r]', '', 'g'))
               AS BIGINT) AS n_word_chars,
          CAST(length(coalesce(text, ''))
               - length(replace(coalesce(text, ''), '#', '')) AS BIGINT)
@@ -1890,7 +1893,7 @@ def smp_epoch_mix(spark, sf_dir):
     rate = _epoch_rate_col()
     proj = (docs.selectExpr(
         "doc_id", "source",
-        "CAST(size(split(lower(coalesce(text, '')), '\\\\s+')) AS BIGINT)"
+        "CAST(size(split(lower(coalesce(text, '')), '[ \\\\t\\\\n\\\\x0b\\\\f\\\\r]+')) AS BIGINT)"
         " AS n_tokens_b")
         .withColumn("h", h)
         .withColumn("copies", epoch_copies_column())
@@ -1916,7 +1919,7 @@ def _epoch_rate_sql() -> str:
 SMP_EPOCH_SQL = f"""
 WITH proj AS (
   SELECT doc_id, source,
-         CAST(len(string_split_regex(lower(coalesce(text, '')), '\\s+'))
+         CAST(len(string_split_regex(lower(coalesce(text, '')), '[ \\t\\n\\x0b\\f\\r]+'))
               AS BIGINT) AS n_tokens_b,
          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':epoch'),
                               1, 16))
@@ -1969,7 +1972,7 @@ def smp_quality_weighted(spark, sf_dir):
     Map-only per doc + one tiny groupBy(band); same doc, same fate on
     any cluster or engine."""
     docs = _docs(spark, sf_dir)
-    tk = F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
+    tk = F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"[ \t\n\x0b\f\r]+")
     d = docs.select(
         "doc_id",
         F.size(tk).cast("long").alias("n_tokens"),
@@ -1998,10 +2001,10 @@ _QW_STOPLIST = ", ".join(f"'{w}'" for w in _STOPWORDS_EN)
 SMP_QW_SQL = f"""
 WITH t AS (
   SELECT doc_id,
-         CAST(len(string_split_regex(lower(coalesce(text, '')), '\\s+'))
+         CAST(len(string_split_regex(lower(coalesce(text, '')), '[ \\t\\n\\x0b\\f\\r]+'))
               AS BIGINT) AS n_tokens,
          CAST(len(list_filter(
-              string_split_regex(lower(coalesce(text, '')), '\\s+'),
+              string_split_regex(lower(coalesce(text, '')), '[ \\t\\n\\x0b\\f\\r]+'),
               t -> t IN ({_QW_STOPLIST}))) AS BIGINT) AS n_stop
   FROM documents WHERE doc_id IS NOT NULL
 ), b AS (
@@ -2058,7 +2061,7 @@ def chunk_windows_from(docs: DataFrame) -> DataFrame:
     as the stream twin)."""
     w, s = CHUNK_WINDOW, CHUNK_STRIDE
     return (docs.selectExpr(
-        "doc_id", "split(coalesce(text, ''), '\\\\s+') AS tk")
+        "doc_id", "split(coalesce(text, ''), '[ \\\\t\\\\n\\\\x0b\\\\f\\\\r]+') AS tk")
         .selectExpr("doc_id", "tk", "CAST(size(tk) AS BIGINT) AS n")
         .selectExpr(
             "doc_id", "tk",
@@ -2078,8 +2081,8 @@ def chunk_windows_from(docs: DataFrame) -> DataFrame:
 TXT_CHUNK_SQL = f"""
 WITH tok AS (
   SELECT doc_id,
-         string_split_regex(coalesce(text, ''), '\\s+') AS tk,
-         CAST(len(string_split_regex(coalesce(text, ''), '\\s+'))
+         string_split_regex(coalesce(text, ''), '[ \\t\\n\\x0b\\f\\r]+') AS tk,
+         CAST(len(string_split_regex(coalesce(text, ''), '[ \\t\\n\\x0b\\f\\r]+'))
               AS BIGINT) AS n
   FROM documents WHERE doc_id IS NOT NULL
 ), idx AS (
@@ -2147,7 +2150,7 @@ WITH ch AS (
            i -> array_to_string(t[i * {CHUNK_TOKENS} + 1
                                   : i * {CHUNK_TOKENS} + {CHUNK_TOKENS}],
                                 ' '))) AS chunk
-  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+  FROM (SELECT doc_id, string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+') AS t
         FROM documents WHERE doc_id IS NOT NULL)
 )
 SELECT chunk, CAST(COUNT(*) AS BIGINT) AS n_occ,

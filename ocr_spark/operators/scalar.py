@@ -610,7 +610,7 @@ def t1_clean_string(spark, sf_dir):
 T1_SQL = """
 SELECT p_partkey,
        trim(regexp_replace('  ' || replace(p_name, ' ', '   ') || chr(9),
-                           '\\s+', ' ', 'g')) AS cleaned
+                           '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS cleaned
 FROM part WHERE p_partkey <= 1500 ORDER BY p_partkey
 """
 
@@ -623,7 +623,7 @@ def a8_max_cols(spark, sf_dir):
     """maxCols = max over rows of column count (TableExtraction.php:82,203)
     — expressed over document word counts per source."""
     docs = _t(spark, sf_dir, "documents")
-    n_words = F.size(F.split(F.col("text"), r"\s+"))
+    n_words = F.size(F.split(F.col("text"), r"[ \t\n\x0b\f\r]+"))
     return (
         docs.select("source", n_words.alias("n_words"))
         .groupBy("source")
@@ -636,8 +636,8 @@ def a8_max_cols(spark, sf_dir):
 
 A8_SQL = """
 SELECT source,
-       MAX(len(regexp_split_to_array(text, '\\s+'))) AS max_words,
-       MIN(len(regexp_split_to_array(text, '\\s+'))) AS min_words,
+       MAX(len(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'))) AS max_words,
+       MIN(len(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'))) AS min_words,
        COUNT(*) AS n
 FROM documents GROUP BY source ORDER BY source
 """

@@ -64,7 +64,7 @@ def curation_flags(docs: DataFrame,
     wdup = Window.partitionBy("text_hash").orderBy("doc_id")
     exact = (docs.select(
         "doc_id",
-        F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+        F.md5(F.regexp_replace(F.lower(F.col("text")), r"[ \t\n\x0b\f\r]+", " "))
         .alias("text_hash"))
         .withColumn("dup_rank", F.row_number().over(wdup))
         .select("doc_id", "dup_rank"))
@@ -165,7 +165,7 @@ def _smp_cases() -> str:
 
 CURATE_FUNNEL_SQL = f"""
 WITH docs AS (
-  SELECT doc_id, lang, text, string_split_regex(lower(text), '\\s+') AS t
+  SELECT doc_id, lang, text, string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+') AS t
   FROM documents WHERE doc_id IS NOT NULL
 ),
 uni AS (
@@ -196,7 +196,7 @@ rep AS (
 exact AS (
   SELECT doc_id,
          ROW_NUMBER() OVER (
-           PARTITION BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+           PARTITION BY md5(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))
            ORDER BY doc_id) AS dup_rank
   FROM docs
 ),

@@ -81,14 +81,14 @@ def conv_curation_flags(t: DataFrame,
         # ct is STORED in the persisted frame so the shingle lambdas below
         # index a materialized array — an index lambda over a computed
         # column would re-run the tokenizer per element (the HOF trap)
-        .withColumn("ct", F.split(F.lower(F.col("doc")), r"\s+"))
+        .withColumn("ct", F.split(F.lower(F.col("doc")), r"[ \t\n\x0b\f\r]+"))
         .persist())
     if _track is not None:
         _track.append(conv)
     quality_fail = ((F.col("n_user") < 1)
                     | (F.col("total_chars") < MIN_CONV_CHARS))
     wdup = Window.partitionBy(
-        F.md5(F.regexp_replace(F.lower(F.col("doc")), r"\s+", " "))
+        F.md5(F.regexp_replace(F.lower(F.col("doc")), r"[ \t\n\x0b\f\r]+", " "))
     ).orderBy("conv_id")
     # persisted: the near-dup signature stage, the two ids joins, and
     # the final flag projection all branch from flags0 — uncached, each
@@ -106,7 +106,7 @@ def conv_curation_flags(t: DataFrame,
     # generation must not claim a cluster's canonical slot. The fold is
     # turn-local map-only; only flagged (conv_id) rows shuffle.
     asst = (t.where(F.col("role") == "assistant")
-            .selectExpr("conv_id", "split(lower(text), '\\\\s+') AS tt")
+            .selectExpr("conv_id", "split(lower(text), '[ \\\\t\\\\n\\\\x0b\\\\f\\\\r]+') AS tt")
             .where(f"size(tt) >= {DEGEN_MIN_TOKENS}"))
     # persisted: both the survivors anti-join and the final flag join
     # read it — uncached, the assistant-turn fold + distinct shuffle run
@@ -229,7 +229,7 @@ flags0 AS (
   SELECT *,
          (n_user < 1 OR total_chars < {MIN_CONV_CHARS}) AS quality_fail,
          ROW_NUMBER() OVER (
-           PARTITION BY md5(regexp_replace(lower(doc), '\\s+', ' ', 'g'))
+           PARTITION BY md5(regexp_replace(lower(doc), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))
            ORDER BY conv_id) AS dup_rank
   FROM conv
 ),
@@ -274,7 +274,7 @@ csh AS (
              < {_smp_threshold_u64(CONV_BENCH_RATE)} AS is_bench,
            unnest(list_transform(range(1, len(ct) - {CONTAM_NGRAM - 2}),
                   i -> {" || ' ' || ".join(f"ct[i + {j}]" for j in range(CONTAM_NGRAM))})) AS s
-    FROM (SELECT conv_id, string_split_regex(lower(doc), '\\s+') AS ct
+    FROM (SELECT conv_id, string_split_regex(lower(doc), '[ \\t\\n\\x0b\\f\\r]+') AS ct
           FROM conv)
     WHERE len(ct) >= {CONTAM_NGRAM})
 ),

@@ -31,7 +31,7 @@ def quality_signals(docs: DataFrame) -> DataFrame:
     with ≥2 tokens)."""
     bp = "FLOOR(CAST({a} AS DOUBLE) / {b} * 10000)"
     return (with_repetition_signals(
-                docs.selectExpr("*", "split(lower(text), '\\\\s+') AS _t"),
+                docs.selectExpr("*", "split(lower(text), '[ \\\\t\\\\n\\\\x0b\\\\f\\\\r]+') AS _t"),
                 tcol="_t")
             .selectExpr(
                 "*",

@@ -236,7 +236,7 @@ def test_corpus_pipeline_end_to_end(spark, tmp_path):
     # curated docs' token counts
     curated = spark.read.parquet(os.path.join(wd, "curated", "curated"))
     toks = {r.lang: r.n for r in curated.selectExpr(
-        "lang", "size(split(lower(text), '\\\\s+')) AS nt")
+        "lang", "size(split(lower(text), '[ \\\\t\\\\n\\\\x0b\\\\f\\\\r]+')) AS nt")
         .groupBy("lang").agg(F.sum("nt").alias("n")).collect()}
     for lang, stats in manifest["pack"].items():
         assert stats["n_tokens"] == toks[lang]

@@ -222,7 +222,8 @@ def test_minhash_sql_star_cap(n_dups):
 
 def _py_ngram_jaccard(texts, df_cap=100):
     """Pure-Python reference of dd_ngram_jaccard's semantics: the Arrow
-    stage's tokenization (Java/RE2 \\s class, split(' ') keeping empty
+    stage's tokenization (explicit [ \\t\\n\\x0b\\f\\r] whitespace class
+    on every engine, split(' ') keeping empty
     tokens), per-doc distinct 3-gram shingles hashed via md5-first-8,
     df-capped, jaccard >= 0.5 pairs ordered (doc_a, doc_b)."""
     import re

@@ -32,7 +32,7 @@ def _con(texts, langs=None):
 
 
 def _tokens(text):
-    return re.split(r"\s+", (text or "").lower())
+    return re.split(r"[ \t\n\x0b\f\r]+", (text or "").lower())
 
 
 @given(st.lists(_TEXT, min_size=1, max_size=10))

@@ -181,6 +181,76 @@ def test_emb_stats_nonfinite_coords_match_oracle(spark, tmp_path, name):
         _canon(drows, dcols), f"{name} diverges on non-finite coords"
 
 
+# ---------------------------------------------------------------------------
+# 4. the \s one-sweep: vertical-tab (\x0b) docs keep every whitespace-
+#    tokenizing oracle pair hash-green. Java's \s includes \x0b, RE2's
+#    does not; both engines now spell the explicit class
+#    [ \t\n\x0b\f\r] so a \v-bearing doc tokenizes identically.
+#    \xa0 (NBSP) must NOT split on either engine (neither Java \s nor
+#    the class matches it — a unicode-\s "fix" would regress this).
+
+
+_VTAB_DOCS = [
+    # identical token streams under the class, different whitespace flavor
+    # (vertical tabs vs spaces) -> an exact-dup/jaccard-1.0 pair iff both
+    # engines treat \x0b as whitespace
+    (1, "alpha\x0bbeta\x0bgamma delta epsilon zeta eta theta iota kappa "
+        "lam mu nu xi omicron pi rho sigma tau upsilon", "en", "web"),
+    (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lam mu nu xi omicron pi rho sigma tau upsilon", "en", "web"),
+    # \x0b at the edges (leading/trailing empty fields are KEPT by
+    # Spark's split and the oracle's string_split_regex)
+    (3, "\x0bthe quick brown fox jumps over the lazy dog again and "
+        "again until done\x0b", "en", "web"),
+    # mixed ASCII whitespace runs incl. \f and \r
+    (4, "one\ttwo\nthree\ffour\rfive\x0bsix seven eight nine ten "
+        "eleven twelve", "en", "books"),
+    # NBSP is NOT whitespace to either engine: 'a\xa0b' is ONE token
+    (5, "a\xa0b stays joined while c d e f g h i j k l m n o p",
+     "en", "books"),
+    # repetition bait: the same \x0b-separated bigram looping
+    (6, "spam\x0bham " * 15 + "spam\x0bham", "en", "crawl"),
+    (7, "", "en", "crawl"),
+    (8, None, "en", "crawl"),
+]
+
+# whitespace-tokenizing oracle pairs that read ONLY the documents table
+_VTAB_QUERIES = [
+    "txt_token_count", "txt_vocab_topk", "txt_repetition",
+    "txt_gopher_gate", "txt_lm_unigram_score", "txt_lm_bigram_score",
+    "txt_ttr", "txt_quality", "txt_sentence_stats", "txt_char_class_mix",
+    "txt_fingerprint", "dd_exact_dup", "dd_prefix_dup",
+    "dd_ngram_jaccard", "dd_chunk_dup", "txt_bpe_pair_counts",
+    "dd_substring_dup", "smp_token_budget", "txt_quality_hist",
+]
+
+
+@pytest.mark.parametrize("name", _VTAB_QUERIES)
+def test_vertical_tab_corpus_matches_oracle(spark, tmp_path, name):
+    from ocr_spark.operators import ALL_QUERIES
+    fn, sql = ALL_QUERIES[name]
+    d = _docs_dir(spark, tmp_path, _VTAB_DOCS)
+    sdf = fn(spark, d)
+    drows, dcols = _duck_on(d, "documents", sql)
+    assert _canon([tuple(r) for r in sdf.collect()], sdf.columns) == \
+        _canon(drows, dcols), f"{name} diverges on the \\x0b corpus"
+
+
+def test_vertical_tab_is_whitespace_nbsp_is_not(spark, tmp_path):
+    """Semantic spot-checks on the planted corpus: the \\x0b-flavored and
+    space-flavored twins hash equal, and NBSP keeps its token joined."""
+    from ocr_spark.operators.corpus import dd_exact_dup, txt_token_count
+    d = _docs_dir(spark, tmp_path, _VTAB_DOCS)
+    dups = {r.text_hash: r for r in dd_exact_dup(spark, d).collect()}
+    assert any(r.n_copies == 2 and r.keep_id == 1
+               for r in dups.values()), \
+        "docs 1 and 2 must collapse to one exact-dup group"
+    toks = {r.doc_id: r.ws_tokens for r in
+            txt_token_count(spark, d).collect()}
+    assert toks[1] == toks[2] == 20
+    assert toks[5] == 18          # 'a\xa0b' is ONE token (19 if split)
+
+
 def test_emb_centroid_nonfinite_is_zeroed(spark, tmp_path):
     from ocr_spark.operators.corpus import emb_label_centroids
     d = _emb_dir(spark, tmp_path)

@@ -22,7 +22,7 @@ def _keyed_repetition(spark, sf_dir):
     two algorithms keep checking each other."""
     docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
             .where(F.col("doc_id").isNotNull())
-            .selectExpr("doc_id", "split(lower(text), '\\\\s+') AS t")
+            .selectExpr("doc_id", "split(lower(text), '[ \\\\t\\\\n\\\\x0b\\\\f\\\\r]+') AS t")
             .where("size(t) >= 2"))
     uni = (docs.select("doc_id", F.explode("t").alias("g"))
            .groupBy("doc_id", "g").agg(F.count("*").alias("c"))
@@ -54,7 +54,7 @@ def test_signals_equal_keyed_aggregation_form(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     a = {(r.doc_id, r.n_tokens_b, r.top_token_bp, r.dup_bigram_bp)
          for r in quality_signals(docs)
-         .where(F.expr("size(split(lower(text), '\\\\s+')) >= 2"))
+         .where(F.expr("size(split(lower(text), '[ \\\\t\\\\n\\\\x0b\\\\f\\\\r]+')) >= 2"))
          .select("doc_id", "n_tokens_b", "top_token_bp", "dup_bigram_bp")
          .collect()}
     b = {(r.doc_id, r.n_tokens_b, r.top_token_bp, r.dup_bigram_bp)
