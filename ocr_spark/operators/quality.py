@@ -889,6 +889,210 @@ ORDER BY lang, source, seq_id
 
 
 # ---------------------------------------------------------------------------
+# SFT-grain chat packing (whole conversations -> fixed-length sequences
+# with loss-mask spans and document-boundary attention segments)
+# ---------------------------------------------------------------------------
+
+# whitespace tokenizer over a turn's text — the same explicit Java-\s
+# class as _TOKENS, total on NULL turns (coalesce '' -> 1 empty token,
+# identical on both engines)
+_TURN_TOKENS = ("split(lower(coalesce(text, '')),"
+                " '[ \\\\t\\\\n\\\\x0b\\\\f\\\\r]+')")
+
+
+def chat_pack_placement(turns: DataFrame) -> DataFrame:
+    """Chat-pack placement over a (conv_id, turn_idx, role, text) turn
+    frame: conversations are laid end to end in md5-long(conv_id) order
+    (the same reproducible md5-bridge training order as shards.py) and
+    cut into PACK_SEQ_LEN-token sequences, keeping every turn WHOLE
+    inside its conversation — the concat-and-chunk pass an SFT corpus
+    runs on assembled conversations instead of flat documents.
+
+    Two-level ordering, both levels distributed:
+      1. conversation starts — per-conv token totals through the same
+         sharded_prefix_sum two-level scan as document packing (the
+         global stream is never one window; ≤4096-way bucket
+         parallelism on the uniform md5-long conv keys);
+      2. turn offsets — one window PER CONVERSATION (bounded: a
+         conversation is at most a few thousand turns), keyed the same
+         (turn_idx, text) stable order as conv_assemble/W1.
+
+    Emits per turn: its span in the global token stream, the
+    loss-mask flag (assistant turns train, everything else is masked),
+    and where it lands in the fixed-length sequences. All outputs are
+    exact integers, so the DuckDB oracle is exact. Tie determinism:
+    rows tied on (conv_id, turn_idx, text) share role and token count
+    by construction, so the emitted multiset is order-invariant."""
+    tok = turns.selectExpr(
+        "conv_id", "turn_idx", "role", "coalesce(text, '') AS text",
+        f"CAST(size({_TURN_TOKENS}) AS BIGINT) AS n_tokens")
+    conv = (tok.groupBy("conv_id")
+            .agg(F.sum("n_tokens").alias("conv_tokens"))
+            .withColumn("doc_id", _md5_long(F.col("conv_id"))))
+    conv_pos = (sharded_prefix_sum(conv, [], "conv_tokens", "_cum")
+                .select("conv_id",
+                        (F.col("_cum") - F.col("conv_tokens"))
+                        .alias("conv_start")))
+    wi = (Window.partitionBy("conv_id").orderBy("turn_idx", "text")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (tok
+            .withColumn("_intra", F.sum("n_tokens").over(wi))
+            .join(conv_pos, "conv_id")
+            .withColumn("tok_start", F.col("conv_start") + F.col("_intra")
+                        - F.col("n_tokens"))
+            .withColumn("loss",
+                        (F.col("role") == "assistant").cast("int"))
+            .withColumn("first_seq",
+                        F.expr(f"tok_start DIV {PACK_SEQ_LEN}"))
+            .withColumn("seq_offset",
+                        F.expr(f"tok_start % {PACK_SEQ_LEN}"))
+            .withColumn("n_seqs", F.expr(
+                f"(tok_start + n_tokens - 1) DIV {PACK_SEQ_LEN}"
+                f" - first_seq + 1"))
+            .drop("_intra", "text"))
+
+
+def smp_chat_pack(spark, sf_dir):
+    """Per-turn chat-pack placement over the transcript table (the
+    conv_mod=25 surface: every conversation mixes all four roles, so
+    loss-masked and trainable spans interleave)."""
+    from .extraction import _agent_transcripts
+    return (chat_pack_placement(_agent_transcripts(spark, sf_dir,
+                                                   conv_mod=25))
+            .select("conv_id", "turn_idx", "role", "loss", "n_tokens",
+                    "tok_start", "first_seq", "seq_offset", "n_seqs")
+            .orderBy("tok_start"))
+
+
+def smp_chat_pack_seqs(spark, sf_dir):
+    """The trainer's view of the chat pack: one row PER TRAINING
+    SEQUENCE with the loss-mask and attention-mask accounting — how
+    many tokens train (assistant spans), and how many attention
+    segments the sequence holds (`n_segments` = conversations starting
+    inside it, plus one if it opens mid-conversation: exactly the
+    block-diagonal attention-mask structure a document-boundary-aware
+    trainer builds). Derived by exploding each turn over the sequences
+    it spans (bounded fan-out) and ONE keyed aggregation on seq_id.
+    All-integer, oracle-exact."""
+    from .extraction import _agent_transcripts
+    p = chat_pack_placement(_agent_transcripts(spark, sf_dir,
+                                               conv_mod=25))
+    L = PACK_SEQ_LEN
+    exploded = p.select(
+        "conv_id", "tok_start", "n_tokens", "loss", "conv_start",
+        "first_seq",
+        F.explode(F.sequence(
+            F.col("first_seq"),
+            F.col("first_seq") + F.col("n_seqs") - 1)).alias("seq_id"))
+    overlap = (F.least(F.col("tok_start") + F.col("n_tokens"),
+                       (F.col("seq_id") + 1) * L)
+               - F.greatest(F.col("tok_start"), F.col("seq_id") * L))
+    is_start = F.col("tok_start") == F.col("conv_start")
+    return (exploded
+            .withColumn("tok_in_seq", overlap)
+            .groupBy("seq_id")
+            .agg(F.count_distinct("conv_id").alias("n_convs"),
+                 F.count("*").cast("long").alias("n_turns"),
+                 F.sum("tok_in_seq").alias("n_seq_tokens"),
+                 F.sum(F.when(F.col("loss") == 1, F.col("tok_in_seq"))
+                       .otherwise(F.lit(0))).alias("n_loss_tokens"),
+                 (F.sum((is_start
+                         & (F.col("seq_id") == F.col("first_seq")))
+                        .cast("long"))
+                  + 1
+                  - F.max((is_start
+                           & (F.col("tok_start")
+                              == F.col("seq_id") * L)).cast("long")))
+                 .alias("n_segments"))
+            .orderBy("seq_id"))
+
+
+def _chat_pack_ctes() -> str:
+    """Shared oracle CTE chain: transcripts (conv_mod=25) -> per-turn
+    tokens -> md5-bridge conversation order -> global conv prefix ->
+    per-conv turn prefix. DuckDB window SUM(BIGINT) is HUGEINT; every
+    consumer casts outputs back to BIGINT (the round-1 typing class)."""
+    from .extraction import _agent_transcripts_cte
+    return f"""
+t AS ({_agent_transcripts_cte(conv_mod=25)}),
+tok AS (
+  SELECT conv_id, turn_idx, role, coalesce(text, '') AS text,
+         CAST(len(string_split_regex(lower(coalesce(text, '')),
+                                     '[ \\t\\n\\x0b\\f\\r]+')) AS BIGINT)
+           AS n_tokens
+  FROM t
+), conv AS (
+  SELECT conv_id,
+         CAST(('0x' || substr(md5(conv_id), 1, 16))::UBIGINT::HUGEINT
+              - 9223372036854775808 AS BIGINT) AS ckey,
+         SUM(n_tokens) AS conv_tokens
+  FROM tok GROUP BY conv_id
+), cpos AS (
+  SELECT conv_id,
+         SUM(conv_tokens) OVER (ORDER BY ckey ROWS UNBOUNDED PRECEDING)
+           - conv_tokens AS conv_start
+  FROM conv
+), tpos AS (
+  SELECT k.conv_id, k.turn_idx, k.role, k.n_tokens,
+         CAST(c.conv_start AS BIGINT) AS conv_start,
+         CAST(c.conv_start
+           + SUM(k.n_tokens) OVER (PARTITION BY k.conv_id
+                                   ORDER BY k.turn_idx, k.text
+                                   ROWS UNBOUNDED PRECEDING)
+           - k.n_tokens AS BIGINT) AS tok_start
+  FROM tok k JOIN cpos c USING (conv_id)
+)"""
+
+
+def _smp_chat_pack_sql() -> str:
+    return f"""
+WITH {_chat_pack_ctes()}
+SELECT conv_id, turn_idx, role,
+       CAST(role = 'assistant' AS INT) AS loss,
+       n_tokens,
+       CAST(tok_start AS BIGINT) AS tok_start,
+       CAST(tok_start // {PACK_SEQ_LEN} AS BIGINT) AS first_seq,
+       CAST(tok_start % {PACK_SEQ_LEN} AS BIGINT) AS seq_offset,
+       CAST((tok_start + n_tokens - 1) // {PACK_SEQ_LEN}
+            - tok_start // {PACK_SEQ_LEN} + 1 AS BIGINT) AS n_seqs
+FROM tpos ORDER BY tok_start
+"""
+
+
+def _smp_chat_pack_seqs_sql() -> str:
+    L = PACK_SEQ_LEN
+    return f"""
+WITH {_chat_pack_ctes()},
+exploded AS (
+  SELECT conv_id, tok_start, n_tokens, conv_start,
+         CAST(role = 'assistant' AS INT) AS loss,
+         CAST(tok_start // {L} AS BIGINT) AS first_seq,
+         CAST(unnest(range(tok_start // {L},
+                           (tok_start + n_tokens - 1) // {L} + 1))
+              AS BIGINT) AS seq_id
+  FROM tpos
+)
+SELECT seq_id,
+       CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(SUM(least(tok_start + n_tokens, (seq_id + 1) * {L})
+                - greatest(tok_start, seq_id * {L})) AS BIGINT)
+         AS n_seq_tokens,
+       CAST(SUM(CASE WHEN loss = 1
+                     THEN least(tok_start + n_tokens, (seq_id + 1) * {L})
+                          - greatest(tok_start, seq_id * {L})
+                     ELSE 0 END) AS BIGINT) AS n_loss_tokens,
+       CAST(SUM(CASE WHEN tok_start = conv_start AND seq_id = first_seq
+                     THEN 1 ELSE 0 END)
+            + 1
+            - MAX(CASE WHEN tok_start = conv_start
+                        AND tok_start = seq_id * {L}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_segments
+FROM exploded GROUP BY seq_id ORDER BY seq_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Source-mixture sampling (data mixing to configured source weights)
 # ---------------------------------------------------------------------------
 
@@ -2361,6 +2565,8 @@ QUERIES = {
     "smp_token_budget": (smp_token_budget, SMP_BUDGET_SQL),
     "smp_pack_sequences": (smp_pack_sequences, SMP_PACK_SQL),
     "smp_pack_assembly": (smp_pack_assembly, SMP_PACK_ASSEMBLY_SQL),
+    "smp_chat_pack": (smp_chat_pack, _smp_chat_pack_sql()),
+    "smp_chat_pack_seqs": (smp_chat_pack_seqs, _smp_chat_pack_seqs_sql()),
     "dd_chunk_dup": (dd_chunk_dup, DD_CHUNK_SQL),
     "dd_substring_dup": (dd_substring_dup, DD_SUBSTR_SQL),
     "smp_source_mix": (smp_source_mix, SMP_MIX_SQL),
