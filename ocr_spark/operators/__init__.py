@@ -9,6 +9,7 @@ Column names are aliased identically on both sides: the driver's compare
 sorts columns by name before hashing values.
 """
 
+from .classifier import QUERIES as CLASSIFIER_QUERIES
 from .corpus import QUERIES as CORPUS_QUERIES
 from .extraction import QUERIES as EXTRACTION_QUERIES
 from .multimodal import QUERIES as MM_QUERIES
@@ -24,7 +25,7 @@ from .temporal import QUERIES as TEMPORAL_QUERIES
 ALL_QUERIES = {}
 for _q in (REL_QUERIES, SCALAR_QUERIES, TEMPORAL_QUERIES,
            EXTRACTION_QUERIES, MM_QUERIES, QUALITY_QUERIES,
-           CORPUS_QUERIES):
+           CLASSIFIER_QUERIES, CORPUS_QUERIES):
     ALL_QUERIES.update(_q)
 
 

@@ -3,6 +3,7 @@ corpus takes between extraction and training, composed from the
 operators/quality.py gates into ONE DataFrame plan:
 
     documents → quality gate (token floor + Gopher repetition caps)
+              → learned classifier gate (hashed-feature linear score)
               → exact dedup (normalized-md5, first-wins)
               → chunk-level near-dup drop (C4 line-dedup analog)
               → benchmark decontamination (broadcast 5-gram overlap)
@@ -28,6 +29,8 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
+from ..operators.classifier import (CLS_THRESHOLD, classifier_score_expr,
+                                    classifier_score_sql)
 from ..operators.corpus import _md5_long
 from ..operators.quality import (BENCH_MOD, CHUNK_TOKENS, CONTAM_NGRAM,
                                  SMP_RATES, _smp_threshold_u64, _TOKENS,
@@ -40,14 +43,18 @@ MAX_TOP_TOKEN_BP = 2000    # Gopher: most-frequent token ≤ 20% of doc
 MAX_DUP_BIGRAM_BP = 3000   # Gopher: ≤ 30% of bigram instances repeated
 MAX_SHARED_CHUNK_BP = 5000  # C4: ≥ half the chunks shared → near-dup drop
 
-CURATOR_VERSION = "curate-v1"
+# v2: learned hashed-feature classifier gate after the heuristic gate
+CURATOR_VERSION = "curate-v2"
 
 
 def curation_flags(docs: DataFrame,
                    sample_rates: dict[str, float] | None = None) -> DataFrame:
     """(doc_id, lang, text, drop_reason) for every input doc; drop_reason
-    NULL = kept. Priority: quality > exact_dup > chunk_dup > contaminated
-    > sampled_out — each doc reports the FIRST gate that rejects it.
+    NULL = kept. Priority: quality > classifier > exact_dup > chunk_dup
+    > contaminated > sampled_out — each doc reports the FIRST gate that
+    rejects it. `classifier` is the learned hashed-feature gate
+    (operators/classifier.py): a map-only integer score riding the same
+    base scan as the Gopher signals, engine-exact by construction.
 
     sample_rates overrides the per-language keep rates (default
     SMP_RATES, the oracle-paired configuration); a language absent from
@@ -126,7 +133,9 @@ def curation_flags(docs: DataFrame,
                        sampled_in.alias("sampled_in"),
                        F.col("n_tok"),
                        bp("max_tok", "n_tok").alias("top_token_bp"),
-                       bp("dup_bg", "n_bg").alias("dup_bigram_bp"))
+                       bp("dup_bg", "n_bg").alias("dup_bigram_bp"),
+                       F.expr(classifier_score_expr("t"))
+                       .alias("cls_score"))
                .join(exact, "doc_id", "left")
                .join(share, "doc_id", "left")
                .join(contam, "doc_id", "left"))
@@ -135,6 +144,7 @@ def curation_flags(docs: DataFrame,
                     | (F.col("top_token_bp") > MAX_TOP_TOKEN_BP)
                     | (F.col("dup_bigram_bp") > MAX_DUP_BIGRAM_BP))
     reason = (F.when(quality_fail, "quality")
+              .when(F.col("cls_score") <= CLS_THRESHOLD, "classifier")
               .when(F.col("dup_rank") > 1, "exact_dup")
               .when(F.coalesce(F.col("shared_bp"), F.lit(0))
                     >= MAX_SHARED_CHUNK_BP, "chunk_dup")
@@ -193,6 +203,9 @@ rep AS (
            AS dup_bigram_bp
   FROM uni JOIN bg ON uni.doc_id = bg.doc_id
 ),
+cls AS (
+  SELECT doc_id, {classifier_score_sql('t')} AS cls_score FROM docs
+),
 exact AS (
   SELECT doc_id,
          ROW_NUMBER() OVER (
@@ -247,6 +260,7 @@ flags AS (
            WHEN rep.n_tok IS NULL OR rep.n_tok < {MIN_TOKENS}
                 OR rep.top_token_bp > {MAX_TOP_TOKEN_BP}
                 OR rep.dup_bigram_bp > {MAX_DUP_BIGRAM_BP} THEN 'quality'
+           WHEN cls.cls_score <= {CLS_THRESHOLD} THEN 'classifier'
            WHEN exact.dup_rank > 1 THEN 'exact_dup'
            WHEN COALESCE(share.shared_bp, 0) >= {MAX_SHARED_CHUNK_BP}
              THEN 'chunk_dup'
@@ -255,6 +269,7 @@ flags AS (
            ELSE 'kept' END AS stage
   FROM docs d
   LEFT JOIN rep ON d.doc_id = rep.doc_id
+  LEFT JOIN cls ON d.doc_id = cls.doc_id
   LEFT JOIN exact ON d.doc_id = exact.doc_id
   LEFT JOIN share ON d.doc_id = share.doc_id
   LEFT JOIN contam ON d.doc_id = contam.doc_id
@@ -290,6 +305,7 @@ def run_curation(spark, docs: DataFrame, out_dir: str,
                 "max_top_token_bp": MAX_TOP_TOKEN_BP,
                 "max_dup_bigram_bp": MAX_DUP_BIGRAM_BP,
                 "max_shared_chunk_bp": MAX_SHARED_CHUNK_BP,
+                "cls_threshold": CLS_THRESHOLD,
                 "sample_rates": (SMP_RATES if sample_rates is None
                                  else sample_rates),
             },

@@ -54,6 +54,23 @@ def quality_gate_stream(docs: DataFrame) -> DataFrame:
         & (F.col("dup_bigram_bp") <= MAX_DUP_BIGRAM_BP))
 
 
+def classifier_gate_stream(docs: DataFrame) -> DataFrame:
+    """Filter a (streaming or batch) documents DataFrame through the
+    learned hashed-feature quality gate (operators/classifier.py) —
+    the identical integer score expression the batch curation funnel's
+    'classifier' stage evaluates, as a stateless map-only plan, so a
+    landing corpus is screened by the same shipped model. Survivors
+    keep their score in `cls_score`."""
+    from ..operators.classifier import CLS_THRESHOLD, classifier_score_expr
+    return (docs.selectExpr(
+                "*",
+                "split(lower(text), '[ \\\\t\\\\n\\\\x0b\\\\f\\\\r]+') AS _t")
+            .selectExpr("*",
+                        f"{classifier_score_expr('_t')} AS cls_score")
+            .drop("_t")
+            .where(F.col("cls_score") > CLS_THRESHOLD))
+
+
 def blocklist_gate_stream(docs: DataFrame) -> DataFrame:
     """Drop documents whose text matches the phrase blocklist, annotating
     the surviving rows with block_reason == 'kept'. Stateless map-only
