@@ -207,3 +207,53 @@ def test_rebuild_crash_leaves_no_stale_manifest(spark, tmp_path):
     # a completed rebuild recommits cleanly
     m = build_dedup_index(spark, _docs_df(spark, CORPUS), idx)
     assert m["n_docs"] == 3
+
+
+def test_append_concurrent_rerun_verdicts_stable(spark, tmp_path):
+    """The LOST-UPDATE interleaving of two writers appending the same
+    tagged batch (writer B read the manifest before writer A's commit
+    recorded the tag, so B's idempotence guard passes and the batch
+    merges TWICE — the worst schedule a concurrent re-run can produce,
+    and the same state as a crash between swap and manifest write
+    followed by a retry). The documented contract: the index stays
+    readable and every dedup VERDICT is unchanged — canonical ids are
+    MIN-stable and the bucket KEY set is union-stable, so only
+    n_members double-counts, and only for that batch's buckets."""
+    import json as _json
+
+    from ocr_spark.pipeline.dedup_index import (_MANIFEST, append_batch,
+                                                build_dedup_index,
+                                                check_batch)
+    idx = str(tmp_path / "idx")
+    build_dedup_index(spark, _docs_df(spark, CORPUS), idx)
+    b = _docs_df(spark, [(12, CORPUS[1][1])])
+
+    verdict_cols = ("doc_id", "n_band_hits", "match_id", "is_dup")
+
+    def verdicts():
+        return {tuple(getattr(r, c) for c in verdict_cols)
+                for r in check_batch(spark, idx,
+                                     _docs_df(spark, BATCH)).collect()}
+
+    append_batch(spark, idx, b, batch_tag="crawl-0042")   # writer A
+    after_a = verdicts()
+
+    # writer B holds the PRE-COMMIT manifest (no tag recorded yet):
+    # replay its view, then its append proceeds past the guard
+    mpath = os.path.join(idx, _MANIFEST)
+    m = _json.load(open(mpath))
+    m["batch_tags"] = []
+    _json.dump(m, open(mpath, "w"))
+    m2 = append_batch(spark, idx, b, batch_tag="crawl-0042")  # writer B
+
+    assert verdicts() == after_a                # no verdict flips
+    assert m2["appends"] == 2                   # double-applied, visibly
+    assert "crawl-0042" in m2["batch_tags"]
+    rows = (spark.read.parquet(os.path.join(idx, "band_index"))
+            .where("canonical_id = 2").collect())
+    # the one documented casualty: member counts for that batch's
+    # buckets (1 original + 2 applied appends), never the canonical
+    assert rows and all(r.n_members == 3 for r in rows)
+    # a THIRD retry with the tag now recorded is a clean no-op
+    m3 = append_batch(spark, idx, b, batch_tag="crawl-0042")
+    assert m3["appends"] == 2
