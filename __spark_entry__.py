@@ -82,7 +82,7 @@ _MEASURED_COST = {
     'extract_conversations': 1.5, 'extract_html_readability': 1.5,
     'extract_synthetic': 1.5, 'mm_audio_features': 1.5,
     'mm_image_resize': 1.5, 'dd_url_dup': 1.6, 'extract_documents': 1.6,
-    'sim_lsh_topk': 1.6, 'txt_classifier_score': 1.6,
+    'sim_lsh_topk': 1.6, 'txt_classifier_score': 1.6, 'conv_chat_render': 1.6,
     'dd_embedding_neardup': 1.7, 'import_star_schema': 1.8, 'dd_simhash': 1.9,
     'import_sales': 1.9, 't21_slug': 1.9, 'txt_lm_bigram_score': 1.9,
     'dd_minhash_lsh': 2.0, 'dd_ngram_jaccard': 2.1,

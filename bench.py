@@ -81,6 +81,10 @@ HEADLINE = HEADLINE_R1 + [
     "conv_lang_mix", "conv_degenerate_scan", "txt_url_density",
     "dd_minhash_est_error", "extract_yield", "qr_retry_collapse",
     "qr_conversion_cohorts",
+    # round 5: learned hashed-feature quality gate, SFT-grain chat
+    # packing (fixed-length sequences + loss masks), chat-template
+    # rendering
+    "txt_classifier_score", "smp_chat_pack_seqs", "conv_chat_render",
 ]
 
 

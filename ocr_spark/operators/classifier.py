@@ -227,40 +227,57 @@ def score_text(text: str) -> int:
 # Twin expression generators (one weight source -> both engines)
 # ---------------------------------------------------------------------------
 
-def classifier_score_expr(tok_col: str) -> str:
+def classifier_score_expr(tok_col: str, weights: list[int] | None = None,
+                          bias: int | None = None,
+                          div_w: int | None = None) -> str:
     """Spark SQL expression scoring a token-ARRAY column: concat the
     unigrams with zip_with-built bigrams (index-free lambdas — the HOF
     recompute trap never fires) and fold weight lookups into one int64
     sum. The weight array is a foldable literal (constant-folded once,
-    not per row)."""
-    w = ",".join(str(x) for x in CLS_WEIGHTS)
+    not per row). Defaults to the shipped model; a persisted-artifact
+    model (pipeline/classifier.py) passes its own constants through the
+    SAME generator, so artifact scoring shares provenance with the
+    oracle-paired query."""
+    wl = CLS_WEIGHTS if weights is None else weights
+    b = CLS_BIAS if bias is None else bias
+    dv = CLS_DIV_W if div_w is None else div_w
+    dim = len(wl)
+    assert dim & (dim - 1) == 0, "weight dim must be a power of two"
+    w = ",".join(str(x) for x in wl)
     bigrams = (f"filter(zip_with({tok_col}, slice({tok_col}, 2, "
                f"size({tok_col})), (p, q) -> concat(p, ' ', q)), "
                f"x -> x IS NOT NULL)")
     bucket = ("CAST(pmod(CAST(conv(substring(md5(f), 1, 16), 16, 10) "
-              f"AS DECIMAL(20,0)), {CLS_DIM}) AS INT) + 1")
+              f"AS DECIMAL(20,0)), {dim}) AS INT) + 1")
     # the dense diversity weight folds into the per-feature lambda
-    # (each distinct feature contributes w[bucket] + CLS_DIV_W), so the
+    # (each distinct feature contributes w[bucket] + div_w), so the
     # whole score is still ONE pass over the feature array
     return (f"CAST(aggregate("
             f"array_distinct(concat({tok_col}, {bigrams})), "
-            f"CAST({CLS_BIAS} AS BIGINT), "
-            f"(acc, f) -> acc + {CLS_DIV_W} "
+            f"CAST({b} AS BIGINT), "
+            f"(acc, f) -> acc + {dv} "
             f"+ element_at(array({w}), {bucket})) "
             f"AS BIGINT)")
 
 
-def classifier_score_sql(tok_expr: str) -> str:
+def classifier_score_sql(tok_expr: str, weights: list[int] | None = None,
+                         bias: int | None = None,
+                         div_w: int | None = None) -> str:
     """DuckDB expression scoring a token-LIST expression — the literal
     mirror of classifier_score_expr (same weights, same md5 bucket)."""
-    w = ",".join(str(x) for x in CLS_WEIGHTS)
+    wl = CLS_WEIGHTS if weights is None else weights
+    b = CLS_BIAS if bias is None else bias
+    dv = CLS_DIV_W if div_w is None else div_w
+    dim = len(wl)
+    assert dim & (dim - 1) == 0, "weight dim must be a power of two"
+    w = ",".join(str(x) for x in wl)
     bigrams = (f"list_transform(range(1, len({tok_expr})), "
                f"i -> {tok_expr}[i] || ' ' || {tok_expr}[i + 1])")
     bucket = (f"(('0x' || substr(md5(f), 1, 16))::UBIGINT "
-              f"% {CLS_DIM})::INT + 1")
-    return (f"CAST({CLS_BIAS} + list_sum(list_transform("
+              f"% {dim})::INT + 1")
+    return (f"CAST({b} + list_sum(list_transform("
             f"list_distinct(list_concat({tok_expr}, {bigrams})), "
-            f"f -> {CLS_DIV_W} + [{w}][{bucket}])) AS BIGINT)")
+            f"f -> {dv} + [{w}][{bucket}])) AS BIGINT)")
 
 
 def txt_classifier_score(spark, sf_dir):

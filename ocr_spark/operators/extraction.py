@@ -1616,8 +1616,67 @@ FROM scored GROUP BY conv_id ORDER BY conv_id
 """
 
 
+def conv_chat_render(spark, sf_dir):
+    """Deterministic chat-template rendering — the step between curation
+    and tokenization in an SFT pipeline: per conversation, wrap every
+    turn in role-delimited special tokens
+    (``<|role|>\\n text \\n<|end|>\\n``) in stable turn order and account
+    for the rendered size at the template grain (rendered chars and
+    whitespace tokens INCLUDE the chrome the trainer pays for, which the
+    raw-text accounting misses). One keyed aggregation; ordering is
+    pinned inside the aggregation by sort_array over
+    (turn_idx, text, role) structs — identical at any parallelism
+    (W1/north_rule, same contract as conv_assemble) — and the transform
+    lambda touches only its own variable (the HOF-recompute trap never
+    fires). conv_mod=25 mixes all four roles per conversation (see
+    _agent_transcripts' parity note), so templates interleave
+    realistically. Rendered text stays inside the plan; only its md5 and
+    integer sizes come out."""
+    t = _agent_transcripts(spark, sf_dir, conv_mod=25)
+    ws = "[ \\\\t\\\\n\\\\x0b\\\\f\\\\r]+"
+    return (
+        t.groupBy("conv_id")
+        .agg(F.sort_array(
+                F.collect_list(F.struct("turn_idx", "text", "role")))
+             .alias("turns"))
+        .select(
+            "conv_id",
+            F.size("turns").cast("long").alias("n_turns"),
+            F.concat_ws("", F.transform(
+                F.col("turns"),
+                lambda s: F.concat(F.lit("<|"), s["role"], F.lit("|>\n"),
+                                   s["text"], F.lit("\n<|end|>\n"))))
+            .alias("rendered"))
+        .selectExpr(
+            "conv_id", "n_turns",
+            "md5(rendered) AS render_md5",
+            "CAST(length(rendered) AS BIGINT) AS n_render_chars",
+            f"CAST(size(split(rendered, '{ws}')) AS BIGINT)"
+            " AS n_render_tokens")
+        .orderBy("conv_id"))
+
+
+CONV_CHAT_RENDER_SQL = f"""
+WITH t AS ({_agent_transcripts_cte(25)}),
+r AS (
+  SELECT conv_id,
+         CAST(COUNT(*) AS BIGINT) AS n_turns,
+         string_agg('<|' || role || '|>' || chr(10) || text || chr(10) ||
+                    '<|end|>' || chr(10), ''
+                    ORDER BY turn_idx, text, role) AS rendered
+  FROM t GROUP BY conv_id
+)
+SELECT conv_id, n_turns, md5(rendered) AS render_md5,
+       CAST(len(rendered) AS BIGINT) AS n_render_chars,
+       CAST(len(string_split_regex(rendered, '[ \\t\\n\\x0b\\f\\r]+'))
+            AS BIGINT) AS n_render_tokens
+FROM r ORDER BY conv_id
+"""
+
+
 QUERIES = {
     "conv_assemble": (conv_assemble, CONV_ASSEMBLE_SQL),
+    "conv_chat_render": (conv_chat_render, CONV_CHAT_RENDER_SQL),
     "conv_stats": (conv_stats, CONV_STATS_SQL),
     "conv_dialogue_balance": (conv_dialogue_balance, CONV_BALANCE_SQL),
     "conv_tool_chains": (conv_tool_chains, CONV_TOOL_CHAINS_SQL),
