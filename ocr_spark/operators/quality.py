@@ -752,15 +752,25 @@ def sharded_prefix_sum(df: DataFrame, shard_cols: list[str],
                   *[f"_o_{c}" for c in shard_cols]))
 
 
-def pack_placement_from(docs: DataFrame) -> DataFrame:
+def pack_placement_from(docs: DataFrame,
+                        token_col: str | None = None) -> DataFrame:
     """Packing placement over any (doc_id, lang, source, text) frame:
     where each document lands in its (lang, source) shard's fixed-length
     token stream (tok_start = exclusive prefix via the distributed
     sharded_prefix_sum). The shared core of smp_pack_sequences /
-    smp_pack_assembly and the end-to-end corpus pipeline's pack stage."""
-    docs = docs.selectExpr(
-        "doc_id", "lang", "source",
-        f"CAST(size({_TOKENS}) AS BIGINT) AS n_tokens_b")
+    smp_pack_assembly and the end-to-end corpus pipeline's pack stage.
+
+    token_col: pack on a precomputed per-doc token count (e.g. the
+    persisted BPE tokenizer's n_bpe_tokens — pipeline/tokenizer.
+    pack_with_tokenizer) instead of the whitespace proxy."""
+    if token_col is None:
+        docs = docs.selectExpr(
+            "doc_id", "lang", "source",
+            f"CAST(size({_TOKENS}) AS BIGINT) AS n_tokens_b")
+    else:
+        docs = docs.selectExpr(
+            "doc_id", "lang", "source",
+            f"CAST({token_col} AS BIGINT) AS n_tokens_b")
     return (sharded_prefix_sum(docs, ["lang", "source"], "n_tokens_b",
                                "_cum")
             .withColumn("tok_start", F.col("_cum") - F.col("n_tokens_b"))

@@ -102,13 +102,19 @@ def segment_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
 
 
 def apply_tokenizer(spark: SparkSession, tok_dir: str,
-                    docs: DataFrame) -> DataFrame:
+                    docs: DataFrame,
+                    passthrough: tuple[str, ...] = ()) -> DataFrame:
     """Tokenize every document with the committed merges: one map-only
     Arrow stage (merges ride to executors in the closure — a few KB),
     emitting per-doc whitespace-word and BPE-token counts. The counts
     feed token budgeting / packing at the REAL tokenizer's granularity
-    instead of the whitespace proxy."""
+    instead of the whitespace proxy.
+
+    passthrough: extra STRING columns (e.g. the (lang, source) shard
+    keys) carried through the Arrow stage, so a downstream consumer
+    never pays a doc_id self-join back to the corpus."""
     merges = load_merges(spark, tok_dir)
+    pt = tuple(passthrough)
 
     def _apply(batches):
         import re
@@ -138,10 +144,32 @@ def apply_tokenizer(spark: SparkSession, tok_dir: str,
                 n_tokens.append(total)
             if not ids:
                 continue
-            yield pd.DataFrame({"doc_id": ids, "n_words": n_words,
-                                "n_bpe_tokens": n_tokens})
+            out = {"doc_id": ids}
+            for c in pt:
+                out[c] = list(pdf[c])
+            out["n_words"] = n_words
+            out["n_bpe_tokens"] = n_tokens
+            yield pd.DataFrame(out)
 
-    return (_spread(docs.select("doc_id", "text"))
-            .mapInPandas(_apply,
-                         "doc_id long, n_words long, n_bpe_tokens long")
+    schema = ("doc_id long, "
+              + "".join(f"{c} string, " for c in pt)
+              + "n_words long, n_bpe_tokens long")
+    return (_spread(docs.select("doc_id", "text", *pt))
+            .mapInPandas(_apply, schema)
             .orderBy("doc_id"))
+
+
+def pack_with_tokenizer(spark: SparkSession, tok_dir: str,
+                        docs: DataFrame) -> DataFrame:
+    """Sequence-packing placement at the COMMITTED tokenizer's
+    granularity — the two persisted artifacts composed the way a
+    pretraining pipeline actually runs them: one map-only Arrow stage
+    counts each document's BPE tokens (shard keys ride through, no
+    corpus self-join), then the distributed two-level prefix-sum scan
+    places every document in its (lang, source) shard's fixed-length
+    sequence stream. Same output contract as smp_pack_sequences, with
+    n_tokens_b now meaning BPE tokens."""
+    from ..operators.quality import pack_placement_from
+    counted = apply_tokenizer(spark, tok_dir, docs,
+                              passthrough=("lang", "source"))
+    return pack_placement_from(counted, token_col="n_bpe_tokens")

@@ -340,3 +340,26 @@ def test_est_error_tokenizes_corpus_once(spark):
     df = dd_minhash_est_error(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("InMemoryTableScan") >= 3
+
+
+def test_classifier_score_is_map_only_pruned_scan(spark):
+    """txt_classifier_score is ONE map-only projection (tokenize →
+    hash → foldable-literal weight sum): no exchange except the final
+    sort's range partition, and the scan reads only (doc_id, text) —
+    the 100 TB contract of the learned gate."""
+    from ocr_spark.operators.classifier import txt_classifier_score
+    from ocr_spark.plans import exchange_count, scan_read_schema
+    df = txt_classifier_score(spark, SF_DIR)
+    assert exchange_count(df) == 1
+    assert set(scan_read_schema(df)) <= {"doc_id", "text"}
+
+
+def test_chat_render_single_agg_shuffle(spark):
+    """conv_chat_render orders turns INSIDE the aggregation (sort_array
+    over structs): exactly the keyed-agg exchange + the final sort —
+    no window, no second shuffle for ordering."""
+    from ocr_spark.operators.extraction import conv_chat_render
+    from ocr_spark.plans import exchange_count, scan_read_schema
+    df = conv_chat_render(spark, SF_DIR)
+    assert exchange_count(df) == 2
+    assert set(scan_read_schema(df)) <= {"doc_id", "text"}

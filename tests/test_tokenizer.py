@@ -101,3 +101,55 @@ def test_manifest_gating(spark, tmp_path):
         json.dump(m, f)
     with pytest.raises(ValueError):
         read_manifest(tok)
+
+
+def test_pack_with_tokenizer_places_at_bpe_granularity(spark, tmp_path):
+    """The two-artifact composition: packing placement over the
+    committed tokenizer's counts must equal a driver-side replay —
+    per-doc n_tokens_b == segment_word totals, shard keys carried
+    through the Arrow stage (no corpus self-join), and the per-shard
+    exclusive prefix / sequence arithmetic exact."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.quality import PACK_SEQ_LEN
+    from ocr_spark.pipeline.tokenizer import (load_merges,
+                                              pack_with_tokenizer,
+                                              segment_word, train_tokenizer)
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .where(F.col("doc_id").isNotNull()))
+    tok = str(tmp_path / "tok")
+    train_tokenizer(spark, docs, tok, n_merges=8)
+    merges = load_merges(spark, tok)
+
+    rows = {r.doc_id: r for r in pack_with_tokenizer(spark, tok, docs)
+            .collect()}
+    src = {r.doc_id: r for r in
+           docs.select("doc_id", "text", "lang", "source").collect()}
+    assert set(rows) == set(src)
+
+    import re
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def n_bpe(text):
+        return sum(len(segment_word(w, merges))
+                   for w in ws.split((text or "").lower()) if w)
+
+    # per-doc counts + passthrough shard keys
+    for i, r in rows.items():
+        assert (r.lang, r.source) == (src[i].lang, src[i].source), i
+        assert r.n_tokens_b == n_bpe(src[i].text), i
+
+    # placement replay: exclusive prefix in doc_id order per shard
+    by_shard = {}
+    for i in sorted(src):
+        by_shard.setdefault((src[i].lang, src[i].source), []).append(i)
+    for ids in by_shard.values():
+        cum = 0
+        for i in ids:
+            r = rows[i]
+            assert r.tok_start == cum, i
+            assert r.first_seq == cum // PACK_SEQ_LEN, i
+            assert r.seq_offset == cum % PACK_SEQ_LEN, i
+            assert r.n_seqs == ((cum + r.n_tokens_b - 1) // PACK_SEQ_LEN
+                                - cum // PACK_SEQ_LEN + 1), i
+            cum += r.n_tokens_b
