@@ -272,3 +272,28 @@ def test_ngram_jaccard_sql_matches_python(texts):
         texts = texts + [texts[0], texts[0] + " tailword"]
     got = _con(texts).execute(DD_NGRAM_SQL).fetchall()
     assert got == _py_ngram_jaccard(texts)
+
+
+_WS_RUN = st.text(alphabet=" \t\n\x0b\f\r", min_size=1, max_size=3)
+_WS_DOC = st.lists(st.tuples(_WORD, _WS_RUN), min_size=0, max_size=20).map(
+    lambda ps: "".join(w + ws for w, ws in ps))
+
+
+@given(st.lists(_WS_DOC, min_size=1, max_size=8))
+@settings(max_examples=40, deadline=None)
+def test_classifier_sql_matches_python(texts):
+    """The learned gate's generated DuckDB SQL == the Python twin over
+    adversarial docs: every Java-\\s whitespace separator (incl. \\x0b),
+    leading/trailing empty tokens, case folding, CJK bytes in the md5
+    bucket fold, and the empty document."""
+    from ocr_spark.operators.classifier import (CLS_THRESHOLD, featurize,
+                                                _txt_classifier_sql,
+                                                score_text)
+    got = _con(texts).execute(_txt_classifier_sql()).fetchall()
+    expected = []
+    for doc_id, t in enumerate(texts):
+        x = featurize(t)
+        s = score_text(t)
+        expected.append((doc_id, sum(x.values()), s,
+                         int(s > CLS_THRESHOLD)))
+    assert got == expected
