@@ -832,6 +832,59 @@ def dd_ngram_jaccard(spark, sf_dir):
     )
 
 
+CONTAIN_BP = 8000  # smaller-side containment threshold (basis points)
+
+
+def dd_containment(spark, sf_dir):
+    """Asymmetric containment near-dup — the quote/inclusion class a
+    Jaccard threshold structurally misses: a short document wholly
+    quoted inside a long one shares ~all of ITS shingles while the
+    union is dominated by the long side, so jaccard ≈ |A|/|B| can be
+    arbitrarily small. Containment of the smaller informative-shingle
+    set, C = |∩| / min(|A|, |B|), is size-free in the contained side.
+
+    Candidate generation is dd_ngram_jaccard's machinery with the same
+    scale contract (map-only Arrow shingle stage, count-first df cap at
+    DF_CAP, keyed self-join whose per-key output is ≤ C(DF_CAP, 2) rows
+    — no posting arrays): the df cap is exactly what makes containment
+    affordable, since every candidate pair must share an informative
+    (df ≤ cap) shingle. The score is INTEGER basis points
+    ((n_common*10000) DIV min-size), so the oracle threshold is exact —
+    no IEEE quotient anywhere in the pair."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    exploded = (_spread(docs)
+                .mapInPandas(_ngram_shingle_stage, "doc_id long, s long")
+                .persist(StorageLevel.MEMORY_AND_DISK))
+    stats = (exploded.groupBy("s").agg(F.count("*").alias("df"))
+             .where(F.col("df") <= DF_CAP).drop("df"))
+    filtered = (exploded.join(stats, "s")
+                .persist(StorageLevel.MEMORY_AND_DISK))
+    sizes = (filtered.groupBy("doc_id")
+             .agg(F.count("*").alias("n_shingles")))
+    inter = (filtered.select(F.col("doc_id").alias("doc_a"), "s")
+             .join(filtered.select(F.col("doc_id").alias("doc_b"), "s"), "s")
+             .where(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count("*").alias("n_common")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_shingles").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("containment_bp", F.expr(
+            "(n_common * 10000) DIV least(size_a, size_b)"))
+        .where(F.col("containment_bp") >= CONTAIN_BP)
+        .select("doc_a", "doc_b",
+                F.col("n_common").cast("long").alias("n_common"),
+                F.col("size_a").cast("long").alias("size_a"),
+                F.col("size_b").cast("long").alias("size_b"),
+                F.col("containment_bp").cast("long")
+                .alias("containment_bp"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 DD_NGRAM_SQL = """
 WITH shingled_all AS (
   SELECT DISTINCT doc_id, shingle FROM (
@@ -875,6 +928,25 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) >= 0.5
 ORDER BY doc_a, doc_b
 """
+
+
+# same CTE chain as DD_NGRAM_SQL (shared shingle/df-cap/pair semantics);
+# only the score differs — integer basis points, exact threshold
+DD_CONTAINMENT_SQL = (
+    DD_NGRAM_SQL[:DD_NGRAM_SQL.index("SELECT doc_a, doc_b, n_common,")]
+    + f"""SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
+       CAST(sa.n_shingles AS BIGINT) AS size_a,
+       CAST(sb.n_shingles AS BIGINT) AS size_b,
+       CAST((n_common * 10000) // LEAST(sa.n_shingles, sb.n_shingles)
+            AS BIGINT) AS containment_bp
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE (n_common * 10000) // LEAST(sa.n_shingles, sb.n_shingles)
+      >= {CONTAIN_BP}
+ORDER BY doc_a, doc_b
+"""
+)
 
 
 N_MINHASH = 16
@@ -3584,6 +3656,7 @@ QUERIES = {
     "sim_pq_topk": (sim_pq_topk, None),
     "dd_semantic_dup": (dd_semantic_dup, None),
     "dd_ngram_jaccard": (dd_ngram_jaccard, DD_NGRAM_SQL),
+    "dd_containment": (dd_containment, DD_CONTAINMENT_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
     "dd_minhash_est_error": (dd_minhash_est_error, DD_MINHASH_EST_ERR_SQL),
     "dd_minhash_verified": (dd_minhash_verified, DD_MINHASH_VERIFIED_SQL),

@@ -1404,3 +1404,47 @@ def test_tool_latency_hand_computed(spark, tmp_path):
     s = rows["search"]
     assert s.n_calls == 1 and s.n_answered == 0
     assert s.max_latency_s == -1 and s.mean_latency_s == -1
+
+
+def test_containment_catches_quote_inclusion_jaccard_misses(spark, tmp_path):
+    """The asymmetric class dd_containment exists for: a short document
+    wholly quoted inside a long one shares ALL of its shingles, so
+    smaller-side containment is 10000bp, while jaccard = |A|/|B| falls
+    under the 0.5 threshold and dd_ngram_jaccard reports NOTHING. A
+    genuinely unrelated doc stays out of both, and the oracle SQL
+    agrees on the planted corpus."""
+    import duckdb
+
+    from ocr_spark.operators.corpus import (DD_CONTAINMENT_SQL,
+                                            dd_containment,
+                                            dd_ngram_jaccard)
+
+    quote = "the quick brown fox jumps over the lazy sleeping dog today"
+    long_doc = (
+        "editorial preface written long before anything else happened "
+        + quote +
+        " and then a sprawling analysis follows with many further "
+        "remarks on style substance provenance attribution and the "
+        "general state of syndicated reporting across the wider web")
+    rows = [(1, quote), (2, long_doc),
+            (3, "completely different content about unrelated topics "
+                "nothing shared with either document at all")]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(f"{sf}/documents.parquet")
+
+    got = dd_containment(spark, sf).collect()
+    assert [(r.doc_a, r.doc_b) for r in got] == [(1, 2)]
+    r = got[0]
+    # every shingle of the quote appears in the long doc
+    assert r.containment_bp == 10000 and r.n_common == r.size_a
+    assert r.size_b > 2 * r.size_a
+
+    # jaccard is structurally blind to it
+    assert dd_ngram_jaccard(spark, sf).collect() == []
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf}/documents.parquet/*.parquet'")
+    want = [tuple(x) for x in con.execute(DD_CONTAINMENT_SQL).fetchall()]
+    assert [tuple(x) for x in got] == want
