@@ -15,16 +15,25 @@ the score is an exact int64 sum on Spark, DuckDB, and the Python twin —
 no float association, no transcendental, no rounding edge. Both the
 Spark expression and the oracle SQL are GENERATED from the same weight
 constants (the langid `_LANG_MARKERS` single-source pattern), and the
-bucket index relies on CLS_DIM being a power of two: u64 % 2^k equals
-pmod(signed64, 2^k), so Spark's signed md5 fold, DuckDB's UBIGINT and
-Python's int all agree on the low bits.
+bucket index relies on the dimension being a power of two: u64 % 2^k
+equals pmod(signed64, 2^k), so Spark's signed md5 fold, DuckDB's
+UBIGINT and Python's int all agree on the low bits.
 
 Training is driver-side on a bounded sample — the same shape as the
 IVF/PQ codebooks: featurize in Python, iterate in a tight loop, ship a
-flat integer weight vector. The shipped model is trained at import on
-the deterministic in-module corpus (`training_corpus()` — reproducible
-anywhere, no data dependency); `train_quality_classifier` is the
-generic trainer a real deployment points at its labeled sample.
+flat integer weight vector. The shipped model is EMBEDDED as literals
+(the hyperplane-coefficient precedent) and retrain-pinned against
+`train_quality_classifier(training_corpus())` — reproducible anywhere,
+no data dependency, zero import-time cost in executor workers;
+`train_quality_classifier` is the generic trainer a real deployment
+points at its labeled sample (pipeline/classifier.py is the
+persisted-artifact form).
+
+The three scoring surfaces — the oracle-paired query here, the
+persisted artifact's `score_with_model`, and the streaming gate — all
+build their projections from `score_frame` / `with_classifier_score`
+below, so tokenization and threshold semantics live in exactly one
+place.
 """
 
 from __future__ import annotations
@@ -32,7 +41,7 @@ from __future__ import annotations
 import hashlib
 import random
 
-from pyspark.sql import functions as F
+from pyspark.sql import DataFrame, functions as F
 
 CLS_DIM = 256          # power of two (signed/unsigned low-bit identity)
 CLS_EPOCHS = 200       # converges to 160/160 on the shipped corpus
@@ -44,13 +53,13 @@ _WS_SPARK = "[ \\\\t\\\\n\\\\x0b\\\\f\\\\r]+"
 _WS_SQL = "[ \\t\\n\\x0b\\f\\r]+"
 
 
-def _bucket(feature: str) -> int:
+def _bucket(feature: str, dim: int = CLS_DIM) -> int:
     """md5-fold bucket of a feature string — the Python twin of the
     Spark/DuckDB expressions below (low bits of the md5 u64 prefix)."""
-    return int(hashlib.md5(feature.encode()).hexdigest()[:16], 16) % CLS_DIM
+    return int(hashlib.md5(feature.encode()).hexdigest()[:16], 16) % dim
 
 
-def featurize(text: str) -> dict[int, int]:
+def featurize(text: str, dim: int = CLS_DIM) -> dict[int, int]:
     """Hashed PRESENCE features: the DISTINCT unigrams and bigrams of
     the document, each contributing once (fastText-style binary bag —
     raw counts make a token flood and a short clean document linearly
@@ -64,7 +73,7 @@ def featurize(text: str) -> dict[int, int]:
     toks = re.split(r"[ \t\n\x0b\f\r]+", (text or "").lower())
     feats: dict[int, int] = {}
     for f in set(toks) | {a + " " + b for a, b in zip(toks, toks[1:])}:
-        b = _bucket(f)
+        b = _bucket(f, dim)
         feats[b] = feats.get(b, 0) + 1
     return feats
 
@@ -85,8 +94,11 @@ def train_quality_classifier(samples: list[tuple[str, int]],
     throughout. Returns the UNNORMALIZED averaged weights
     (Σ_t w_t as c·w − u, all int — scale cancels under a sign
     threshold), so the shipped model is exactly representable on every
-    engine."""
-    feats = [(featurize(text), 1 if label else -1) for text, label in samples]
+    engine. Features are hashed mod THIS dim (a power of two), the same
+    modulus the generated scoring expressions use on len(weights)."""
+    assert dim & (dim - 1) == 0, "dim must be a power of two"
+    feats = [(featurize(text, dim), 1 if label else -1)
+             for text, label in samples]
     w = [0] * dim
     wd = 0
     b = 0
@@ -212,15 +224,50 @@ def training_corpus(seed: int = 5, n_pos: int = 80,
     return samples
 
 
-CLS_WEIGHTS, CLS_BIAS, CLS_DIV_W = train_quality_classifier(
-    training_corpus())
+# The SHIPPED model, embedded as literals (the hyperplane-coefficient
+# precedent): training it at import cost ~0.1-0.4s in EVERY Python
+# process importing ocr_spark.operators — including every executor
+# worker unpickling an unrelated Arrow stage — and the oracle SQL
+# (built at import for the registry) embeds these same integers, so
+# laziness cannot help. tests/test_classifier.py pins
+# train_quality_classifier(training_corpus()) == these literals, so
+# the provenance is retrain-checked, not trusted.
+CLS_WEIGHTS = [
+    0, 30879, 0, 251519, 623, 0, 30879, 0, 0, 0, 0, 0, 0, 0, -189084, 0, 0,
+    0, 0, 251519, 30879, 0, 0, 0, -219969, 0, -250848, 30879, 251519, 0, 0,
+    0, 0, 0, 31502, -250848, 315072, 0, 0, -250848, 0, 0, -470865, -721745,
+    220640, 30879, 220640, 30879, 0, 30879, 0, 220640, -439956, 0, 0,
+    -501720, 623, -659949, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, -189138, -189084,
+    -220017, -250880, 220640, 0, 220640, 0, 220640, -629070, 220640, 0, 0,
+    0, 30879, 220640, 251519, 220640, -250848, 0, -219969, 0, 0, 0, 0,
+    -250848, 220640, 30879, 0, -250848, 0, 220640, 251519, -250848, 0, 0,
+    30879, 220640, 0, 0, 30879, 220640, -250225, 0, 0, 220640, 0, 220640,
+    251519, 30879, 220640, 0, 0, 0, 0, 0, -221473, 0, 220640, 0, 0, 0, 0,
+    0, -220017, 441280, 0, 661920, 0, -63666, 30879, 0, 0, 0, -721737,
+    30879, 0, 0, -30208, 220640, 0, 0, 30879, 0, 692799, 0, 623, -470865,
+    -30232, -470865, 0, -721737, 61758, 220640, 220640, 30879, 0, -470865,
+    441280, 0, 220640, 220640, 0, 0, 0, 251519, 0, 190424, -220017, 30879,
+    0, 0, 0, 0, 0, 0, 30879, 220640, 0, 30879, 0, 0, 220640, -439986,
+    220640, 0, 0, 0, -220017, 0, -250225, 0, 220640, 0, 0, 220640, 30879,
+    0, 0, -346113, 0, 0, 0, -250848, -440034, 0, 0, 0, 30879, 0, 0, 251519,
+    61758, -250856, 0, -220017, -30208, 0, 0, 0, 30879, 0, 30879, 0,
+    251519, 30879, 0, 441280, 220640, 0, 0, 0, 0, 0, -29585, 0, 220640,
+    220640, 220640, 30879, 0, -30208, -219969, 220640, 0, 0, 0, 30879,
+]
+CLS_BIAS = -1635285
+CLS_DIV_W = 190592
+
+
+def _model() -> tuple[list[int], int, int]:
+    return CLS_WEIGHTS, CLS_BIAS, CLS_DIV_W
 
 
 def score_text(text: str) -> int:
     """Python twin of the shipped model's score (differential tests)."""
+    weights, bias, div_w = _model()
     x = featurize(text)
-    return (CLS_BIAS + CLS_DIV_W * sum(x.values())
-            + sum(CLS_WEIGHTS[k] * v for k, v in x.items()))
+    return (bias + div_w * sum(x.values())
+            + sum(weights[k] * v for k, v in x.items()))
 
 
 # ---------------------------------------------------------------------------
@@ -238,12 +285,14 @@ def classifier_score_expr(tok_col: str, weights: list[int] | None = None,
     model (pipeline/classifier.py) passes its own constants through the
     SAME generator, so artifact scoring shares provenance with the
     oracle-paired query."""
-    wl = CLS_WEIGHTS if weights is None else weights
-    b = CLS_BIAS if bias is None else bias
-    dv = CLS_DIV_W if div_w is None else div_w
-    dim = len(wl)
+    if weights is None or bias is None or div_w is None:
+        sw, sb, sd = _model()
+        weights = sw if weights is None else weights
+        bias = sb if bias is None else bias
+        div_w = sd if div_w is None else div_w
+    dim = len(weights)
     assert dim & (dim - 1) == 0, "weight dim must be a power of two"
-    w = ",".join(str(x) for x in wl)
+    w = ",".join(str(x) for x in weights)
     bigrams = (f"filter(zip_with({tok_col}, slice({tok_col}, 2, "
                f"size({tok_col})), (p, q) -> concat(p, ' ', q)), "
                f"x -> x IS NOT NULL)")
@@ -254,8 +303,8 @@ def classifier_score_expr(tok_col: str, weights: list[int] | None = None,
     # whole score is still ONE pass over the feature array
     return (f"CAST(aggregate("
             f"array_distinct(concat({tok_col}, {bigrams})), "
-            f"CAST({b} AS BIGINT), "
-            f"(acc, f) -> acc + {dv} "
+            f"CAST({bias} AS BIGINT), "
+            f"(acc, f) -> acc + {div_w} "
             f"+ element_at(array({w}), {bucket})) "
             f"AS BIGINT)")
 
@@ -265,27 +314,49 @@ def classifier_score_sql(tok_expr: str, weights: list[int] | None = None,
                          div_w: int | None = None) -> str:
     """DuckDB expression scoring a token-LIST expression — the literal
     mirror of classifier_score_expr (same weights, same md5 bucket)."""
-    wl = CLS_WEIGHTS if weights is None else weights
-    b = CLS_BIAS if bias is None else bias
-    dv = CLS_DIV_W if div_w is None else div_w
-    dim = len(wl)
+    if weights is None or bias is None or div_w is None:
+        sw, sb, sd = _model()
+        weights = sw if weights is None else weights
+        bias = sb if bias is None else bias
+        div_w = sd if div_w is None else div_w
+    dim = len(weights)
     assert dim & (dim - 1) == 0, "weight dim must be a power of two"
-    w = ",".join(str(x) for x in wl)
+    w = ",".join(str(x) for x in weights)
     bigrams = (f"list_transform(range(1, len({tok_expr})), "
                f"i -> {tok_expr}[i] || ' ' || {tok_expr}[i + 1])")
     bucket = (f"(('0x' || substr(md5(f), 1, 16))::UBIGINT "
               f"% {dim})::INT + 1")
-    return (f"CAST({b} + list_sum(list_transform("
+    return (f"CAST({bias} + list_sum(list_transform("
             f"list_distinct(list_concat({tok_expr}, {bigrams})), "
-            f"f -> {dv} + [{w}][{bucket}])) AS BIGINT)")
+            f"f -> {div_w} + [{w}][{bucket}])) AS BIGINT)")
 
 
-def txt_classifier_score(spark, sf_dir):
-    """Per-document learned quality score over the documents table: the
-    shipped hashed-feature linear model as ONE map-only projection
-    (tokenize → hash → integer weight sum). `pred` is the gate decision
-    the curation funnel composes (score_sum > 0 keeps)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+# ---------------------------------------------------------------------------
+# Shared scoring projections (the ONE place tokenization + threshold live)
+# ---------------------------------------------------------------------------
+
+def with_classifier_score(docs: DataFrame, text_col: str = "text",
+                          weights: list[int] | None = None,
+                          bias: int | None = None,
+                          div_w: int | None = None) -> DataFrame:
+    """All input columns + `cls_score` (the integer model score of
+    text_col) — the stateless map-only building block the streaming
+    gate filters on."""
+    expr = classifier_score_expr("_t", weights, bias, div_w)
+    return (docs.selectExpr(
+                "*", f"split(lower({text_col}), '{_WS_SPARK}') AS _t")
+            .selectExpr("*", f"{expr} AS cls_score")
+            .drop("_t"))
+
+
+def score_frame(docs: DataFrame, weights: list[int] | None = None,
+                bias: int | None = None, div_w: int | None = None,
+                threshold: int = CLS_THRESHOLD) -> DataFrame:
+    """The canonical (doc_id, n_feats, score_sum, pred) scoring
+    projection over a documents frame — shared by the oracle-paired
+    query (shipped constants) and the persisted artifact's
+    score_with_model (committed constants)."""
+    expr = classifier_score_expr("t", weights, bias, div_w)
     bigrams = ("filter(zip_with(t, slice(t, 2, size(t)), "
                "(p, q) -> concat(p, ' ', q)), x -> x IS NOT NULL)")
     return (docs.where(F.col("doc_id").isNotNull())
@@ -295,11 +366,20 @@ def txt_classifier_score(spark, sf_dir):
                 "doc_id",
                 f"CAST(size(array_distinct(concat(t, {bigrams}))) "
                 "AS BIGINT) AS n_feats",
-                f"{classifier_score_expr('t')} AS score_sum")
+                f"{expr} AS score_sum")
             .selectExpr(
                 "doc_id", "n_feats", "score_sum",
-                f"CAST(score_sum > {CLS_THRESHOLD} AS INT) AS pred")
+                f"CAST(score_sum > {threshold} AS INT) AS pred")
             .orderBy("doc_id"))
+
+
+def txt_classifier_score(spark, sf_dir):
+    """Per-document learned quality score over the documents table: the
+    shipped hashed-feature linear model as ONE map-only projection
+    (tokenize → hash → integer weight sum). `pred` is the gate decision
+    the curation funnel composes (score_sum > 0 keeps)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return score_frame(docs)
 
 
 def _txt_classifier_sql() -> str:

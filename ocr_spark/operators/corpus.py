@@ -885,7 +885,13 @@ def dd_containment(spark, sf_dir):
     )
 
 
-DD_NGRAM_SQL = """
+# shared CTE chain of the shingle-pair family (dd_ngram_jaccard /
+# dd_containment): per-doc distinct 3-gram shingles, the md5-first-8-
+# bytes fold, the DF_CAP boilerplate/skew guard, per-doc sizes and the
+# keyed self-join intersection counts — parameterized by the SAME
+# DF_CAP constant the Spark plans use, so raising the cap can never
+# silently diverge the oracles
+_NGRAM_PAIR_CTES = f"""
 WITH shingled_all AS (
   SELECT DISTINCT doc_id, shingle FROM (
     SELECT doc_id,
@@ -911,7 +917,7 @@ shingled AS (
   SELECT doc_id, s FROM (
     SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df
     FROM hashed
-  ) WHERE df <= 100
+  ) WHERE df <= {DF_CAP}
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shingled GROUP BY 1),
 inter AS (
@@ -920,6 +926,9 @@ inter AS (
     ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
+"""
+
+DD_NGRAM_SQL = _NGRAM_PAIR_CTES + """
 SELECT doc_a, doc_b, n_common,
        ROUND(CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common), 4) AS jaccard
 FROM inter
@@ -929,12 +938,10 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) >= 0
 ORDER BY doc_a, doc_b
 """
 
-
-# same CTE chain as DD_NGRAM_SQL (shared shingle/df-cap/pair semantics);
-# only the score differs — integer basis points, exact threshold
-DD_CONTAINMENT_SQL = (
-    DD_NGRAM_SQL[:DD_NGRAM_SQL.index("SELECT doc_a, doc_b, n_common,")]
-    + f"""SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
+# same CTE chain; only the score differs — integer basis points, exact
+# threshold
+DD_CONTAINMENT_SQL = _NGRAM_PAIR_CTES + f"""
+SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
        CAST(sa.n_shingles AS BIGINT) AS size_a,
        CAST(sb.n_shingles AS BIGINT) AS size_b,
        CAST((n_common * 10000) // LEAST(sa.n_shingles, sb.n_shingles)
@@ -946,7 +953,6 @@ WHERE (n_common * 10000) // LEAST(sa.n_shingles, sb.n_shingles)
       >= {CONTAIN_BP}
 ORDER BY doc_a, doc_b
 """
-)
 
 
 N_MINHASH = 16

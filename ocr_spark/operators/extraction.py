@@ -1659,11 +1659,16 @@ def conv_chat_render(spark, sf_dir):
 CONV_CHAT_RENDER_SQL = f"""
 WITH t AS ({_agent_transcripts_cte(25)}),
 r AS (
+  -- COALESCE to '': on a conversation whose EVERY turn has NULL text
+  -- string_agg returns NULL while Spark's concat_ws skips the NULL
+  -- elements and returns '' (per-turn NULLs already agree: both
+  -- engines drop the whole turn, chrome included)
   SELECT conv_id,
          CAST(COUNT(*) AS BIGINT) AS n_turns,
-         string_agg('<|' || role || '|>' || chr(10) || text || chr(10) ||
-                    '<|end|>' || chr(10), ''
-                    ORDER BY turn_idx, text, role) AS rendered
+         COALESCE(string_agg('<|' || role || '|>' || chr(10) || text ||
+                             chr(10) || '<|end|>' || chr(10), ''
+                             ORDER BY turn_idx, text, role), '')
+           AS rendered
   FROM t GROUP BY conv_id
 )
 SELECT conv_id, n_turns, md5(rendered) AS render_md5,

@@ -778,9 +778,15 @@ def pack_placement_from(docs: DataFrame,
                         F.expr(f"tok_start DIV {PACK_SEQ_LEN}"))
             .withColumn("seq_offset",
                         F.expr(f"tok_start % {PACK_SEQ_LEN}"))
+            # a zero-token doc (reachable only via token_col — the
+            # whitespace path's split('') = [''] guarantees >= 1)
+            # occupies NO sequence; the raw formula would claim 1 or 0
+            # depending on position (DIV truncates toward zero, so
+            # (tok_start - 1) DIV L != floor division at tok_start = 0)
             .withColumn("n_seqs", F.expr(
+                f"CASE WHEN n_tokens_b = 0 THEN CAST(0 AS BIGINT) ELSE "
                 f"(tok_start + n_tokens_b - 1) DIV {PACK_SEQ_LEN}"
-                f" - first_seq + 1"))
+                f" - first_seq + 1 END"))
             .drop("_cum"))
 
 
@@ -974,6 +980,31 @@ def smp_chat_pack(spark, sf_dir):
             .orderBy("tok_start"))
 
 
+def chat_pack_exploded(placement: DataFrame,
+                       extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """One row per (turn, spanned training sequence) with the overlap
+    accounting (`tok_in_seq` tokens of the turn inside the sequence;
+    `loss_in_seq` of them unmasked) — the SHARED fan-out of
+    smp_chat_pack_seqs and the shard exporter
+    (pipeline/shards.write_packed_chat_shards), so a fix to the overlap
+    arithmetic lands in exactly one place. Bounded: a turn adds
+    <= n_tokens/PACK_SEQ_LEN + 1 rows."""
+    L = PACK_SEQ_LEN
+    exploded = placement.select(
+        *extra_cols, "conv_id", "tok_start", "n_tokens", "loss",
+        F.explode(F.sequence(
+            F.col("first_seq"),
+            F.col("first_seq") + F.col("n_seqs") - 1)).alias("seq_id"))
+    overlap = (F.least(F.col("tok_start") + F.col("n_tokens"),
+                       (F.col("seq_id") + 1) * L)
+               - F.greatest(F.col("tok_start"), F.col("seq_id") * L))
+    return (exploded
+            .withColumn("tok_in_seq", overlap)
+            .withColumn("loss_in_seq",
+                        F.when(F.col("loss") == 1, F.col("tok_in_seq"))
+                        .otherwise(F.lit(0))))
+
+
 def smp_chat_pack_seqs(spark, sf_dir):
     """The trainer's view of the chat pack: one row PER TRAINING
     SEQUENCE with the loss-mask and attention-mask accounting — how
@@ -988,24 +1019,15 @@ def smp_chat_pack_seqs(spark, sf_dir):
     p = chat_pack_placement(_agent_transcripts(spark, sf_dir,
                                                conv_mod=25))
     L = PACK_SEQ_LEN
-    exploded = p.select(
-        "conv_id", "tok_start", "n_tokens", "loss", "conv_start",
-        "first_seq",
-        F.explode(F.sequence(
-            F.col("first_seq"),
-            F.col("first_seq") + F.col("n_seqs") - 1)).alias("seq_id"))
-    overlap = (F.least(F.col("tok_start") + F.col("n_tokens"),
-                       (F.col("seq_id") + 1) * L)
-               - F.greatest(F.col("tok_start"), F.col("seq_id") * L))
+    exploded = chat_pack_exploded(p, extra_cols=("conv_start",
+                                                 "first_seq"))
     is_start = F.col("tok_start") == F.col("conv_start")
     return (exploded
-            .withColumn("tok_in_seq", overlap)
             .groupBy("seq_id")
             .agg(F.count_distinct("conv_id").alias("n_convs"),
                  F.count("*").cast("long").alias("n_turns"),
                  F.sum("tok_in_seq").alias("n_seq_tokens"),
-                 F.sum(F.when(F.col("loss") == 1, F.col("tok_in_seq"))
-                       .otherwise(F.lit(0))).alias("n_loss_tokens"),
+                 F.sum("loss_in_seq").alias("n_loss_tokens"),
                  (F.sum((is_start
                          & (F.col("seq_id") == F.col("first_seq")))
                         .cast("long"))

@@ -30,8 +30,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.classifier import (CLS_DIM, CLS_EPOCHS, CLS_THRESHOLD,
-                                    classifier_score_expr, featurize,
-                                    train_quality_classifier)
+                                    featurize, train_quality_classifier)
 
 CLASSIFIER_VERSION = 1
 
@@ -74,7 +73,7 @@ def train_classifier(spark: SparkSession, labeled: DataFrame,
                                                     epochs=epochs)
 
     def _score(text: str) -> int:
-        x = featurize(text)
+        x = featurize(text, dim)
         return (bias + div_w * sum(x.values())
                 + sum(weights[k] * v for k, v in x.items()))
 
@@ -131,20 +130,9 @@ def score_with_model(spark: SparkSession, model_dir: str,
                      docs: DataFrame) -> DataFrame:
     """Score a documents frame with a committed classifier: the same
     map-only (doc_id, n_feats, score_sum, pred) projection as the
-    oracle-paired query, generated from the ARTIFACT's constants."""
+    oracle-paired query — literally the same builder
+    (operators/classifier.score_frame), generated from the ARTIFACT's
+    constants."""
+    from ..operators.classifier import score_frame
     weights, bias, div_w, threshold = load_model(spark, model_dir)
-    bigrams = ("filter(zip_with(t, slice(t, 2, size(t)), "
-               "(p, q) -> concat(p, ' ', q)), x -> x IS NOT NULL)")
-    return (docs.where(F.col("doc_id").isNotNull())
-            .selectExpr("doc_id",
-                        "split(lower(text), "
-                        "'[ \\\\t\\\\n\\\\x0b\\\\f\\\\r]+') AS t")
-            .selectExpr(
-                "doc_id",
-                f"CAST(size(array_distinct(concat(t, {bigrams}))) "
-                "AS BIGINT) AS n_feats",
-                f"{classifier_score_expr('t', weights, bias, div_w)}"
-                " AS score_sum")
-            .selectExpr(
-                "doc_id", "n_feats", "score_sum",
-                f"CAST(score_sum > {threshold} AS INT) AS pred"))
+    return score_frame(docs, weights, bias, div_w, threshold)

@@ -115,23 +115,13 @@ def write_packed_chat_shards(spark, turns: DataFrame, out_dir: str,
     repartition on shard, per-task sort — no global sort. The manifest
     carries the token/loss conservation totals so a resumed or audited
     run can verify the export against the placement with two sums."""
-    from ..operators.quality import PACK_SEQ_LEN, chat_pack_placement
+    from ..operators.quality import (PACK_SEQ_LEN, chat_pack_exploded,
+                                     chat_pack_placement)
     t0 = time.time()
     L = PACK_SEQ_LEN
     p = chat_pack_placement(turns)
-    exploded = p.select(
-        "conv_id", "turn_idx", "role", "loss", "n_tokens", "tok_start",
-        F.explode(F.sequence(
-            F.col("first_seq"),
-            F.col("first_seq") + F.col("n_seqs") - 1)).alias("seq_id"))
-    overlap = (F.least(F.col("tok_start") + F.col("n_tokens"),
-                       (F.col("seq_id") + 1) * L)
-               - F.greatest(F.col("tok_start"), F.col("seq_id") * L))
+    exploded = chat_pack_exploded(p, extra_cols=("turn_idx", "role"))
     rows = (exploded
-            .withColumn("tok_in_seq", overlap)
-            .withColumn("loss_in_seq",
-                        F.when(F.col("loss") == 1, F.col("tok_in_seq"))
-                        .otherwise(F.lit(0)))
             .withColumn("seq_offset",
                         F.greatest(F.col("tok_start")
                                    - F.col("seq_id") * L, F.lit(0)))

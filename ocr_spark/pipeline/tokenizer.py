@@ -103,7 +103,8 @@ def segment_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
 
 def apply_tokenizer(spark: SparkSession, tok_dir: str,
                     docs: DataFrame,
-                    passthrough: tuple[str, ...] = ()) -> DataFrame:
+                    passthrough: tuple[str, ...] = (),
+                    sort: bool = True) -> DataFrame:
     """Tokenize every document with the committed merges: one map-only
     Arrow stage (merges ride to executors in the closure — a few KB),
     emitting per-doc whitespace-word and BPE-token counts. The counts
@@ -112,7 +113,10 @@ def apply_tokenizer(spark: SparkSession, tok_dir: str,
 
     passthrough: extra STRING columns (e.g. the (lang, source) shard
     keys) carried through the Arrow stage, so a downstream consumer
-    never pays a doc_id self-join back to the corpus."""
+    never pays a doc_id self-join back to the corpus. sort=False skips
+    the display-contract orderBy for consumers that immediately
+    reshuffle (the pack path — its prefix-sum windows destroy any input
+    order, so the global sort would be a pure wasted exchange)."""
     merges = load_merges(spark, tok_dir)
     pt = tuple(passthrough)
 
@@ -154,9 +158,9 @@ def apply_tokenizer(spark: SparkSession, tok_dir: str,
     schema = ("doc_id long, "
               + "".join(f"{c} string, " for c in pt)
               + "n_words long, n_bpe_tokens long")
-    return (_spread(docs.select("doc_id", "text", *pt))
-            .mapInPandas(_apply, schema)
-            .orderBy("doc_id"))
+    out = (_spread(docs.select("doc_id", "text", *pt))
+           .mapInPandas(_apply, schema))
+    return out.orderBy("doc_id") if sort else out
 
 
 def pack_with_tokenizer(spark: SparkSession, tok_dir: str,
@@ -171,5 +175,5 @@ def pack_with_tokenizer(spark: SparkSession, tok_dir: str,
     n_tokens_b now meaning BPE tokens."""
     from ..operators.quality import pack_placement_from
     counted = apply_tokenizer(spark, tok_dir, docs,
-                              passthrough=("lang", "source"))
+                              passthrough=("lang", "source"), sort=False)
     return pack_placement_from(counted, token_col="n_bpe_tokens")

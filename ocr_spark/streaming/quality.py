@@ -58,16 +58,11 @@ def classifier_gate_stream(docs: DataFrame) -> DataFrame:
     """Filter a (streaming or batch) documents DataFrame through the
     learned hashed-feature quality gate (operators/classifier.py) —
     the identical integer score expression the batch curation funnel's
-    'classifier' stage evaluates, as a stateless map-only plan, so a
-    landing corpus is screened by the same shipped model. Survivors
-    keep their score in `cls_score`."""
-    from ..operators.classifier import CLS_THRESHOLD, classifier_score_expr
-    return (docs.selectExpr(
-                "*",
-                "split(lower(text), '[ \\\\t\\\\n\\\\x0b\\\\f\\\\r]+') AS _t")
-            .selectExpr("*",
-                        f"{classifier_score_expr('_t')} AS cls_score")
-            .drop("_t")
+    'classifier' stage evaluates (shared builder: with_classifier_score,
+    so tokenization lives in one place), as a stateless map-only plan.
+    Survivors keep their score in `cls_score`."""
+    from ..operators.classifier import CLS_THRESHOLD, with_classifier_score
+    return (with_classifier_score(docs)
             .where(F.col("cls_score") > CLS_THRESHOLD))
 
 

@@ -260,3 +260,40 @@ def test_emb_centroid_nonfinite_is_zeroed(spark, tmp_path):
     assert rows[(0, 1)].sum_q == 0 + 250000 + 500000
     # label 0, dim 0: (0.5, inf->0, 0.5)
     assert rows[(0, 0)].sum_q == 500000 + 0 + 500000
+
+
+def test_chat_render_all_null_conv_matches_oracle(spark, tmp_path):
+    """A conversation whose EVERY turn has NULL text renders as '' on
+    both engines (Spark concat_ws skips NULL elements; the oracle
+    COALESCEs string_agg's NULL): md5(''), 0 chars, 1 token (the
+    empty-split convention) — and mixed conversations where only SOME
+    turns are NULL drop exactly those turns' chrome on both engines."""
+    import os
+
+    import duckdb
+
+    from ocr_spark.operators.extraction import (CONV_CHAT_RENDER_SQL,
+                                                conv_chat_render)
+    rows = [
+        (3, None),                       # conv 3: single NULL turn
+        (7, "alpha bravo charlie"),      # conv 7: one real turn
+        (32, None),                      # conv 7 (32%25): NULL turn too
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(os.path.join(d, "documents.parquet"))
+
+    got = sorted(tuple(r) for r in conv_chat_render(spark, d).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{os.path.join(d, 'documents.parquet')}/*.parquet'")
+    want = sorted(tuple(r) for r in
+                  con.execute(CONV_CHAT_RENDER_SQL).fetchall())
+    assert got == want
+    by_conv = {r[0]: r for r in got}
+    # the all-NULL conversation: '' on both engines
+    assert by_conv["conv-000003"][2] == "d41d8cd98f00b204e9800998ecf8427e"
+    assert by_conv["conv-000003"][3] == 0
+    # the mixed conversation keeps only its real turn's chrome
+    assert by_conv["conv-000007"][1] == 2      # both turns counted
+    assert by_conv["conv-000007"][3] > 0

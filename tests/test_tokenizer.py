@@ -116,7 +116,16 @@ def test_pack_with_tokenizer_places_at_bpe_granularity(spark, tmp_path):
                                               pack_with_tokenizer,
                                               segment_word, train_tokenizer)
     docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
-            .where(F.col("doc_id").isNotNull()))
+            .where(F.col("doc_id").isNotNull())
+            .select("doc_id", "text", "lang", "source"))
+    # zero-BPE-token docs (NULL / whitespace-only text) are reachable
+    # only on this token_col path (the whitespace proxy never emits 0):
+    # they must occupy NO sequence wherever they land
+    planted = spark.createDataFrame(
+        [(10_000_001, None, "de", "crawl-a"),
+         (10_000_002, " \t\x0b ", "de", "crawl-a")],
+        "doc_id long, text string, lang string, source string")
+    docs = docs.unionByName(planted)
     tok = str(tmp_path / "tok")
     train_tokenizer(spark, docs, tok, n_merges=8)
     merges = load_merges(spark, tok)
@@ -150,6 +159,13 @@ def test_pack_with_tokenizer_places_at_bpe_granularity(spark, tmp_path):
             assert r.tok_start == cum, i
             assert r.first_seq == cum // PACK_SEQ_LEN, i
             assert r.seq_offset == cum % PACK_SEQ_LEN, i
-            assert r.n_seqs == ((cum + r.n_tokens_b - 1) // PACK_SEQ_LEN
-                                - cum // PACK_SEQ_LEN + 1), i
+            if r.n_tokens_b == 0:
+                assert r.n_seqs == 0, i
+            else:
+                assert r.n_seqs == (
+                    (cum + r.n_tokens_b - 1) // PACK_SEQ_LEN
+                    - cum // PACK_SEQ_LEN + 1), i
             cum += r.n_tokens_b
+    assert rows[10_000_001].n_tokens_b == 0
+    assert rows[10_000_001].n_seqs == 0
+    assert rows[10_000_002].n_seqs == 0
