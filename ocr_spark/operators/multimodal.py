@@ -211,8 +211,149 @@ ORDER BY doc_id, frame_idx
 """
 
 
+PHASH_BANDS = 4         # 16 bits per band: hamming<=3 pairs always collide
+PHASH_MAX_HAMMING = 6   # verification threshold (perceptual tolerance)
+
+
+def _phash_stage(batches):
+    """Arrow stage: (doc_id, blob) → (doc_id, phash). A perceptual-hash
+    ANALOG over the stubbed decode: 64 byte blocks (block of byte p is
+    p*64 DIV n — assignment-defined, no boundary formula to mirror),
+    bit b set iff the block's mean beats the global mean, compared as
+    the integer cross-multiply block_sum*n > total*block_len (no
+    floats anywhere, so DuckDB replays it exactly from hex pairs).
+    Swapping _decode_image for PIL turns the byte stream into real
+    grayscale pixels and this becomes a standard blockwise aHash; the
+    banding/verify machinery downstream is decode-agnostic."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        ids, phs = [], []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+            b = np.frombuffer(bytes(blob or b""), dtype=np.uint8)
+            n = len(b)
+            if n == 0:
+                ph = 0
+            else:
+                blk = (np.arange(n, dtype=np.int64) * 64) // n
+                bsum = np.bincount(blk, weights=b, minlength=64) \
+                    .astype(np.int64)
+                blen = np.bincount(blk, minlength=64).astype(np.int64)
+                total = int(bsum.sum())
+                bits = bsum * n > total * blen
+                ph = 0
+                for k in np.nonzero(bits)[0]:
+                    ph |= 1 << int(k)
+                if ph >= 1 << 63:
+                    ph -= 1 << 64
+            ids.append(int(doc_id))
+            phs.append(ph)
+        yield pd.DataFrame({"doc_id": ids, "phash": phs})
+
+
+def mm_phash_neardup(spark, sf_dir):
+    """Image near-dup at the signature grain: per-image 64-bit
+    perceptual hash (map-only Arrow stage over the binary column) →
+    dedup to DISTINCT signatures (pairing cost scales with distinct
+    hashes, not images — a re-crawled identical image never re-pairs)
+    → 4×16-bit banded self-join (any pair within hamming 3 shares a
+    band by pigeonhole; up to {PHASH_MAX_HAMMING} caught with the usual
+    banding recall) → exact bit_count(xor) verify, once per signature
+    pair. Output: representative image ids + member counts per side —
+    the edges a dup-cluster pass consumes (exact duplicates collapse
+    into one signature and are dd_exact_dup's job)."""
+    assets = (_assets(spark, sf_dir)
+              .where(F.col("mime") == "image/png")
+              .select("doc_id", "blob"))
+    sigs = (assets.mapInPandas(_phash_stage, "doc_id long, phash long")
+            .groupBy("phash")
+            .agg(F.min("doc_id").alias("rep"),
+                 F.count("*").cast("long").alias("n_docs")))
+    bits = 64 // PHASH_BANDS
+    mask = (1 << bits) - 1
+    bands = sigs.select(
+        "phash", "rep", "n_docs",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftright("phash", b * bits)
+                     .bitwiseAND(F.lit(mask)).alias("band_bits"))
+            for b in range(PHASH_BANDS)])).alias("bh")
+    ).select("phash", "rep", "n_docs", "bh.band", "bh.band_bits")
+    a = bands.select(F.col("phash").alias("pa"), F.col("rep").alias("rep_a"),
+                     F.col("n_docs").alias("n_docs_a"), "band", "band_bits")
+    b = bands.select(F.col("phash").alias("pb"), F.col("rep").alias("rep_b"),
+                     F.col("n_docs").alias("n_docs_b"), "band", "band_bits")
+    # orient pairs by representative id (one rep per distinct signature,
+    # so rep order is a total order on signatures) — readable output,
+    # same dedup
+    pairs = (a.join(b, ["band", "band_bits"])
+             .where(F.col("rep_a") < F.col("rep_b"))
+             .groupBy("pa", "pb", "rep_a", "rep_b", "n_docs_a", "n_docs_b")
+             .agg(F.count("*").cast("long").alias("n_band_hits"))
+             .withColumn("hamming",
+                         F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+                         .cast("long"))
+             .where(F.col("hamming") <= PHASH_MAX_HAMMING))
+    return (pairs.select("rep_a", "rep_b", "hamming", "n_band_hits",
+                         "n_docs_a", "n_docs_b")
+            .orderBy("rep_a", "rep_b"))
+
+
+MM_PHASH_SQL = f"""
+WITH {_MM_BYTES_CTE.format(residue=0)},
+tot AS (
+  SELECT doc_id, COUNT(*) AS n, SUM(byte) AS total FROM bytes GROUP BY 1
+),
+blocks AS (
+  SELECT b.doc_id, (b.p * 64) // t.n AS blk,
+         SUM(b.byte) AS bsum, COUNT(*) AS blen
+  FROM bytes b JOIN tot t USING (doc_id) GROUP BY 1, 2
+),
+phbits AS (
+  SELECT bl.doc_id,
+         SUM(CASE WHEN bl.bsum * t.n > t.total * bl.blen
+                  THEN CAST(1 AS HUGEINT) << CAST(bl.blk AS INT)
+                  ELSE CAST(0 AS HUGEINT) END) AS uval
+  FROM blocks bl JOIN tot t USING (doc_id)
+  GROUP BY 1
+),
+ph AS (
+  -- u64 -> signed i64 (the HUGEINT mod-2^64 mirror); LEFT JOIN keeps
+  -- empty-blob docs at phash 0, matching the Arrow stage's n=0 branch
+  SELECT d.doc_id,
+         CAST(COALESCE(p.uval, 0)
+              - CASE WHEN COALESCE(p.uval, 0)
+                          >= CAST(9223372036854775808 AS HUGEINT)
+                     THEN CAST(18446744073709551616 AS HUGEINT)
+                     ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS phash
+  FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+  LEFT JOIN phbits p USING (doc_id)
+),
+sigs AS (
+  SELECT phash, MIN(doc_id) AS rep, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM ph GROUP BY 1
+),
+bands AS (
+  SELECT phash, rep, n_docs, band,
+         (phash >> CAST(band * 16 AS INT)) & 65535 AS band_bits
+  FROM sigs, UNNEST(range(0, {PHASH_BANDS})) AS t(band)
+)
+SELECT a.rep AS rep_a, b.rep AS rep_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming,
+       CAST(COUNT(*) AS BIGINT) AS n_band_hits,
+       a.n_docs AS n_docs_a, b.n_docs AS n_docs_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_bits = b.band_bits AND a.rep < b.rep
+WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_MAX_HAMMING}
+GROUP BY 1, 2, 3, 5, 6
+ORDER BY rep_a, rep_b
+"""
+
+
 QUERIES = {
     "mm_image_resize": (mm_image_resize, MM_IMAGE_SQL),
     "mm_audio_features": (mm_audio_features, MM_AUDIO_SQL),
     "mm_frame_plan": (mm_frame_plan, MM_FRAME_SQL),
+    "mm_phash_neardup": (mm_phash_neardup, MM_PHASH_SQL),
 }

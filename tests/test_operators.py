@@ -1448,3 +1448,43 @@ def test_containment_catches_quote_inclusion_jaccard_misses(spark, tmp_path):
                 f"'{sf}/documents.parquet/*.parquet'")
     want = [tuple(x) for x in con.execute(DD_CONTAINMENT_SQL).fetchall()]
     assert [tuple(x) for x in got] == want
+
+
+def test_phash_neardup_planted_near_and_exact_dups(spark, tmp_path):
+    """mm_phash_neardup recovers a slightly-perturbed image (small
+    hamming pair at the signature grain), collapses byte-identical
+    images into ONE signature (n_docs=2, never a self-pair), ignores
+    unrelated content, and its DuckDB oracle replays the block-mean
+    hash exactly from hex pairs."""
+    import duckdb
+
+    from ocr_spark.operators.multimodal import (MM_PHASH_SQL,
+                                                PHASH_MAX_HAMMING,
+                                                mm_phash_neardup)
+
+    base = ("the quick brown fox jumps over the lazy dog " * 20).strip()
+    nearby = base + "!"     # shifts every block boundary: hamming 4
+    unrelated = ("zz qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg " * 18
+                 ).strip().upper()
+    # doc_id % 3 == 0 rows are the image slice; 3/6/9 are byte-identical
+    rows = [(0, base), (3, nearby), (6, nearby), (9, nearby),
+            (12, unrelated),
+            (1, "audio row ignored"), (2, "video row ignored")]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(f"{sf}/documents.parquet")
+
+    got = mm_phash_neardup(spark, sf).collect()
+    # exactly ONE signature pair: (base) x (the 3-member identical
+    # group, rep 3) — members collapse before pairing, never self-pair,
+    # and the unrelated image (hamming ~30) stays out
+    assert len(got) == 1
+    r = got[0]
+    assert (r.rep_a, r.rep_b, r.n_docs_a, r.n_docs_b) == (0, 3, 1, 3)
+    assert 1 <= r.hamming <= PHASH_MAX_HAMMING
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf}/documents.parquet/*.parquet'")
+    want = [tuple(x) for x in con.execute(MM_PHASH_SQL).fetchall()]
+    assert [tuple(r) for r in got] == want
