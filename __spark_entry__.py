@@ -91,7 +91,7 @@ _MEASURED_COST = {
     'dd_conv_neardup': 3.0, 'sim_ivf_topk': 3.1, 'dd_semantic_dup': 4.1,
     'bpe_train_merges': 4.6, 'sim_pq_topk': 4.6, 'dd_cluster_canonical': 10.5,
     'dd_dup_clusters': 16.2, 'dd_minhash_est_error': 17.6,
-    'conv_curate_funnel': 26.4, 'dd_containment': 4.4, 'mm_phash_neardup': 7.6,
+    'conv_curate_funnel': 26.4, 'dd_containment': 4.4, 'mm_phash_neardup': 7.6, 'txt_gate_agreement': 4.9,
 }
 
 

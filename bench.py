@@ -85,7 +85,7 @@ HEADLINE = HEADLINE_R1 + [
     # packing (fixed-length sequences + loss masks), chat-template
     # rendering
     "txt_classifier_score", "smp_chat_pack_seqs", "conv_chat_render",
-    "dd_containment", "mm_phash_neardup",
+    "dd_containment", "mm_phash_neardup", "txt_gate_agreement",
 ]
 
 

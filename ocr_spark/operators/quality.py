@@ -37,6 +37,13 @@ from .corpus import _STOPWORDS_EN, _URL_KEYED_CTES, _docs, _md5_long
 
 _TOKENS = "split(lower(text), '[ \\\\t\\\\n\\\\x0b\\\\f\\\\r]+')"
 
+# Gopher-style gate thresholds (shared by txt_gate_agreement and the
+# curation funnel, which imports them from here — defining them in the
+# pipeline layer would make quality -> curate circular)
+MIN_TOKENS = 10            # token floor
+MAX_TOP_TOKEN_BP = 2000    # most-frequent token <= 20% of doc
+MAX_DUP_BIGRAM_BP = 3000   # <= 30% of bigram instances repeated
+
 
 _ONE = "CAST(1 AS BIGINT)"
 _ZERO = "CAST(0 AS BIGINT)"
@@ -2588,8 +2595,85 @@ FROM per GROUP BY source ORDER BY source
 """
 
 
+def txt_gate_agreement(spark, sf_dir):
+    """Heuristic-vs-learned gate agreement matrix — the calibration
+    read a data team runs before trusting a new gate: per language, how
+    many documents each (gopher_pass, cls_pass) combination holds. The
+    off-diagonal cells are the review queue (docs one gate keeps and
+    the other drops); a learned gate whose disagreement cell explodes
+    after retraining is caught HERE, before it reaches the funnel. Both
+    verdicts ride the same single scan (map-only signals + the foldable
+    classifier expression), one keyed aggregation — no corpus shuffle
+    beyond the final tiny group."""
+    from .classifier import CLS_THRESHOLD, classifier_score_expr
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .where(F.col("doc_id").isNotNull())
+            .selectExpr("doc_id", "lang", f"{_TOKENS} AS t"))
+    sig = with_repetition_signals(docs)
+    bp = lambda a, b: F.floor(F.col(a).cast("double") / F.col(b) * 10000)  # noqa: E731
+    gopher_fail = (F.col("n_tok").isNull()
+                   | (F.col("n_tok") < MIN_TOKENS)
+                   | (bp("max_tok", "n_tok") > MAX_TOP_TOKEN_BP)
+                   | (bp("dup_bg", "n_bg") > MAX_DUP_BIGRAM_BP))
+    cls_pass = F.expr(classifier_score_expr("t")) > CLS_THRESHOLD
+    return (sig
+            .select("lang",
+                    (~gopher_fail).cast("int").alias("gopher_pass"),
+                    cls_pass.cast("int").alias("cls_pass"))
+            .groupBy("lang", "gopher_pass", "cls_pass")
+            .agg(F.count("*").cast("long").alias("n_docs"))
+            .orderBy("lang", "gopher_pass", "cls_pass"))
+
+
+def _txt_gate_agreement_sql() -> str:
+    from .classifier import CLS_THRESHOLD, classifier_score_sql
+    return f"""
+WITH docs AS (
+  SELECT doc_id, lang,
+         string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+') AS t
+  FROM documents WHERE doc_id IS NOT NULL
+),
+uni AS (
+  SELECT doc_id, MAX(c) AS max_tok, CAST(SUM(c) AS BIGINT) AS n_tok FROM (
+    SELECT doc_id, g, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(t) AS g FROM docs WHERE len(t) >= 2)
+    GROUP BY 1, 2)
+  GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bg,
+         CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_bg
+  FROM (
+    SELECT doc_id, g, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                 i -> t[i] || ' ' || t[i + 1])) AS g
+          FROM docs WHERE len(t) >= 2) GROUP BY 1, 2)
+  GROUP BY doc_id
+),
+verdicts AS (
+  SELECT d.lang,
+         CASE WHEN uni.n_tok IS NULL OR uni.n_tok < {MIN_TOKENS}
+              OR FLOOR(CAST(uni.max_tok AS DOUBLE) / uni.n_tok * 10000)
+                 > {MAX_TOP_TOKEN_BP}
+              OR FLOOR(CAST(bg.dup_bg AS DOUBLE) / bg.n_bg * 10000)
+                 > {MAX_DUP_BIGRAM_BP}
+              THEN 0 ELSE 1 END AS gopher_pass,
+         CASE WHEN {classifier_score_sql('d.t')} > {CLS_THRESHOLD}
+              THEN 1 ELSE 0 END AS cls_pass
+  FROM docs d
+  LEFT JOIN uni ON d.doc_id = uni.doc_id
+  LEFT JOIN bg ON d.doc_id = bg.doc_id
+)
+SELECT lang, gopher_pass, cls_pass,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM verdicts GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "txt_repetition": (txt_repetition, TXT_REPETITION_SQL),
+    "txt_gate_agreement": (txt_gate_agreement,
+                           _txt_gate_agreement_sql()),
     "txt_url_density": (txt_url_density, TXT_URL_DENSITY_SQL),
     "txt_pii_scrub": (txt_pii_scrub, TXT_PII_SQL),
     "txt_contamination": (txt_contamination, TXT_CONTAM_SQL),

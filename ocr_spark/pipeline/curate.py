@@ -33,14 +33,16 @@ from ..operators.classifier import (CLS_THRESHOLD, classifier_score_expr,
                                     classifier_score_sql)
 from ..operators.corpus import _md5_long
 from ..operators.quality import (BENCH_MOD, CHUNK_TOKENS, CONTAM_NGRAM,
-                                 SMP_RATES, _smp_threshold_u64, _TOKENS,
-                                 token_shingle_expr, with_repetition_signals)
+                                 MAX_DUP_BIGRAM_BP, MAX_TOP_TOKEN_BP,
+                                 MIN_TOKENS, SMP_RATES, _smp_threshold_u64,
+                                 _TOKENS, token_shingle_expr,
+                                 with_repetition_signals)
 from .util import write_manifest
 
 # gate thresholds (documented defaults; callers override per corpus)
-MIN_TOKENS = 10
-MAX_TOP_TOKEN_BP = 2000    # Gopher: most-frequent token ≤ 20% of doc
-MAX_DUP_BIGRAM_BP = 3000   # Gopher: ≤ 30% of bigram instances repeated
+# MIN_TOKENS / MAX_TOP_TOKEN_BP / MAX_DUP_BIGRAM_BP now live in
+# operators/quality.py (txt_gate_agreement shares them) and are
+# imported above
 MAX_SHARED_CHUNK_BP = 5000  # C4: ≥ half the chunks shared → near-dup drop
 
 # v2: learned hashed-feature classifier gate after the heuristic gate

@@ -587,3 +587,43 @@ def test_chunk_windows_cover_and_overlap(spark, tmp_path):
         assert a.chunk_text.split()[CHUNK_STRIDE] == b.chunk_text.split()[0]
     assert len(rows[2]) == 1 and rows[2][0].chunk_text == "short doc"
     assert len(rows[3]) == 1 and rows[3][0].n_tok_c == 1  # [''] token
+
+
+def test_gate_agreement_off_diagonal_cells(spark, tmp_path):
+    """txt_gate_agreement's disagreement cells are the whole point: a
+    Gopher-passing spam doc lands in (gopher=1, cls=0), a flood in
+    (0, 0), clean text in (1, 1) — and the DuckDB oracle replays the
+    matrix exactly (the registry compare only sees data where the
+    learned gate never disagrees)."""
+    import os
+
+    import duckdb
+
+    from ocr_spark.operators.classifier import _SPAM_TOKENS
+    from ocr_spark.operators.quality import (_txt_gate_agreement_sql,
+                                             txt_gate_agreement)
+
+    p1 = list(_SPAM_TOKENS)
+    p2 = [_SPAM_TOKENS[i] for i in (0, 2, 4, 6, 8, 1, 3, 5, 7, 9)]
+    p3 = list(reversed(_SPAM_TOKENS))
+    rows = [
+        (1, "alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliett kilo lima mike november oscar papa", "de"),
+        (2, " ".join(p1 + p2 + p3), "de"),   # Gopher-clean spam
+        (3, "spam " * 40, "de"),             # flood: both gates drop
+        (4, "short", "de"),                  # token floor: both drop
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+        .write.parquet(os.path.join(d, "documents.parquet"))
+
+    got = {(r.lang, r.gopher_pass, r.cls_pass): r.n_docs
+           for r in txt_gate_agreement(spark, d).collect()}
+    assert got == {("de", 1, 1): 1, ("de", 1, 0): 1, ("de", 0, 0): 2}
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{os.path.join(d, 'documents.parquet')}/*.parquet'")
+    want = {(r[0], r[1], r[2]): r[3]
+            for r in con.execute(_txt_gate_agreement_sql()).fetchall()}
+    assert got == want
