@@ -86,6 +86,11 @@ HEADLINE = HEADLINE_R1 + [
     # rendering
     "txt_classifier_score", "smp_chat_pack_seqs", "conv_chat_render",
     "dd_containment", "mm_phash_neardup", "txt_gate_agreement",
+    # round 5 continuation: lexical BM25 retrieval (broadcast query-term
+    # set, map-only corpus touch), batch-over-batch drift monitoring,
+    # padding-waste bucket ladder, soft-dedup weighting
+    "sim_bm25_topk", "txt_drift_tvd", "smp_length_buckets",
+    "dd_soft_dedup",
 ]
 
 

@@ -87,6 +87,51 @@ GROUP BY 1 ORDER BY text_hash
 """
 
 
+def dd_soft_dedup(spark, sf_dir):
+    """SoftDeDup: instead of DROPPING duplicates, emit per-document
+    sampling weights inversely proportional to the exact-duplicate
+    cluster size — training keeps every copy but down-weights the
+    cluster to one document's worth of probability mass (weight_bp =
+    10000 DIV n_copies, integer basis points). The soft variant matters
+    when duplicates carry signal (popular pages, canonical licenses)
+    that hard dedup would over-trim, and it composes with any
+    temperature/source mix downstream.
+
+    Scale shape: same as dd_exact_dup — one map-side-combinable
+    groupBy(text_hash) over the normalized-md5 key plus the hash-keyed
+    join back; the weight projection is map-only."""
+    docs = _docs(spark, sf_dir)
+    norm = F.md5(F.regexp_replace(F.lower(F.col("text")),
+                                  r"[ \t\n\x0b\f\r]+", " "))
+    per_doc = docs.select("doc_id", norm.alias("text_hash"))
+    clusters = (per_doc.groupBy("text_hash")
+                .agg(F.count("*").cast("long").alias("n_copies")))
+    return (per_doc.join(clusters, "text_hash")
+            .select("doc_id",
+                    "n_copies",
+                    F.expr("10000 DIV n_copies").cast("long")
+                    .alias("weight_bp"))
+            .orderBy("doc_id"))
+
+
+DD_SOFT_SQL = """
+WITH per_doc AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))
+           AS text_hash
+  FROM documents
+),
+clusters AS (
+  SELECT text_hash, CAST(COUNT(*) AS BIGINT) AS n_copies
+  FROM per_doc GROUP BY 1
+)
+SELECT doc_id, n_copies,
+       CAST(10000 // n_copies AS BIGINT) AS weight_bp
+FROM per_doc JOIN clusters USING (text_hash)
+ORDER BY doc_id
+"""
+
+
 def _synth_url():
     """Deterministic URL synthesized from doc_id — identical expression
     mirrored in the oracle CTE (_URL_KEYED_CTES): scheme http/https,
@@ -1705,6 +1750,165 @@ SELECT query_id, rank, cand_id, cosine FROM (
     FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND q.vec_id != c.vec_id
   )
 ) WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# Lexical retrieval: BM25 top-k (the keyword path beside the embedding ANN)
+# ---------------------------------------------------------------------------
+
+BM25_N_QUERIES = 3    # query docs = the BM25_N_QUERIES smallest doc_ids
+BM25_TOPK = 10
+BM25_DF_CAP = 100     # terms in more docs than this are stop-worded out
+
+
+def sim_bm25_topk(spark, sf_dir):
+    """Lexical BM25 top-k retrieval ("more-like-this" over the three
+    lowest-id documents) — the keyword-search path a curation team uses
+    beside the embedding ANN family (decontamination lookups, corpus
+    exploration, hybrid retrieval). Terms are word BIGRAMS: on a
+    small-vocabulary corpus every unigram is a stopword (df > N/2 means
+    floor-log2 idf = 0 — zero discrimination by construction), while
+    phrase-grain terms keep df low and rankings real; the same choice
+    real search engines make via phrase/shingle indexing.
+
+    Engine-exact scoring (the portable-math playbook): with k1 = 6/5 and
+    b = 3/4, multiplying BM25's tf term through by 20*S (S = corpus
+    token count) makes numerator and denominator EXACT int64s —
+    num = 44*S*tf, den = 20*S*tf + 6*S + 18*dl*N — so the single double
+    division is IEEE-correctly-rounded on both engines; idf is the
+    integer floor-log2 idf_bits = length(bin(N DIV df)) - 1 (exact on
+    both engines — log()'s last ulp is NOT portable, bin() is); each
+    term's score is floor-quantized to basis points BEFORE the
+    per-candidate SUM so cross-term addition order can't matter.
+    int64 headroom: at S = 1e13 tokens (100 TB) and tf <= 1e4,
+    44*S*tf <= 4.4e18 < 2^63.
+
+    Scale shape: the query-term set is tiny and BROADCAST, so the corpus
+    is touched map-only — tokenize, hash-join against the broadcast term
+    set, and only the matched (doc, term) slice ever shuffles (bounded by
+    BM25_DF_CAP docs per term after the df filter). Document length
+    RIDES ON each token row (map-only size(filter(split))) so no
+    corpus-grain dl join is ever needed; S and N are one
+    map-side-combinable aggregate. No corpus-grain groupBy, no
+    self-join."""
+    docs = _docs(spark, sf_dir)
+    tok_arr = F.filter(
+        F.split(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))),
+                r"[ \t\n\x0b\f\r]+"),
+        lambda x: x != "")
+    # bigram terms via zip_with(t, t[1:]) — lambda-var-only discipline
+    # (see quality.with_repetition_signals); the trailing NULL from the
+    # slice length mismatch is filtered out
+    bg_arr = F.filter(
+        F.zip_with(tok_arr, F.slice(tok_arr, 2, F.size(tok_arr)),
+                   lambda a, b: F.concat(a, F.lit(" "), b)),
+        lambda x: x.isNotNull())
+    # dl = bigram count = max(n_tokens - 1, 0): arithmetic on the token
+    # array size, so the zip_with chain is materialized ONLY in the one
+    # exploding subtree (the heavy HOF would otherwise codegen+run again
+    # in the dl and stats subtrees)
+    n_bg = F.greatest(F.size(tok_arr).cast("long") - F.lit(1),
+                      F.lit(0).cast("long"))
+    toks = docs.select(
+        "doc_id", n_bg.alias("dl"), F.explode(bg_arr).alias("term"))
+    # query side: term set of the BM25_N_QUERIES lowest doc_ids (tiny)
+    qterms = (toks.where(F.col("doc_id") < BM25_N_QUERIES)
+              .select(F.col("doc_id").alias("query_id"), "term").distinct())
+    qset = qterms.select("term").distinct()
+    # corpus side, restricted to query terms via the broadcast set;
+    # dl is constant per doc so max() just carries it through
+    tf = (toks.join(broadcast(qset), "term")
+          .groupBy("doc_id", "term")
+          .agg(F.count("*").alias("tf"), F.max("dl").alias("dl")))
+    dfreq = (tf.groupBy("term").agg(F.count("*").alias("df"))
+             .where(F.col("df") <= BM25_DF_CAP))
+    stats = (docs.select(n_bg.alias("dl0"))
+             .agg(F.sum("dl0").alias("s_tokens"),
+                  F.count("*").alias("n_docs")))
+    idf_bits = (F.length(F.bin(F.expr("n_docs DIV df"))) - F.lit(1)
+                ).cast("double")
+    num = (F.lit(44).cast("long") * F.col("s_tokens") * F.col("tf")
+           ).cast("double")
+    den = (F.lit(20).cast("long") * F.col("s_tokens") * F.col("tf")
+           + F.lit(6).cast("long") * F.col("s_tokens")
+           + F.lit(18).cast("long") * F.col("dl") * F.col("n_docs")
+           ).cast("double")
+    term_bp = F.floor(idf_bits * (num / den) * F.lit(10000.0))
+    scored = (tf.join(broadcast(qterms), "term")
+              .where(F.col("doc_id") != F.col("query_id"))
+              .join(broadcast(dfreq), "term")
+              .crossJoin(broadcast(stats))
+              .withColumn("term_bp", term_bp)
+              .groupBy("query_id", F.col("doc_id").alias("cand_id"))
+              .agg(F.sum("term_bp").alias("score_bp")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_bp"), F.asc("cand_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= BM25_TOPK)
+            .select("query_id", "rank", "cand_id", "score_bp")
+            .orderBy("query_id", "rank"))
+
+
+SIM_BM25_SQL = f"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(coalesce(text, ''))),
+                                        '[ \\t\\n\\x0b\\f\\r]+'),
+                     x -> x != '') AS ws
+  FROM documents
+),
+toks AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, len(ws)),
+                               i -> ws[i] || ' ' || ws[i + 1])) AS term
+  FROM words
+),
+qterms AS (
+  SELECT DISTINCT doc_id AS query_id, term FROM toks
+  WHERE doc_id < {BM25_N_QUERIES}
+),
+qset AS (SELECT DISTINCT term FROM qterms),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM toks JOIN qset USING (term)
+  GROUP BY 1, 2
+),
+dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf
+  GROUP BY 1 HAVING COUNT(*) <= {BM25_DF_CAP}
+),
+dl AS (
+  SELECT d.doc_id, COALESCE(t.n, 0) AS dl
+  FROM documents d LEFT JOIN (
+    SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1) t USING (doc_id)
+),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM toks) AS s_tokens,
+         (SELECT COUNT(*) FROM documents) AS n_docs
+),
+scored AS (
+  SELECT q.query_id, c.doc_id AS cand_id,
+         SUM(CAST(FLOOR(
+             CAST(length(bin(n_docs // df)) - 1 AS DOUBLE)
+             * (CAST(44 * s_tokens * c.tf AS DOUBLE)
+                / CAST(20 * s_tokens * c.tf + 6 * s_tokens
+                       + 18 * d.dl * n_docs AS DOUBLE))
+             * 10000.0) AS BIGINT)) AS score_bp
+  FROM tf c
+  JOIN qterms q USING (term)
+  JOIN dfreq USING (term)
+  JOIN dl d ON d.doc_id = c.doc_id
+  CROSS JOIN stats
+  WHERE c.doc_id != q.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, cand_id, score_bp FROM (
+  SELECT query_id, cand_id, score_bp,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score_bp DESC, cand_id) AS rank
+  FROM scored
+) WHERE rank <= {BM25_TOPK} ORDER BY query_id, rank
 """
 
 
@@ -3635,6 +3839,7 @@ QUERIES = {
     "bpe_train_merges": (bpe_train_merges, None),
     "txt_fingerprint": (txt_fingerprint, TXT_FP_SQL),
     "dd_exact_dup": (dd_exact_dup, DD_EXACT_SQL),
+    "dd_soft_dedup": (dd_soft_dedup, DD_SOFT_SQL),
     "dd_effective_tokens": (dd_effective_tokens, DD_EFF_TOKENS_SQL),
     "dd_url_dup": (dd_url_dup, DD_URL_SQL),
     "dd_domain_stats": (dd_domain_stats, DD_DOMAIN_SQL),
@@ -3652,6 +3857,7 @@ QUERIES = {
         _dd_incr_neardup_sql().format(
             minhash=_MINHASH_CTES.format(src="src"))),
     "sim_cosine_topk": (sim_cosine_topk, SIM_COSINE_SQL),
+    "sim_bm25_topk": (sim_bm25_topk, SIM_BM25_SQL),
     "dd_embedding_neardup": (dd_embedding_neardup, DD_EMB_SQL),
     "sim_lsh_buckets": (sim_lsh_buckets, SIM_LSH_BUCKETS_SQL),
     "sim_lsh_topk": (sim_lsh_topk, SIM_LSH_TOPK_SQL),

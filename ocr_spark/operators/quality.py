@@ -2670,8 +2670,168 @@ FROM verdicts GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus drift monitoring: batch-over-batch distribution shift
+# ---------------------------------------------------------------------------
+
+def txt_drift_tvd(spark, sf_dir):
+    """Batch-over-batch distribution drift per source: split the corpus
+    into two deterministic md5 halves (standing in for consecutive crawl
+    batches) and report the total-variation distance between their
+    token-length distributions, bucketed by floor-log2 length. This is
+    the monitoring read a pipeline runs after every ingest — a source
+    whose length profile jumps (template change, truncation bug, spam
+    flood) shows up as drift before any downstream gate moves.
+
+    Engine-exact: buckets are length(bin(n_tokens)) (exact integer
+    floor-log2 on both engines), per-half shares are integer basis
+    points (o*10000 DIV n — integer division, no doubles anywhere), and
+    the TVD is the integer sum of absolute share differences DIV 2.
+    A source with an empty half reports NULL drift (the CASE guards the
+    division on both engines).
+
+    Scale shape: one map-only projection (token count, bucket, md5
+    half), then ONE map-side-combinable groupBy(source, bucket) whose
+    output is ~sources x 40 rows; everything after is driver-trivial."""
+    docs = _docs(spark, sf_dir)
+    tok_arr = F.filter(
+        F.split(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))),
+                r"[ \t\n\x0b\f\r]+"),
+        lambda x: x != "")
+    n_tok = F.size(tok_arr).cast("long")
+    h = _md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":drift")))
+    per_doc = docs.select(
+        "source",
+        (h.bitwiseAND(F.lit(1))).cast("int").alias("half"),
+        F.when(n_tok > 0, F.length(F.bin(n_tok)))
+        .otherwise(F.lit(0)).cast("int").alias("bucket"))
+    cells = (per_doc.groupBy("source", "bucket")
+             .agg(F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+                  .cast("long").alias("o_a"),
+                  F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+                  .cast("long").alias("o_b")))
+    totals = cells.groupBy("source").agg(
+        F.sum("o_a").alias("n_a"), F.sum("o_b").alias("n_b"))
+    diff = F.abs(F.expr("o_a * 10000 DIV n_a")
+                 - F.expr("o_b * 10000 DIV n_b"))
+    return (cells.join(totals, "source")
+            .groupBy("source")
+            .agg(F.max("n_a").cast("long").alias("n_a"),
+                 F.max("n_b").cast("long").alias("n_b"),
+                 F.sum(F.when((F.col("n_a") > 0) & (F.col("n_b") > 0),
+                              diff))
+                 .alias("sd"))
+            .select("source", "n_a", "n_b",
+                    F.expr("sd DIV 2").cast("long").alias("drift_bp"))
+            .orderBy("source"))
+
+
+TXT_DRIFT_SQL = """
+WITH per_doc AS (
+  SELECT source,
+         CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':drift'),
+                               1, 16))::UBIGINT & 1) AS INT) AS half,
+         CAST(CASE WHEN n = 0 THEN 0 ELSE length(bin(n)) END AS INT)
+           AS bucket
+  FROM (
+    SELECT source, doc_id,
+           len(list_filter(string_split_regex(
+                 trim(lower(coalesce(text, ''))), '[ \\t\\n\\x0b\\f\\r]+'),
+               x -> x != '')) AS n
+    FROM documents WHERE doc_id IS NOT NULL)
+),
+cells AS (
+  SELECT source, bucket,
+         CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS o_a,
+         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS o_b
+  FROM per_doc GROUP BY 1, 2
+),
+totals AS (
+  SELECT source, CAST(SUM(o_a) AS BIGINT) AS n_a,
+         CAST(SUM(o_b) AS BIGINT) AS n_b
+  FROM cells GROUP BY 1
+)
+SELECT source, n_a, n_b,
+       CAST(SUM(CASE WHEN n_a > 0 AND n_b > 0
+                THEN abs(o_a * 10000 // n_a - o_b * 10000 // n_b)
+                END) // 2 AS BIGINT) AS drift_bp
+FROM cells JOIN totals USING (source)
+GROUP BY source, n_a, n_b ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batching: padding-waste accounting
+# ---------------------------------------------------------------------------
+
+LEN_BUCKET_MIN_BITS = 6     # smallest bucket = 64 tokens
+LEN_BUCKET_MAX = 2048       # docs longer than this are truncated
+
+
+def smp_length_buckets(spark, sf_dir):
+    """Length-bucketed batching ledger: assign every document to the
+    next power-of-two token-length bucket (floor 64, cap 2048 with
+    truncation) and account the padding a fixed-shape batch of that
+    bucket wastes — the read that decides a serving/training bucket
+    ladder. waste_bp = padded slots / total slots per bucket, in basis
+    points.
+
+    Engine-exact: the bucket is 1 << max(6, length(bin(n-1))) (exact
+    next-pow2 via bin-length, no log()), padding and waste are pure
+    integer arithmetic with a single integer division. Map-only
+    projection + one tiny groupBy(bucket)."""
+    docs = _docs(spark, sf_dir)
+    tok_arr = F.filter(
+        F.split(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))),
+                r"[ \t\n\x0b\f\r]+"),
+        lambda x: x != "")
+    n_raw = F.size(tok_arr).cast("long")
+    per_doc = docs.select(
+        F.greatest(n_raw, F.lit(1).cast("long")).alias("n1")
+    ).selectExpr(
+        # next-pow2 via bin-length; F.shiftleft needs a literal shift, so
+        # the column-shift runs as the SQL function
+        f"least(shiftleft(CAST(1 AS BIGINT), "
+        f"  greatest({LEN_BUCKET_MIN_BITS}, length(bin(n1 - 1)))), "
+        f"  CAST({LEN_BUCKET_MAX} AS BIGINT)) AS bucket_size",
+        f"least(n1, CAST({LEN_BUCKET_MAX} AS BIGINT)) AS n_fit")
+    return (per_doc.groupBy("bucket_size")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_fit").cast("long").alias("n_tokens"),
+                 F.sum(F.col("bucket_size") - F.col("n_fit"))
+                 .cast("long").alias("n_padding"))
+            .select("bucket_size", "n_docs", "n_tokens", "n_padding",
+                    F.expr("n_padding * 10000 DIV (n_docs * bucket_size)")
+                    .cast("long").alias("waste_bp"))
+            .orderBy("bucket_size"))
+
+
+SMP_LEN_BUCKETS_SQL = f"""
+WITH per_doc AS (
+  SELECT least(1::BIGINT << greatest({LEN_BUCKET_MIN_BITS},
+                                     length(bin(greatest(n, 1) - 1))),
+               {LEN_BUCKET_MAX}) AS bucket_size,
+         least(greatest(n, 1), {LEN_BUCKET_MAX}) AS n_fit
+  FROM (
+    SELECT len(list_filter(string_split_regex(
+                 trim(lower(coalesce(text, ''))), '[ \\t\\n\\x0b\\f\\r]+'),
+               x -> x != '')) AS n
+    FROM documents WHERE doc_id IS NOT NULL)
+)
+SELECT CAST(bucket_size AS BIGINT) AS bucket_size,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_fit) AS BIGINT) AS n_tokens,
+       CAST(SUM(bucket_size - n_fit) AS BIGINT) AS n_padding,
+       CAST(SUM(bucket_size - n_fit) * 10000
+            // (COUNT(*) * bucket_size) AS BIGINT) AS waste_bp
+FROM per_doc GROUP BY bucket_size ORDER BY bucket_size
+"""
+
+
 QUERIES = {
     "txt_repetition": (txt_repetition, TXT_REPETITION_SQL),
+    "txt_drift_tvd": (txt_drift_tvd, TXT_DRIFT_SQL),
+    "smp_length_buckets": (smp_length_buckets, SMP_LEN_BUCKETS_SQL),
     "txt_gate_agreement": (txt_gate_agreement,
                            _txt_gate_agreement_sql()),
     "txt_url_density": (txt_url_density, TXT_URL_DENSITY_SQL),

@@ -1,0 +1,193 @@
+"""Round-5 continuation operators: lexical BM25 retrieval and friends.
+
+Each new operator gets (a) an edge-corpus differential against its own
+oracle SQL (the same canonicalization the driver uses), (b) a semantic
+invariant test on planted documents, and (c) a plan pin where the scale
+shape matters (broadcast query side — the corpus must never self-join
+or shuffle at corpus grain beyond its one matched-slice groupBy).
+"""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# Edge corpus: empty text, single-token (no bigrams), vertical-tab +
+# formfeed whitespace, a repeated-bigram doc, and two docs sharing a
+# rare phrase with one of the query docs (doc_id < 3 are queries).
+BM25_DOCS = [
+    (0, "alpha beta gamma delta epsilon zeta", "en", "s0", 35),
+    (1, "slow query fast scan slow query", "en", "s1", 31),
+    (2, "", "en", "s2", 0),                       # empty query doc
+    (3, "alpha beta gamma delta unrelated words here", "en", "s0", 44),
+    (4, "x\x0balpha\x0bbeta\fgamma\tdelta", "en", "s1", 26),  # exotic ws
+    (5, "slow query slow query slow query slow query", "en", "s2", 44),
+    (6, "single", "en", "s0", 6),                 # one token, no bigrams
+    (7, "beta gamma beta gamma beta gamma", "en", "s1", 32),
+    (8, "totally disjoint vocabulary document", "en", "s2", 36),
+]
+
+
+def _bm25_dir(spark, tmp_path):
+    d = str(tmp_path / "bm25")
+    spark.createDataFrame(
+        BM25_DOCS,
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    return d
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                v = None if math.isnan(v) else round(v, 6)
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+
+
+def _duck_on(d, sql):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{os.path.join(d, 'documents.parquet')}/*.parquet'")
+    res = con.execute(sql)
+    return res.fetchall(), [c[0] for c in res.description]
+
+
+def test_bm25_edge_corpus_matches_oracle(spark, tmp_path):
+    from ocr_spark.operators.corpus import SIM_BM25_SQL, sim_bm25_topk
+    d = _bm25_dir(spark, tmp_path)
+    sdf = sim_bm25_topk(spark, d)
+    drows, dcols = _duck_on(d, SIM_BM25_SQL)
+    assert _canon([tuple(r) for r in sdf.collect()], sdf.columns) == \
+        _canon(drows, dcols)
+
+
+def test_bm25_semantics(spark, tmp_path):
+    from ocr_spark.operators.corpus import sim_bm25_topk
+    d = _bm25_dir(spark, tmp_path)
+    rows = sim_bm25_topk(spark, d).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    # empty query doc (2) retrieves nothing; no self-candidates anywhere
+    assert 2 not in by_q
+    assert all(r.cand_id != r.query_id for r in rows)
+    # ranks are contiguous from 1 and ordered by (score desc, cand asc)
+    for q, rs in by_q.items():
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        keys = [(-r.score_bp, r.cand_id) for r in rs]
+        assert keys == sorted(keys)
+    # docs 3 and 4 each share 3 bigrams with query 0 (doc 4's \x0b/\f
+    # separators tokenize like spaces); the SHORTER doc 4 wins on BM25
+    # length normalization
+    assert by_q[0][0].cand_id == 4
+    assert {r.cand_id for r in by_q[0]} >= {3, 4, 7}
+    # the repeated-phrase doc 5 is query 1's best match
+    assert by_q[1][0].cand_id == 5
+    # the disjoint-vocabulary doc is never retrieved
+    assert all(r.cand_id != 8 for r in rows)
+    # scores are positive and tf-saturating: doc 5 (tf=4 of "slow query")
+    # scores higher than doc 1's own phrase df would give a single hit
+    assert all(r.score_bp > 0 for r in rows)
+
+
+# Edge corpus for drift / length-bucket / soft-dedup: an exact-dup
+# triple, an empty doc, a single-doc source (empty md5 half -> NULL
+# drift), exotic whitespace, and a >2048-token doc (truncation arm).
+R5C_DOCS = [
+    (0, "copy of this text", "en", "dup_src", 17),
+    (1, "copy of this text", "en", "dup_src", 17),
+    (2, "copy of this text", "en", "dup_src", 17),
+    (3, "a unique document with several words", "en", "solo_src", 36),
+    (4, "", "en", "dup_src", 0),
+    (5, "tab\tand\x0bvertical\fforms", "en", "dup_src", 22),
+    (6, " ".join(f"w{i}" for i in range(3000)), "en", "dup_src", 4 * 3000),
+    (7, "medium doc " * 40, "en", "dup_src", 440),
+]
+
+
+def _r5c_dir(spark, tmp_path):
+    d = str(tmp_path / "r5c")
+    spark.createDataFrame(
+        R5C_DOCS,
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    return d
+
+
+@pytest.mark.parametrize("name", [
+    "txt_drift_tvd", "smp_length_buckets", "dd_soft_dedup"])
+def test_r5c_edge_corpus_matches_oracle(spark, tmp_path, name):
+    from ocr_spark.operators import ALL_QUERIES
+    fn, sql = ALL_QUERIES[name]
+    d = _r5c_dir(spark, tmp_path)
+    sdf = fn(spark, d)
+    drows, dcols = _duck_on(d, sql)
+    assert _canon([tuple(r) for r in sdf.collect()], sdf.columns) == \
+        _canon(drows, dcols), f"{name} diverges on the edge corpus"
+
+
+def test_soft_dedup_weights(spark, tmp_path):
+    from ocr_spark.operators.corpus import dd_soft_dedup
+    d = _r5c_dir(spark, tmp_path)
+    rows = {r.doc_id: r for r in dd_soft_dedup(spark, d).collect()}
+    # the dup triple shares one cluster: weight 3333 bp each
+    assert all(rows[i].n_copies == 3 and rows[i].weight_bp == 3333
+               for i in (0, 1, 2))
+    # singletons keep full weight
+    assert rows[3].n_copies == 1 and rows[3].weight_bp == 10000
+    # cluster mass never exceeds one document's worth
+    assert 3 * 3333 <= 10000
+
+
+def test_length_buckets_invariants(spark, tmp_path):
+    from ocr_spark.operators.quality import (LEN_BUCKET_MAX,
+                                             smp_length_buckets)
+    d = _r5c_dir(spark, tmp_path)
+    rows = smp_length_buckets(spark, d).collect()
+    total_docs = sum(r.n_docs for r in rows)
+    assert total_docs == len(R5C_DOCS)
+    for r in rows:
+        assert 64 <= r.bucket_size <= LEN_BUCKET_MAX
+        assert r.bucket_size & (r.bucket_size - 1) == 0  # power of two
+        assert 0 <= r.n_padding == r.n_docs * r.bucket_size - r.n_tokens
+        assert 0 <= r.waste_bp <= 10000
+    # the 3000-token doc lands truncated in the cap bucket with 0 padding
+    cap = {r.bucket_size: r for r in rows}[LEN_BUCKET_MAX]
+    assert cap.n_docs == 1 and cap.n_padding == 0
+    assert cap.n_tokens == LEN_BUCKET_MAX
+
+
+def test_drift_tvd_bounds_and_null_half(spark, tmp_path):
+    from ocr_spark.operators.quality import txt_drift_tvd
+    d = _r5c_dir(spark, tmp_path)
+    rows = {r.source: r for r in txt_drift_tvd(spark, d).collect()}
+    assert set(rows) == {"dup_src", "solo_src"}
+    for r in rows.values():
+        assert r.n_a + r.n_b > 0
+        if r.n_a > 0 and r.n_b > 0:
+            assert 0 <= r.drift_bp <= 10000
+        else:
+            assert r.drift_bp is None  # empty half -> guarded NULL
+
+
+def test_bm25_plan_broadcasts_query_side(spark, tmp_path):
+    """The corpus side must join the query-term set / df / stats via
+    BROADCAST exchanges — at 100 TB the corpus is touched map-only plus
+    one matched-slice aggregation, never a corpus-grain shuffle join."""
+    from ocr_spark.operators.corpus import sim_bm25_topk
+    d = _bm25_dir(spark, tmp_path)
+    df = sim_bm25_topk(spark, d)
+    explained = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in explained or "BroadcastNestedLoopJoin" in explained
+    assert "SortMergeJoin" not in explained
