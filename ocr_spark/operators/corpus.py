@@ -2178,6 +2178,75 @@ FROM documents ORDER BY doc_id
 """
 
 
+def tok_fertility(spark, sf_dir):
+    """Tokenizer fertility per language — the eval a team runs before
+    committing to a tokenizer: subword tokens per whitespace word
+    (fertility) and characters per subword token (compression), using
+    the BPE-ish regex segmentation from txt_token_count. High fertility
+    on a language means its text costs disproportionate sequence length;
+    the multilingual-mix layer (smp_temperature_mix) consumes exactly
+    this signal.
+
+    Engine-exact: counts are exact integers; both ratios are integer
+    basis points (x*10000 DIV y) with NULL guards for empty
+    denominators. Map-only projection + one tiny groupBy(lang)."""
+    docs = _docs(spark, sf_dir)
+    ws = F.size(F.filter(
+        F.split(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))),
+                r"[ \t\n\x0b\f\r]+"),
+        lambda x: x != "")).cast("long")
+    bpe = F.size(F.regexp_extract_all(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]"),
+        F.lit(0))).cast("long")
+    chars = F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long")
+    return (docs.select("lang", ws.alias("ws"), bpe.alias("bpe"),
+                        chars.alias("chars"))
+            .groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("ws").cast("long").alias("ws_tokens"),
+                 F.sum("bpe").cast("long").alias("bpe_tokens"),
+                 F.sum("chars").cast("long").alias("n_chars"))
+            .select("lang", "n_docs", "ws_tokens", "bpe_tokens", "n_chars",
+                    F.when(F.col("ws_tokens") > 0,
+                           F.expr("bpe_tokens * 10000 DIV ws_tokens"))
+                    .cast("long").alias("fertility_bp"),
+                    F.when(F.col("bpe_tokens") > 0,
+                           F.expr("n_chars * 10000 DIV bpe_tokens"))
+                    .cast("long").alias("chars_per_tok_bp"))
+            .orderBy("lang"))
+
+
+TOK_FERTILITY_SQL = """
+WITH per_doc AS (
+  SELECT lang,
+         CAST(len(list_filter(string_split_regex(
+                trim(lower(coalesce(text, ''))), '[ \\t\\n\\x0b\\f\\r]+'),
+              x -> x != '')) AS BIGINT) AS ws,
+         CAST(len(regexp_extract_all(coalesce(text, ''),
+              '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]')) AS BIGINT)
+           AS bpe,
+         CAST(length(coalesce(text, '')) AS BIGINT) AS chars
+  FROM documents WHERE doc_id IS NOT NULL
+),
+agg AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+         CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+         CAST(SUM(chars) AS BIGINT) AS n_chars
+  FROM per_doc GROUP BY 1
+)
+SELECT lang, n_docs, ws_tokens, bpe_tokens, n_chars,
+       CAST(CASE WHEN ws_tokens > 0
+            THEN bpe_tokens * 10000 // ws_tokens END AS BIGINT)
+         AS fertility_bp,
+       CAST(CASE WHEN bpe_tokens > 0
+            THEN n_chars * 10000 // bpe_tokens END AS BIGINT)
+         AS chars_per_tok_bp
+FROM agg ORDER BY lang
+"""
+
+
 VOCAB_TOP_K = 100
 
 
@@ -3834,6 +3903,7 @@ QUERIES = {
     "txt_quality": (txt_quality, TXT_QUALITY_SQL),
     "txt_langid": (txt_langid, TXT_LANGID_SQL),
     "txt_token_count": (txt_token_count, TXT_TOKEN_SQL),
+    "tok_fertility": (tok_fertility, TOK_FERTILITY_SQL),
     "txt_vocab_topk": (txt_vocab_topk, TXT_VOCAB_SQL),
     "txt_bpe_pair_counts": (txt_bpe_pair_counts, TXT_BPE_PAIRS_SQL),
     "bpe_train_merges": (bpe_train_merges, None),

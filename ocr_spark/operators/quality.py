@@ -2674,6 +2674,25 @@ FROM verdicts GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 # Corpus drift monitoring: batch-over-batch distribution shift
 # ---------------------------------------------------------------------------
 
+def len_bucket_frame(docs):
+    """Per-doc (doc_id, source, bucket, n_tok) where bucket is the
+    floor-log2 token-length bucket (length(bin(n)) — exact integer on
+    both engines; 0 for empty docs). ONE shared definition for the
+    txt_drift_tvd read and the persisted corpus-stats snapshot artifact
+    (pipeline/corpus_stats.py), so a snapshot built yesterday stays
+    comparable to a profile computed today."""
+    tok_arr = F.filter(
+        F.split(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))),
+                r"[ \t\n\x0b\f\r]+"),
+        lambda x: x != "")
+    n_tok = F.size(tok_arr).cast("long")
+    return docs.select(
+        "doc_id", "source",
+        F.when(n_tok > 0, F.length(F.bin(n_tok)))
+        .otherwise(F.lit(0)).cast("int").alias("bucket"),
+        n_tok.alias("n_tok"))
+
+
 def txt_drift_tvd(spark, sf_dir):
     """Batch-over-batch distribution drift per source: split the corpus
     into two deterministic md5 halves (standing in for consecutive crawl
@@ -2694,17 +2713,11 @@ def txt_drift_tvd(spark, sf_dir):
     half), then ONE map-side-combinable groupBy(source, bucket) whose
     output is ~sources x 40 rows; everything after is driver-trivial."""
     docs = _docs(spark, sf_dir)
-    tok_arr = F.filter(
-        F.split(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))),
-                r"[ \t\n\x0b\f\r]+"),
-        lambda x: x != "")
-    n_tok = F.size(tok_arr).cast("long")
     h = _md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":drift")))
-    per_doc = docs.select(
+    per_doc = len_bucket_frame(docs).select(
         "source",
         (h.bitwiseAND(F.lit(1))).cast("int").alias("half"),
-        F.when(n_tok > 0, F.length(F.bin(n_tok)))
-        .otherwise(F.lit(0)).cast("int").alias("bucket"))
+        "bucket")
     cells = (per_doc.groupBy("source", "bucket")
              .agg(F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
                   .cast("long").alias("o_a"),

@@ -181,6 +181,39 @@ def test_drift_tvd_bounds_and_null_half(spark, tmp_path):
             assert r.drift_bp is None  # empty half -> guarded NULL
 
 
+FERT_DOCS = [
+    (0, "plain ascii words here", "en", "s", 22),
+    (1, "汉字没有空格分词", "zh", "s", 8),          # CJK: 1 ws token, 8 regex
+    (2, "mixed: punct-heavy, text!", "en", "s", 25),
+    (3, "", "es", "s", 0),                          # empty -> NULL ratios
+    (4, "word", "zh", "s", 4),
+]
+
+
+def test_tok_fertility_edge_corpus_and_semantics(spark, tmp_path):
+    from ocr_spark.operators.corpus import TOK_FERTILITY_SQL, tok_fertility
+    d = str(tmp_path / "fert")
+    spark.createDataFrame(
+        FERT_DOCS,
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    sdf = tok_fertility(spark, d)
+    drows, dcols = _duck_on(d, TOK_FERTILITY_SQL)
+    assert _canon([tuple(r) for r in sdf.collect()], sdf.columns) == \
+        _canon(drows, dcols)
+    rows = {r.lang: r for r in sdf.collect()}
+    # CJK text has no whitespace boundaries: the 8-char doc is ONE ws
+    # token but 8 subword tokens -> fertility far above 10000 bp
+    assert rows["zh"].ws_tokens == 2 and rows["zh"].bpe_tokens == 9
+    assert rows["zh"].fertility_bp == 45000
+    # punctuation splits regex tokens but not ws tokens
+    en = rows["en"]
+    assert en.bpe_tokens > en.ws_tokens and en.fertility_bp > 10000
+    # the empty-only language guards its divisions with NULL
+    assert rows["es"].fertility_bp is None
+    assert rows["es"].chars_per_tok_bp is None
+
+
 def test_bm25_plan_broadcasts_query_side(spark, tmp_path):
     """The corpus side must join the query-term set / df / stats via
     BROADCAST exchanges — at 100 TB the corpus is touched map-only plus
