@@ -90,7 +90,8 @@ HEADLINE = HEADLINE_R1 + [
     # set, map-only corpus touch), batch-over-batch drift monitoring,
     # padding-waste bucket ladder, soft-dedup weighting
     "sim_bm25_topk", "txt_drift_tvd", "smp_length_buckets",
-    "dd_soft_dedup", "tok_fertility",
+    "dd_soft_dedup", "tok_fertility", "qr_retention_matrix",
+    "dd_dup_rate_by_length",
 ]
 
 

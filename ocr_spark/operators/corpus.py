@@ -132,6 +132,67 @@ ORDER BY doc_id
 """
 
 
+def dd_dup_rate_by_length(spark, sf_dir):
+    """Dedup bias diagnostic: duplicate rate per floor-log2 token-length
+    bucket. Exact dedup skews short (boilerplate snippets, empty pages
+    collide; long documents rarely do) — this read quantifies that skew
+    so a curation team knows whether dedup is silently reshaping the
+    LENGTH distribution it hands to packing. dup_bp = share of the
+    bucket's docs that are non-canonical copies, integer basis points.
+
+    One window over the normalized-text hash (the dedup shuffle that
+    runs anyway) + one tiny groupBy(bucket); buckets via bin-length
+    (exact on both engines)."""
+    docs = _docs(spark, sf_dir)
+    norm = F.md5(F.regexp_replace(F.lower(F.col("text")),
+                                  r"[ \t\n\x0b\f\r]+", " "))
+    n_tok = F.size(F.filter(
+        F.split(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))),
+                r"[ \t\n\x0b\f\r]+"),
+        lambda x: x != "")).cast("long")
+    d = (docs.select("doc_id", norm.alias("h"),
+                     F.when(n_tok > 0, F.length(F.bin(n_tok)))
+                     .otherwise(F.lit(0)).cast("int").alias("bucket"))
+         .withColumn("keep",
+                     F.min("doc_id").over(Window.partitionBy("h")))
+         .withColumn("is_dup",
+                     (F.col("doc_id") != F.col("keep")).cast("long")))
+    return (d.groupBy("bucket")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("is_dup").cast("long").alias("n_dups"))
+            .select("bucket", "n_docs", "n_dups",
+                    F.expr("n_dups * 10000 DIV n_docs").cast("long")
+                    .alias("dup_bp"))
+            .orderBy("bucket"))
+
+
+DD_DUP_BY_LEN_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))
+           AS h,
+         CAST(CASE WHEN n = 0 THEN 0 ELSE length(bin(n)) END AS INT)
+           AS bucket
+  FROM (
+    SELECT doc_id, text,
+           len(list_filter(string_split_regex(
+                 trim(lower(coalesce(text, ''))), '[ \\t\\n\\x0b\\f\\r]+'),
+               x -> x != '')) AS n
+    FROM documents WHERE doc_id IS NOT NULL)
+),
+flagged AS (
+  SELECT bucket,
+         CASE WHEN doc_id != MIN(doc_id) OVER (PARTITION BY h)
+              THEN 1 ELSE 0 END AS is_dup
+  FROM d
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(is_dup) AS BIGINT) AS n_dups,
+       CAST(SUM(is_dup) * 10000 // COUNT(*) AS BIGINT) AS dup_bp
+FROM flagged GROUP BY bucket ORDER BY bucket
+"""
+
+
 def _synth_url():
     """Deterministic URL synthesized from doc_id — identical expression
     mirrored in the oracle CTE (_URL_KEYED_CTES): scheme http/https,
@@ -3910,6 +3971,7 @@ QUERIES = {
     "txt_fingerprint": (txt_fingerprint, TXT_FP_SQL),
     "dd_exact_dup": (dd_exact_dup, DD_EXACT_SQL),
     "dd_soft_dedup": (dd_soft_dedup, DD_SOFT_SQL),
+    "dd_dup_rate_by_length": (dd_dup_rate_by_length, DD_DUP_BY_LEN_SQL),
     "dd_effective_tokens": (dd_effective_tokens, DD_EFF_TOKENS_SQL),
     "dd_url_dup": (dd_url_dup, DD_URL_SQL),
     "dd_domain_stats": (dd_domain_stats, DD_DOMAIN_SQL),

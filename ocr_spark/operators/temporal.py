@@ -284,9 +284,83 @@ GROUP BY 1 ORDER BY cohort_date
 """
 
 
+RETENTION_EPOCH = "2024-01-01"  # week-0 anchor (testdata starts here)
+
+
+def qr_retention_matrix(spark, sf_dir):
+    """Weekly cohort retention triangle: users grouped by first-activity
+    week (cohort), counted in every later week they return, with
+    retention as integer basis points of the cohort's size — the
+    standing health read of any event product, and the temporal-family
+    completion next to funnels (qr_conversion_cohorts) and retries.
+
+    Engine-exact: week index = days-since-anchor DIV 7 where the day
+    count is a pure DATE difference (no timezone, no epoch-seconds —
+    the tz-free lesson from w3/qr_retry_collapse); retention_bp is one
+    integer division against the cohort's week-0 size (cohort size =
+    distinct users whose FIRST week is that week, so age 0 always
+    exists and the division is never by zero).
+
+    Scale shape: events collapse to distinct (user, week) — ONE
+    map-side-combinable shuffle keyed by user+week; the cohort frame is
+    a groupBy(user) on the same rows; the cohort join is keyed on user;
+    the final matrix is ~weeks^2 rows."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    # Spark DIV truncates toward zero while DuckDB // floors: identical
+    # only because datediff >= 0 here (the anchor is the data's epoch);
+    # a pre-anchor feed would need pmod-style flooring on both engines
+    uw = (ev.select("user_id",
+                    F.expr(f"CAST(datediff(to_date(ts), "
+                           f"DATE '{RETENTION_EPOCH}') DIV 7 AS BIGINT)")
+                    .alias("week"))
+          .distinct())
+    cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = (cohort.groupBy("cohort_week")
+             .agg(F.count("*").cast("long").alias("cohort_users")))
+    return (uw.join(cohort, "user_id")
+            .select("cohort_week",
+                    (F.col("week") - F.col("cohort_week")).alias("age_weeks"),
+                    "user_id")
+            .groupBy("cohort_week", "age_weeks")
+            .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+            .join(F.broadcast(sizes), "cohort_week")
+            .select("cohort_week", "age_weeks", "n_users",
+                    F.expr("n_users * 10000 DIV cohort_users")
+                    .cast("long").alias("retention_bp"))
+            .orderBy("cohort_week", "age_weeks"))
+
+
+QR_RETENTION_SQL = f"""
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(datediff('day', DATE '{RETENTION_EPOCH}',
+                       CAST(ts AS DATE)) // 7 AS BIGINT) AS week
+  FROM events WHERE user_id IS NOT NULL
+),
+cohort AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY 1
+),
+sizes AS (
+  SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_users
+  FROM cohort GROUP BY 1
+),
+matrix AS (
+  SELECT c.cohort_week, u.week - c.cohort_week AS age_weeks,
+         CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n_users
+  FROM uw u JOIN cohort c USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT m.cohort_week, m.age_weeks, m.n_users,
+       CAST(m.n_users * 10000 // s.cohort_users AS BIGINT) AS retention_bp
+FROM matrix m JOIN sizes s USING (cohort_week)
+ORDER BY cohort_week, age_weeks
+"""
+
+
 QUERIES = {
     "qr_asof_join": (qr_asof_join, QR_ASOF_SQL),
     "qr_range_join": (qr_range_join, QR_RANGE_SQL),
     "qr_retry_collapse": (qr_retry_collapse, QR_RETRY_SQL),
     "qr_conversion_cohorts": (qr_conversion_cohorts, QR_COHORT_SQL),
+    "qr_retention_matrix": (qr_retention_matrix, QR_RETENTION_SQL),
 }

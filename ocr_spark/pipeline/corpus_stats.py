@@ -87,12 +87,76 @@ def build_stats(spark: SparkSession, docs: DataFrame, output_dir: str,
     return manifest
 
 
+def _recover_swap(stats_dir: str) -> None:
+    """Roll back a crash INSIDE append_stats' two-rename swap window
+    (data renamed to .append-old, tmp not yet promoted): restore the old
+    profile so the committed manifest points at readable data again."""
+    data_dir = os.path.join(stats_dir, _DATA)
+    old = data_dir + ".append-old"
+    if not os.path.exists(data_dir) and os.path.exists(old):
+        os.rename(old, data_dir)
+
+
 def read_manifest(stats_dir: str) -> dict | None:
+    _recover_swap(stats_dir)
     path = os.path.join(stats_dir, _MANIFEST)
     if not os.path.exists(path):
         return None
     with open(path) as f:
         return json.load(f)
+
+
+def append_stats(spark: SparkSession, stats_dir: str,
+                 new_docs: DataFrame, batch_tag: str | None = None) -> dict:
+    """Fold an admitted crawl batch into the committed snapshot so the
+    NEXT crawl drifts against the corpus as of now: profile the batch,
+    union with the committed cells, sum per (source, bucket), and swap
+    atomically (rewrite-into-tmp + two-rename — the parquet fallback for
+    Iceberg MERGE INTO, same as dedup_index.append_batch). The manifest
+    is rewritten only after the swap; a retried append with the same
+    batch_tag is a no-op."""
+    import shutil
+    manifest = read_manifest(stats_dir)
+    if manifest is None:
+        raise FileNotFoundError(
+            f"no committed corpus-stats snapshot at {stats_dir}")
+    if batch_tag is not None and batch_tag in manifest.get("batch_tags", []):
+        return manifest
+    t0 = time.time()
+    data_dir = os.path.join(stats_dir, _DATA)
+    merged = (spark.read.parquet(data_dir)
+              .unionByName(profile_of(new_docs))
+              .groupBy("source", "bucket")
+              .agg(F.sum("n_docs").cast("long").alias("n_docs"),
+                   F.sum("n_tokens").cast("long").alias("n_tokens")))
+    tmp = data_dir + ".append-tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged.write.parquet(tmp)
+    row = (spark.read.parquet(tmp)
+           .agg(F.count("*").alias("cells"),
+                F.countDistinct("source").alias("sources"),
+                F.sum("n_docs").alias("docs"),
+                F.sum("n_tokens").alias("tokens")).collect()[0])
+    old = data_dir + ".append-old"
+    shutil.rmtree(old, ignore_errors=True)
+    # a crash between these two renames is rolled back by _recover_swap
+    # on the next read (manifest still describes the old data)
+    os.rename(data_dir, old)
+    os.rename(tmp, data_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    manifest.update({
+        "n_cells": int(row.cells),
+        "n_sources": int(row.sources),
+        "n_docs": int(row.docs or 0),
+        "n_tokens": int(row.tokens or 0),
+        "built_unix": int(time.time()),
+        "build_wall_ms": int((time.time() - t0) * 1000),
+    })
+    if batch_tag is not None:
+        manifest["batch_tags"] = (manifest.get("batch_tags", [])
+                                  + [batch_tag])
+    _write_manifest(stats_dir, manifest)  # manifest AFTER the swap
+    return manifest
 
 
 def read_profile(spark: SparkSession, stats_dir: str) -> DataFrame:

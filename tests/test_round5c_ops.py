@@ -126,7 +126,8 @@ def _r5c_dir(spark, tmp_path):
 
 
 @pytest.mark.parametrize("name", [
-    "txt_drift_tvd", "smp_length_buckets", "dd_soft_dedup"])
+    "txt_drift_tvd", "smp_length_buckets", "dd_soft_dedup",
+    "dd_dup_rate_by_length"])
 def test_r5c_edge_corpus_matches_oracle(spark, tmp_path, name):
     from ocr_spark.operators import ALL_QUERIES
     fn, sql = ALL_QUERIES[name]
@@ -148,6 +149,20 @@ def test_soft_dedup_weights(spark, tmp_path):
     assert rows[3].n_copies == 1 and rows[3].weight_bp == 10000
     # cluster mass never exceeds one document's worth
     assert 3 * 3333 <= 10000
+
+
+def test_dup_rate_by_length_flags_planted_bucket(spark, tmp_path):
+    from ocr_spark.operators.corpus import dd_dup_rate_by_length
+    d = _r5c_dir(spark, tmp_path)
+    rows = {r.bucket: r for r in dd_dup_rate_by_length(spark, d).collect()}
+    # the dup triple ("copy of this text", 4 tokens) lives in bucket
+    # length(bin(4)) = 3 beside two singleton 4-6-token docs: 2 of the
+    # bucket's 5 docs are non-canonical copies
+    b = rows[3]
+    assert b.n_dups == 2 and b.n_docs == 5
+    assert b.dup_bp == 2 * 10000 // 5
+    # every other bucket is dup-free
+    assert all(r.n_dups == 0 for k, r in rows.items() if k != 3)
 
 
 def test_length_buckets_invariants(spark, tmp_path):
@@ -212,6 +227,51 @@ def test_tok_fertility_edge_corpus_and_semantics(spark, tmp_path):
     # the empty-only language guards its divisions with NULL
     assert rows["es"].fertility_bp is None
     assert rows["es"].chars_per_tok_bp is None
+
+
+def test_retention_matrix_planted_cohorts(spark, tmp_path):
+    """Multiple cohorts with churn (the sf testdata is one dense cohort,
+    so the real triangle semantics need planting): A active weeks 0,1,3;
+    B weeks 1,2; C week 0 only; D week 1 only."""
+    import datetime as dt
+    from ocr_spark.operators.temporal import (QR_RETENTION_SQL,
+                                              qr_retention_matrix)
+    d = str(tmp_path / "ev")
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(week, day=0):
+        return base + dt.timedelta(weeks=week, days=day)
+
+    rows = [
+        (1, at(0), 10, "view", 1.0, "{}"),
+        (2, at(0, 2), 10, "click", 1.0, "{}"),   # same week twice
+        (3, at(1), 10, "view", 1.0, "{}"),
+        (4, at(3), 10, "view", 1.0, "{}"),
+        (5, at(1), 20, "view", 1.0, "{}"),
+        (6, at(2), 20, "view", 1.0, "{}"),
+        (7, at(0), 30, "view", 1.0, "{}"),
+        (8, at(1), 40, "view", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    ).write.parquet(os.path.join(d, "events.parquet"))
+    got = {(r.cohort_week, r.age_weeks): (r.n_users, r.retention_bp)
+           for r in qr_retention_matrix(spark, d).collect()}
+    # cohort 0 = {A, C} (2 users); cohort 1 = {B, D} (2 users)
+    assert got[(0, 0)] == (2, 10000)
+    assert got[(0, 1)] == (1, 5000)      # only A returns in week 1
+    assert (0, 2) not in got             # nobody from cohort 0 in week 2
+    assert got[(0, 3)] == (1, 5000)      # A returns in week 3
+    assert got[(1, 0)] == (2, 10000)
+    assert got[(1, 1)] == (1, 5000)      # only B returns
+    # oracle agreement on the planted corpus too
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{os.path.join(d, 'events.parquet')}/*.parquet'")
+    orc = {(r[0], r[1]): (r[2], r[3])
+           for r in con.execute(QR_RETENTION_SQL).fetchall()}
+    assert got == orc
 
 
 def test_bm25_plan_broadcasts_query_side(spark, tmp_path):
