@@ -42,6 +42,16 @@ def _emb(spark, sf_dir):
                    & F.col("embedding").isNotNull()))
 
 
+def len_bucket(n_tok):
+    """Floor-log2 token-length bucket — length(bin(n)), exact integer on
+    both engines, 0 for empty docs. THE shared bucket definition across
+    dd_dup_rate_by_length, quality.len_bucket_frame (txt_drift_tvd) and
+    the corpus-stats snapshot artifact: a snapshot built yesterday must
+    bucket exactly like a profile computed today."""
+    return (F.when(n_tok > 0, F.length(F.bin(n_tok)))
+            .otherwise(F.lit(0)).cast("int"))
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Redistribute a narrow input across the session's parallelism
     before an Arrow stage. A small corpus arrives as ONE parquet file =
@@ -151,8 +161,7 @@ def dd_dup_rate_by_length(spark, sf_dir):
                 r"[ \t\n\x0b\f\r]+"),
         lambda x: x != "")).cast("long")
     d = (docs.select("doc_id", norm.alias("h"),
-                     F.when(n_tok > 0, F.length(F.bin(n_tok)))
-                     .otherwise(F.lit(0)).cast("int").alias("bucket"))
+                     len_bucket(n_tok).alias("bucket"))
          .withColumn("keep",
                      F.min("doc_id").over(Window.partitionBy("h")))
          .withColumn("is_dup",
@@ -1950,12 +1959,12 @@ stats AS (
 ),
 scored AS (
   SELECT q.query_id, c.doc_id AS cand_id,
-         SUM(CAST(FLOOR(
+         CAST(SUM(CAST(FLOOR(
              CAST(length(bin(n_docs // df)) - 1 AS DOUBLE)
              * (CAST(44 * s_tokens * c.tf AS DOUBLE)
                 / CAST(20 * s_tokens * c.tf + 6 * s_tokens
                        + 18 * d.dl * n_docs AS DOUBLE))
-             * 10000.0) AS BIGINT)) AS score_bp
+             * 10000.0) AS BIGINT)) AS BIGINT) AS score_bp
   FROM tf c
   JOIN qterms q USING (term)
   JOIN dfreq USING (term)

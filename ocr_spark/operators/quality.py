@@ -29,7 +29,8 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
-from .corpus import _STOPWORDS_EN, _URL_KEYED_CTES, _docs, _md5_long
+from .corpus import (_STOPWORDS_EN, _URL_KEYED_CTES, _docs, _md5_long,
+                     len_bucket)
 
 # ---------------------------------------------------------------------------
 # Repetition signals (Gopher-style quality filters)
@@ -2688,8 +2689,7 @@ def len_bucket_frame(docs):
     n_tok = F.size(tok_arr).cast("long")
     return docs.select(
         "doc_id", "source",
-        F.when(n_tok > 0, F.length(F.bin(n_tok)))
-        .otherwise(F.lit(0)).cast("int").alias("bucket"),
+        len_bucket(n_tok).alias("bucket"),
         n_tok.alias("n_tok"))
 
 

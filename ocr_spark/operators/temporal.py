@@ -294,9 +294,10 @@ def qr_retention_matrix(spark, sf_dir):
     standing health read of any event product, and the temporal-family
     completion next to funnels (qr_conversion_cohorts) and retries.
 
-    Engine-exact: week index = days-since-anchor DIV 7 where the day
-    count is a pure DATE difference (no timezone, no epoch-seconds —
-    the tz-free lesson from w3/qr_retry_collapse); retention_bp is one
+    Engine-exact: week index = FLOOR(days-since-anchor / 7) where the
+    day count is a pure DATE difference (no timezone, no epoch-seconds —
+    the tz-free lesson from w3/qr_retry_collapse) and the flooring is
+    explicit pmod arithmetic on both engines; retention_bp is one
     integer division against the cohort's week-0 size (cohort size =
     distinct users whose FIRST week is that week, so age 0 always
     exists and the division is never by zero).
@@ -306,12 +307,18 @@ def qr_retention_matrix(spark, sf_dir):
     a groupBy(user) on the same rows; the cohort join is keyed on user;
     the final matrix is ~weeks^2 rows."""
     ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
-    # Spark DIV truncates toward zero while DuckDB // floors: identical
-    # only because datediff >= 0 here (the anchor is the data's epoch);
-    # a pre-anchor feed would need pmod-style flooring on both engines
+    # FLOOR division, spelled as (d - pmod(d, 7)) DIV 7 on BOTH engines
+    # (Spark DIV and DuckDB // each truncate toward zero): a bare
+    # truncating division would file a day -2 event under week 0 —
+    # merging pre-anchor activity into the anchor cohort — instead of
+    # week -1; subtracting the non-negative pmod remainder makes the
+    # dividend an exact multiple, so the division is exact and floored
     uw = (ev.select("user_id",
-                    F.expr(f"CAST(datediff(to_date(ts), "
-                           f"DATE '{RETENTION_EPOCH}') DIV 7 AS BIGINT)")
+                    F.expr(f"CAST((datediff(to_date(ts), "
+                           f"DATE '{RETENTION_EPOCH}') "
+                           f"- pmod(datediff(to_date(ts), "
+                           f"DATE '{RETENTION_EPOCH}'), 7)) DIV 7 "
+                           f"AS BIGINT)")
                     .alias("week"))
           .distinct())
     cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
@@ -331,11 +338,18 @@ def qr_retention_matrix(spark, sf_dir):
 
 
 QR_RETENTION_SQL = f"""
-WITH uw AS (
-  SELECT DISTINCT user_id,
-         CAST(datediff('day', DATE '{RETENTION_EPOCH}',
-                       CAST(ts AS DATE)) // 7 AS BIGINT) AS week
+WITH days AS (
+  SELECT user_id,
+         datediff('day', DATE '{RETENTION_EPOCH}', CAST(ts AS DATE)) AS d
   FROM events WHERE user_id IS NOT NULL
+),
+uw AS (
+  -- FLOOR division via the pmod identity: DuckDB's integer // truncates
+  -- toward zero (like Spark's DIV), so bare d // 7 would put a
+  -- day -2 event in week 0 instead of week -1
+  SELECT DISTINCT user_id,
+         CAST((d - ((d % 7) + 7) % 7) // 7 AS BIGINT) AS week
+  FROM days
 ),
 cohort AS (
   SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY 1

@@ -54,6 +54,26 @@ def _write_manifest(stats_dir: str, manifest: dict) -> None:
         json.dump(manifest, f, sort_keys=True)
 
 
+_TAGS_FILE = "_applied_tags.json"
+
+
+def _write_tags(data_dir: str, tags: list[str]) -> None:
+    with open(os.path.join(data_dir, _TAGS_FILE), "w") as f:
+        json.dump(tags, f)
+
+
+def _applied_tags(data_dir: str) -> list[str]:
+    """Tags recorded INSIDE the data directory — they travel with the
+    swap rename, so 'which batches are in this profile' commits
+    atomically with the profile itself (the manifest's copy can lag by
+    one crash window; this file cannot)."""
+    path = os.path.join(data_dir, _TAGS_FILE)
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return json.load(f)
+
+
 def build_stats(spark: SparkSession, docs: DataFrame, output_dir: str,
                 batch_tag: str = "") -> dict:
     """Profile the corpus and commit the snapshot (manifest AFTER data)."""
@@ -67,6 +87,8 @@ def build_stats(spark: SparkSession, docs: DataFrame, output_dir: str,
     if os.path.exists(stale):
         os.remove(stale)
     profile_of(docs).write.mode("overwrite").parquet(data_dir)
+    tags = [batch_tag] if batch_tag else []
+    _write_tags(data_dir, tags)
     # stats from the committed artifact itself — no second corpus scan
     row = (spark.read.parquet(data_dir)
            .agg(F.count("*").alias("cells"),
@@ -76,6 +98,7 @@ def build_stats(spark: SparkSession, docs: DataFrame, output_dir: str,
     manifest = {
         "version": STATS_VERSION,
         "batch_tag": batch_tag,
+        "batch_tags": tags,
         "n_cells": int(row.cells),
         "n_sources": int(row.sources),
         "n_docs": int(row.docs or 0),
@@ -112,18 +135,43 @@ def append_stats(spark: SparkSession, stats_dir: str,
     NEXT crawl drifts against the corpus as of now: profile the batch,
     union with the committed cells, sum per (source, bucket), and swap
     atomically (rewrite-into-tmp + two-rename — the parquet fallback for
-    Iceberg MERGE INTO, same as dedup_index.append_batch). The manifest
-    is rewritten only after the swap; a retried append with the same
-    batch_tag is a no-op."""
+    Iceberg MERGE INTO, same as dedup_index.append_batch). A retried
+    append with the same batch_tag is a no-op.
+
+    Idempotence is judged against the tags file INSIDE the data
+    directory (written into the tmp dir BEFORE the swap promotes it),
+    not the manifest: a crash between the swap and the manifest rewrite
+    leaves the tag committed WITH the data, so the retry heals the
+    manifest instead of double-counting every (source, bucket) cell —
+    the profile counts ARE the drift baseline, so unlike the dedup
+    index's benign n_members inflation, a double-count here would skew
+    drift_bp for those sources permanently."""
     import shutil
     manifest = read_manifest(stats_dir)
     if manifest is None:
         raise FileNotFoundError(
             f"no committed corpus-stats snapshot at {stats_dir}")
-    if batch_tag is not None and batch_tag in manifest.get("batch_tags", []):
-        return manifest
     t0 = time.time()
     data_dir = os.path.join(stats_dir, _DATA)
+    applied = _applied_tags(data_dir)
+    if batch_tag is not None and batch_tag in applied:
+        if batch_tag not in manifest.get("batch_tags", []):
+            # swap committed, manifest write crashed: heal the manifest —
+            # tags AND counts both describe the already-swapped data
+            row = (spark.read.parquet(data_dir)
+                   .agg(F.count("*").alias("cells"),
+                        F.countDistinct("source").alias("sources"),
+                        F.sum("n_docs").alias("docs"),
+                        F.sum("n_tokens").alias("tokens")).collect()[0])
+            manifest.update({
+                "batch_tags": applied,
+                "n_cells": int(row.cells),
+                "n_sources": int(row.sources),
+                "n_docs": int(row.docs or 0),
+                "n_tokens": int(row.tokens or 0),
+            })
+            _write_manifest(stats_dir, manifest)
+        return manifest
     merged = (spark.read.parquet(data_dir)
               .unionByName(profile_of(new_docs))
               .groupBy("source", "bucket")
@@ -132,6 +180,8 @@ def append_stats(spark: SparkSession, stats_dir: str,
     tmp = data_dir + ".append-tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     merged.write.parquet(tmp)
+    new_tags = applied + ([batch_tag] if batch_tag is not None else [])
+    _write_tags(tmp, new_tags)  # tags ride the swap rename
     row = (spark.read.parquet(tmp)
            .agg(F.count("*").alias("cells"),
                 F.countDistinct("source").alias("sources"),
@@ -151,10 +201,8 @@ def append_stats(spark: SparkSession, stats_dir: str,
         "n_tokens": int(row.tokens or 0),
         "built_unix": int(time.time()),
         "build_wall_ms": int((time.time() - t0) * 1000),
+        "batch_tags": new_tags,
     })
-    if batch_tag is not None:
-        manifest["batch_tags"] = (manifest.get("batch_tags", [])
-                                  + [batch_tag])
     _write_manifest(stats_dir, manifest)  # manifest AFTER the swap
     return manifest
 

@@ -26,6 +26,8 @@ exactly-once admission loop.
 """
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .corpus_stats import append_stats, drift_check
@@ -45,6 +47,11 @@ def refresh_verdicts(spark: SparkSession, stats_dir: str, index_dir: str,
     broadcast of quarantined source names); the dedup side is the keyed
     band join; the funnel is the standing one-plan gate — the batch is
     scanned, the corpus never."""
+    # NULL doc_id rows would slip through every gate unevaluated (the
+    # funnel filters them, the keyed joins never match NULL) and report
+    # admit=True for docs the appends can never fold in — drop them at
+    # the door, same convention as operators._docs
+    batch = batch.where(F.col("doc_id").isNotNull())
     quarantined = (drift_check(spark, stats_dir, batch)
                    .where((F.col("status") == "both")
                           & (F.col("drift_bp") >= drift_gate_bp))
@@ -69,17 +76,36 @@ def refresh_verdicts(spark: SparkSession, stats_dir: str, index_dir: str,
 def commit_refresh(spark: SparkSession, stats_dir: str, index_dir: str,
                    batch: DataFrame, batch_tag: str,
                    drift_gate_bp: int = DRIFT_GATE_BP,
-                   sample_rates: dict[str, float] | None = None) -> dict:
+                   sample_rates: dict[str, float] | None = None,
+                   ledger_dir: str | None = None) -> dict:
     """Admit the batch and fold the ADMITTED docs into both artifacts.
-    Both appends are idempotent by batch_tag, so a crashed-and-retried
-    commit re-applies cleanly; the verdict pass itself is deterministic,
-    so the retry admits the identical doc set."""
-    # materialize the verdicts BEFORE the appends mutate the artifacts:
-    # the lazy plan reads the index/profile parquet, and append_batch's
-    # atomic swap deletes the very files a re-evaluation would re-read
-    verdicts = refresh_verdicts(spark, stats_dir, index_dir, batch,
-                                drift_gate_bp=drift_gate_bp,
-                                sample_rates=sample_rates).localCheckpoint()
+
+    Crash safety: the verdicts are committed to a WRITE-AHEAD ledger
+    (atomic dir rename, keyed by batch_tag) BEFORE either artifact
+    append runs, and every later step — including a retry after any
+    crash — reads the ledger instead of re-deciding. Without it, a
+    crash between the two appends would re-run the verdict pass against
+    the already-updated band index, flag every previously-admitted doc
+    as index_dup, and fold an EMPTY frame into the profile while
+    burning the batch_tag — the admitted docs would be missing from the
+    drift baseline forever. The ledger also plays localCheckpoint's
+    role: the lazy verdict plan reads the very parquet files the
+    appends' atomic swaps replace. Each append is itself idempotent by
+    batch_tag, so replaying both is safe."""
+    import shutil
+    if ledger_dir is None:
+        ledger_dir = os.path.join(stats_dir, "_refresh_ledger")
+    ledger = os.path.join(ledger_dir, batch_tag)
+    if not os.path.exists(ledger):
+        fresh = refresh_verdicts(spark, stats_dir, index_dir, batch,
+                                 drift_gate_bp=drift_gate_bp,
+                                 sample_rates=sample_rates)
+        tmp = ledger + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(ledger_dir, exist_ok=True)
+        fresh.write.parquet(tmp)
+        os.rename(tmp, ledger)  # atomic: the ledger exists fully or not
+    verdicts = spark.read.parquet(ledger)
     admitted_ids = verdicts.where(F.col("admit")).select("doc_id")
     admitted = batch.join(admitted_ids, "doc_id")
     counts = {r.drop_reason or "admitted": r.n for r in

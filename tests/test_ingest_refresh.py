@@ -107,6 +107,78 @@ def test_commit_refresh_exactly_once(spark, artifacts):
     assert report2["index_docs"] == report["index_docs"]
 
 
+def test_commit_crash_between_appends_retries_cleanly(spark, artifacts,
+                                                      monkeypatch):
+    """The write-ahead ledger contract: a crash AFTER the index append
+    but BEFORE the stats append must not lose the admitted docs — the
+    retry reads the ledger (not a re-verdict against the now-updated
+    index, which would flag every admitted doc as index_dup and fold an
+    empty frame into the profile)."""
+    from ocr_spark.pipeline import ingest_refresh as ir
+    from ocr_spark.pipeline.corpus_stats import read_manifest
+    stats, index = artifacts
+    batch = _df(spark, _batch_rows())
+
+    real_append_stats = ir.append_stats
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash between the two appends")
+
+    monkeypatch.setattr(ir, "append_stats", boom)
+    with pytest.raises(RuntimeError):
+        ir.commit_refresh(spark, stats, index, batch, "crawl-crash",
+                          sample_rates=RATES)
+    # index already holds the batch; profile does not
+    assert read_manifest(stats)["n_docs"] == len(BASE)
+
+    monkeypatch.setattr(ir, "append_stats", real_append_stats)
+    report = ir.commit_refresh(spark, stats, index, batch, "crawl-crash",
+                               sample_rates=RATES)
+    # the retry admits the SAME 5 docs (from the ledger) and the profile
+    # catches up to the index
+    assert report["n_admitted"] == 5
+    assert read_manifest(stats)["n_docs"] == len(BASE) + 5
+    assert "crawl-crash" in read_manifest(stats)["batch_tags"]
+
+
+def test_append_stats_swap_manifest_crash_heals(spark, artifacts,
+                                                monkeypatch):
+    """A crash between the swap and the manifest rewrite leaves the tag
+    committed WITH the data (the tags file rides the rename): the retry
+    heals the manifest instead of double-counting the batch."""
+    from ocr_spark.pipeline import corpus_stats as cs
+    stats, _index = artifacts
+    extra = _df(spark, [(9000, _long_text(9000), "en", "stable", 300)])
+
+    real_write = cs._write_manifest
+    calls = {"n": 0}
+
+    def crash_on_manifest(stats_dir, manifest):
+        calls["n"] += 1
+        raise RuntimeError("simulated crash before manifest rewrite")
+
+    monkeypatch.setattr(cs, "_write_manifest", crash_on_manifest)
+    with pytest.raises(RuntimeError):
+        cs.append_stats(spark, stats, extra, batch_tag="tag-x")
+    monkeypatch.setattr(cs, "_write_manifest", real_write)
+    # data already contains the batch; manifest is stale
+    assert "tag-x" not in (cs.read_manifest(stats).get("batch_tags") or [])
+    m = cs.append_stats(spark, stats, extra, batch_tag="tag-x")
+    # healed, NOT double-counted
+    assert "tag-x" in m["batch_tags"]
+    assert m["n_docs"] == len(BASE) + 1
+
+
+def test_null_doc_id_rows_never_admitted(spark, artifacts):
+    from ocr_spark.pipeline.ingest_refresh import refresh_verdicts
+    stats, index = artifacts
+    rows = [(None, _long_text(7000), "en", "stable", 300),
+            (7001, _long_text(7001), "en", "stable", 300)]
+    v = refresh_verdicts(spark, stats, index, _df(spark, rows),
+                         sample_rates=RATES).collect()
+    assert [r.doc_id for r in v] == [7001]
+
+
 def test_drift_gate_admits_new_sources(spark, artifacts):
     """A brand-new source has no baseline: it must not be quarantined,
     and its clean docs flow through the funnel normally."""

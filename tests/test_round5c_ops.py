@@ -274,6 +274,35 @@ def test_retention_matrix_planted_cohorts(spark, tmp_path):
     assert got == orc
 
 
+def test_retention_matrix_pre_anchor_events_agree(spark, tmp_path):
+    """Events BEFORE the 2024-01-01 anchor produce negative day counts:
+    Spark's DIV truncates toward zero while DuckDB floors, so the
+    explicit pmod flooring is what keeps the engines (and cohort
+    assignment) aligned on such feeds."""
+    import datetime as dt
+    from ocr_spark.operators.temporal import (QR_RETENTION_SQL,
+                                              qr_retention_matrix)
+    d = str(tmp_path / "ev")
+    rows = [
+        (1, dt.datetime(2023, 12, 30, 8, 0), 10, "view", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 2, 8, 0), 10, "view", 1.0, "{}"),
+        (3, dt.datetime(2023, 12, 20, 8, 0), 20, "view", 1.0, "{}"),
+        (4, dt.datetime(2024, 1, 10, 8, 0), 20, "view", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    ).write.parquet(os.path.join(d, "events.parquet"))
+    got = sorted(tuple(r) for r in qr_retention_matrix(spark, d).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{os.path.join(d, 'events.parquet')}/*.parquet'")
+    orc = sorted(tuple(r) for r in con.execute(QR_RETENTION_SQL).fetchall())
+    assert got == orc
+    # 2023-12-30 is day -2 -> week -1 (floor), NOT week 0 (truncation)
+    assert any(r[0] == -1 for r in got)
+
+
 def test_bm25_plan_broadcasts_query_side(spark, tmp_path):
     """The corpus side must join the query-term set / df / stats via
     BROADCAST exchanges — at 100 TB the corpus is touched map-only plus
