@@ -94,7 +94,7 @@ _MEASURED_COST = {
     'conv_curate_funnel': 26.4, 'dd_containment': 4.4, 'mm_phash_neardup': 7.6, 'txt_gate_agreement': 4.9,
     'sim_bm25_topk': 3.4, 'txt_drift_tvd': 0.7, 'smp_length_buckets': 0.5,
     'dd_soft_dedup': 0.4, 'tok_fertility': 0.6, 'qr_retention_matrix': 0.8,
-    'dd_dup_rate_by_length': 0.7,
+    'dd_dup_rate_by_length': 0.7, 'sim_hybrid_topk': 4.2,
 }
 
 

@@ -1982,6 +1982,64 @@ SELECT query_id, rank, cand_id, score_bp FROM (
 """
 
 
+RRF_K = 60         # the standard reciprocal-rank-fusion damping constant
+RRF_SCALE = 1_000_000
+
+
+def sim_hybrid_topk(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion of the lexical BM25
+    ranking and the embedding cosine ranking for the shared query docs —
+    the composition modern search stacks actually serve (sparse catches
+    exact phrases, dense catches paraphrase; RRF needs no score
+    calibration between them). rrf_score = sum over rankings of
+    RRF_SCALE DIV (RRF_K + rank) — integer arithmetic, so the fusion is
+    engine-exact given the two engine-exact input rankings. A candidate
+    present in only one ranking simply lacks the other term (vec_id and
+    doc_id share the document id space; at larger SFs only a prefix of
+    docs carries embeddings, and those docs compete lexically only —
+    exactly how a partially-embedded corpus behaves in production).
+
+    Scale shape: inherits its inputs' plans (broadcast query sides, tiny
+    ranked outputs); the fusion itself touches ~2 x topk x queries rows."""
+    bm = sim_bm25_topk(spark, sf_dir).select("query_id", "cand_id", "rank")
+    cos = (sim_cosine_topk(spark, sf_dir)
+           .where(F.col("query_id") < BM25_N_QUERIES)
+           .select("query_id", "cand_id", "rank"))
+    pts = F.expr(f"CAST({RRF_SCALE} DIV ({RRF_K} + rank) AS BIGINT)")
+    scored = (bm.unionByName(cos)
+              .select("query_id", "cand_id", pts.alias("pts"))
+              .groupBy("query_id", "cand_id")
+              .agg(F.sum("pts").cast("long").alias("rrf_score")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("cand_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= BM25_TOPK)
+            .select("query_id", "rank", "cand_id", "rrf_score")
+            .orderBy("query_id", "rank"))
+
+
+def _sim_hybrid_sql() -> str:
+    """Oracle: the two shipped ranking oracles verbatim as parenthesized
+    subqueries (WITH-in-subquery), fused by the same integer RRF."""
+    return f"""
+WITH bm AS (SELECT query_id, cand_id, rank FROM ({SIM_BM25_SQL})),
+cos AS (SELECT query_id, cand_id, rank FROM ({SIM_COSINE_SQL})
+        WHERE query_id < {BM25_N_QUERIES}),
+fused AS (
+  SELECT query_id, cand_id,
+         CAST(SUM({RRF_SCALE} // ({RRF_K} + rank)) AS BIGINT) AS rrf_score
+  FROM (SELECT * FROM bm UNION ALL SELECT * FROM cos)
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, cand_id, rrf_score FROM (
+  SELECT query_id, cand_id, rrf_score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY rrf_score DESC, cand_id) AS rank
+  FROM fused
+) WHERE rank <= {BM25_TOPK} ORDER BY query_id, rank
+"""
+
+
 N_HYPERPLANES = 12
 EMB_DIM = 64
 
@@ -3999,6 +4057,7 @@ QUERIES = {
             minhash=_MINHASH_CTES.format(src="src"))),
     "sim_cosine_topk": (sim_cosine_topk, SIM_COSINE_SQL),
     "sim_bm25_topk": (sim_bm25_topk, SIM_BM25_SQL),
+    "sim_hybrid_topk": (sim_hybrid_topk, _sim_hybrid_sql()),
     "dd_embedding_neardup": (dd_embedding_neardup, DD_EMB_SQL),
     "sim_lsh_buckets": (sim_lsh_buckets, SIM_LSH_BUCKETS_SQL),
     "sim_lsh_topk": (sim_lsh_topk, SIM_LSH_TOPK_SQL),

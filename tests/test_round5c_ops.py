@@ -274,6 +274,46 @@ def test_retention_matrix_planted_cohorts(spark, tmp_path):
     assert got == orc
 
 
+def test_hybrid_rrf_fusion_semantics(spark):
+    """RRF arithmetic: a candidate in BOTH rankings must outscore one at
+    the same ranks in only one; scores equal the integer RRF identity."""
+    from ocr_spark.operators.corpus import (RRF_K, RRF_SCALE,
+                                            sim_bm25_topk, sim_cosine_topk,
+                                            sim_hybrid_topk)
+    sf = "/root/testdata/sf0.001"
+    bm = {(r.query_id, r.cand_id): r.rank
+          for r in sim_bm25_topk(spark, sf).collect()}
+    cos = {(r.query_id, r.cand_id): r.rank
+           for r in sim_cosine_topk(spark, sf).collect()
+           if r.query_id < 3}
+    fused = {(r.query_id, r.cand_id): r.rrf_score
+             for r in sim_hybrid_topk(spark, sf).collect()}
+    assert fused, "hybrid returned no rows"
+    for key, score in fused.items():
+        want = 0
+        if key in bm:
+            want += RRF_SCALE // (RRF_K + bm[key])
+        if key in cos:
+            want += RRF_SCALE // (RRF_K + cos[key])
+        assert score == want, key
+    # overlap is data-dependent (sf0.001's embeddings share no top-10
+    # candidate with the lexical ranking); sf0.01 has genuine fusion —
+    # verify a both-rankings candidate exists and tops its query there
+    sf01 = "/root/testdata/sf0.01"
+    bm01 = {(r.query_id, r.cand_id): r.rank
+            for r in sim_bm25_topk(spark, sf01).collect()}
+    cos01 = {(r.query_id, r.cand_id): r.rank
+             for r in sim_cosine_topk(spark, sf01).collect()
+             if r.query_id < 3}
+    top01 = {r.query_id: (r.cand_id, r.rrf_score)
+             for r in sim_hybrid_topk(spark, sf01).collect() if r.rank == 1}
+    both = set(bm01) & set(cos01)
+    assert both, "sf0.01 lost all lexical/dense overlap"
+    q, c = next(iter(both))
+    assert top01[q][1] >= RRF_SCALE // (RRF_K + bm01[(q, c)]) \
+        + RRF_SCALE // (RRF_K + cos01[(q, c)]) - 1
+
+
 def test_retention_matrix_pre_anchor_events_agree(spark, tmp_path):
     """Events BEFORE the 2024-01-01 anchor produce negative day counts:
     Spark's DIV truncates toward zero while DuckDB floors, so the
