@@ -92,9 +92,9 @@ _MEASURED_COST = {
     'bpe_train_merges': 4.6, 'sim_pq_topk': 4.6, 'dd_cluster_canonical': 10.5,
     'dd_dup_clusters': 16.2, 'dd_minhash_est_error': 17.6,
     'conv_curate_funnel': 26.4, 'dd_containment': 4.4, 'mm_phash_neardup': 7.6, 'txt_gate_agreement': 4.9,
-    'sim_bm25_topk': 3.4, 'txt_drift_tvd': 0.7, 'smp_length_buckets': 0.5,
-    'dd_soft_dedup': 0.4, 'tok_fertility': 0.6, 'qr_retention_matrix': 0.8,
-    'dd_dup_rate_by_length': 0.7, 'sim_hybrid_topk': 4.2,
+    'sim_bm25_topk': 1.4, 'txt_drift_tvd': 0.9, 'smp_length_buckets': 0.7,
+    'dd_soft_dedup': 1.1, 'tok_fertility': 0.5, 'qr_retention_matrix': 0.7,
+    'dd_dup_rate_by_length': 0.6, 'sim_hybrid_topk': 2.2,
 }
 
 
