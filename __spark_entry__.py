@@ -95,6 +95,7 @@ _MEASURED_COST = {
     'sim_bm25_topk': 1.4, 'txt_drift_tvd': 0.9, 'smp_length_buckets': 0.7,
     'dd_soft_dedup': 1.1, 'tok_fertility': 0.5, 'qr_retention_matrix': 0.7,
     'dd_dup_rate_by_length': 0.6, 'sim_hybrid_topk': 2.2,
+    'mm_blob_dedup': 0.5, 'smp_soft_budget': 0.7, 'qr_stickiness': 0.9,
 }
 
 

@@ -91,7 +91,8 @@ HEADLINE = HEADLINE_R1 + [
     # padding-waste bucket ladder, soft-dedup weighting
     "sim_bm25_topk", "txt_drift_tvd", "smp_length_buckets",
     "dd_soft_dedup", "tok_fertility", "qr_retention_matrix",
-    "dd_dup_rate_by_length", "sim_hybrid_topk",
+    "dd_dup_rate_by_length", "sim_hybrid_topk", "mm_blob_dedup",
+    "smp_soft_budget", "qr_stickiness",
 ]
 
 

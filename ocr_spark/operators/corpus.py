@@ -142,6 +142,91 @@ ORDER BY doc_id
 """
 
 
+def mm_blob_dedup(spark, sf_dir):
+    """Byte-exact media dedup: md5 over the RAW binary payload — no text
+    normalization, because two media assets differing in a single byte
+    are different assets (the whitespace-collapsing text dedup would
+    conflate re-encodes). The blob is the documents text's utf-8 bytes,
+    same synthesis as mm_binary_features; a real image/audio column
+    slots into the identical plan. Same scale shape as dd_exact_dup:
+    one map-side-combinable groupBy on the 16-byte hash."""
+    docs = _docs(spark, sf_dir)
+    blob = F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8")
+    return (docs.select("doc_id", F.md5(blob).alias("blob_hash"),
+                        F.octet_length(blob).cast("long").alias("nb"))
+            .groupBy("blob_hash")
+            .agg(F.min("doc_id").alias("keep_id"),
+                 F.count("*").cast("long").alias("n_copies"),
+                 F.sum("nb").cast("long").alias("n_bytes"))
+            .select("blob_hash", "keep_id", "n_copies", "n_bytes")
+            .orderBy("blob_hash"))
+
+
+MM_BLOB_DEDUP_SQL = """
+SELECT md5(coalesce(text, '')) AS blob_hash,
+       MIN(doc_id) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(SUM(octet_length(encode(coalesce(text, '')))) AS BIGINT)
+         AS n_bytes
+FROM documents WHERE doc_id IS NOT NULL
+GROUP BY 1 ORDER BY blob_hash
+"""
+
+
+def smp_soft_budget(spark, sf_dir):
+    """Soft-dedup token accounting per source: raw tokens vs the
+    EFFECTIVE token mass after 1/cluster-size down-weighting
+    (dd_soft_dedup's weights applied to dd_effective_tokens' question).
+    Where hard dedup zeroes every non-canonical copy, soft dedup spreads
+    one document's worth of mass across the cluster — this read shows
+    what each source actually contributes to a soft-weighted training
+    mix. soft_tokens floors per-doc (n_tok * weight_bp DIV 10000), so
+    the sum is integer-exact on both engines.
+
+    One window over the normalized-text hash + one tiny
+    groupBy(source)."""
+    docs = _docs(spark, sf_dir)
+    norm = F.md5(F.regexp_replace(F.lower(F.col("text")),
+                                  r"[ \t\n\x0b\f\r]+", " "))
+    n_tok = F.size(F.filter(
+        F.split(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))),
+                r"[ \t\n\x0b\f\r]+"),
+        lambda x: x != "")).cast("long")
+    d = (docs.select("doc_id", "source", norm.alias("h"),
+                     n_tok.alias("n_tok"))
+         .withColumn("n_copies",
+                     F.count("*").over(Window.partitionBy("h")))
+         .withColumn("w_bp", F.expr("10000 DIV n_copies")))
+    return (d.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_tok").cast("long").alias("raw_tokens"),
+                 F.sum(F.expr("n_tok * w_bp DIV 10000")).cast("long")
+                 .alias("soft_tokens"))
+            .orderBy("source"))
+
+
+SMP_SOFT_BUDGET_SQL = """
+WITH d AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))
+           AS h,
+         CAST(len(list_filter(string_split_regex(
+                trim(lower(coalesce(text, ''))), '[ \\t\\n\\x0b\\f\\r]+'),
+              x -> x != '')) AS BIGINT) AS n_tok
+  FROM documents WHERE doc_id IS NOT NULL
+),
+w AS (
+  SELECT source, n_tok,
+         10000 // COUNT(*) OVER (PARTITION BY h) AS w_bp
+  FROM d
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS raw_tokens,
+       CAST(SUM(n_tok * w_bp // 10000) AS BIGINT) AS soft_tokens
+FROM w GROUP BY 1 ORDER BY source
+"""
+
+
 def dd_dup_rate_by_length(spark, sf_dir):
     """Dedup bias diagnostic: duplicate rate per floor-log2 token-length
     bucket. Exact dedup skews short (boilerplate snippets, empty pages
@@ -4039,6 +4124,8 @@ QUERIES = {
     "dd_exact_dup": (dd_exact_dup, DD_EXACT_SQL),
     "dd_soft_dedup": (dd_soft_dedup, DD_SOFT_SQL),
     "dd_dup_rate_by_length": (dd_dup_rate_by_length, DD_DUP_BY_LEN_SQL),
+    "mm_blob_dedup": (mm_blob_dedup, MM_BLOB_DEDUP_SQL),
+    "smp_soft_budget": (smp_soft_budget, SMP_SOFT_BUDGET_SQL),
     "dd_effective_tokens": (dd_effective_tokens, DD_EFF_TOKENS_SQL),
     "dd_url_dup": (dd_url_dup, DD_URL_SQL),
     "dd_domain_stats": (dd_domain_stats, DD_DOMAIN_SQL),

@@ -371,10 +371,66 @@ ORDER BY cohort_week, age_weeks
 """
 
 
+def qr_stickiness(spark, sf_dir):
+    """DAU/WAU stickiness per day: daily active users over the distinct
+    users of the trailing 7-day window, in integer basis points — the
+    standing engagement ratio next to the retention triangle. Day index
+    is the same tz-free DATE difference as qr_retention_matrix.
+
+    Scale shape: events collapse to distinct (user, day) — one
+    map-side-combinable shuffle; the day dimension is tiny and BROADCAST
+    against it for the trailing-window distinct count (a range-joined
+    re-aggregation of the small frame, never the event log)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    ud = (ev.select("user_id",
+                    F.expr(f"CAST(datediff(to_date(ts), "
+                           f"DATE '{RETENTION_EPOCH}') AS BIGINT)")
+                    .alias("day"))
+          .distinct())
+    days = ud.select("day").distinct().select(F.col("day").alias("d"))
+    dau = ud.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("dau"))
+    wau = (ud.join(F.broadcast(days),
+                   (F.col("day") <= F.col("d"))
+                   & (F.col("day") >= F.col("d") - F.lit(6)))
+           .groupBy("d")
+           .agg(F.countDistinct("user_id").cast("long").alias("wau")))
+    return (dau.join(wau, dau.day == wau.d)
+            .select("day", "dau", "wau",
+                    F.expr("dau * 10000 DIV wau").cast("long")
+                    .alias("stickiness_bp"))
+            .orderBy("day"))
+
+
+QR_STICKINESS_SQL = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(datediff('day', DATE '{RETENTION_EPOCH}', CAST(ts AS DATE))
+              AS BIGINT) AS day
+  FROM events WHERE user_id IS NOT NULL
+),
+dau AS (
+  SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+  FROM ud GROUP BY 1
+),
+wau AS (
+  SELECT d.day AS d, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+  FROM (SELECT DISTINCT day FROM ud) d
+  JOIN ud u ON u.day <= d.day AND u.day >= d.day - 6
+  GROUP BY 1
+)
+SELECT day, dau, wau,
+       CAST(dau * 10000 // wau AS BIGINT) AS stickiness_bp
+FROM dau JOIN wau ON dau.day = wau.d
+ORDER BY day
+"""
+
+
 QUERIES = {
     "qr_asof_join": (qr_asof_join, QR_ASOF_SQL),
     "qr_range_join": (qr_range_join, QR_RANGE_SQL),
     "qr_retry_collapse": (qr_retry_collapse, QR_RETRY_SQL),
     "qr_conversion_cohorts": (qr_conversion_cohorts, QR_COHORT_SQL),
     "qr_retention_matrix": (qr_retention_matrix, QR_RETENTION_SQL),
+    "qr_stickiness": (qr_stickiness, QR_STICKINESS_SQL),
 }

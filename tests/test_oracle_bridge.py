@@ -297,3 +297,65 @@ def test_classifier_sql_matches_python(texts):
         expected.append((doc_id, sum(x.values()), s,
                          int(s > CLS_THRESHOLD)))
     assert got == expected
+
+
+def _py_bm25(texts):
+    """Pure-Python replay of SIM_BM25_SQL's integer-exact scoring: bigram
+    terms, df-capped, floor-log2 idf via bit_length, exact int64
+    numerator/denominator with ONE IEEE double division, floor-bp
+    quantization before the per-candidate sum."""
+    import math
+    import re
+
+    def bigrams(t):
+        ws = [w for w in re.split(r"[ \t\n\x0b\f\r]+",
+                                  (t or "").lower().strip(" ")) if w != ""]
+        return [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+    bgs = {i: bigrams(t) for i, t in enumerate(texts)}
+    n_docs = len(texts)
+    s_tokens = sum(len(b) for b in bgs.values())
+    qterms = {(q, term) for q in range(min(3, n_docs)) for term in bgs[q]}
+    qset = {term for _q, term in qterms}
+    tf = {}
+    for d, terms in bgs.items():
+        for term in terms:
+            if term in qset:
+                tf[(d, term)] = tf.get((d, term), 0) + 1
+    df = {}
+    for (d, term) in tf:
+        df[term] = df.get(term, 0) + 1
+    scores = {}
+    for (q, term) in qterms:
+        if df.get(term, 0) > 100:
+            continue
+        for (d, t2), n in tf.items():
+            if t2 != term or d == q:
+                continue
+            idf_bits = (n_docs // df[term]).bit_length() - 1
+            num = 44 * s_tokens * n
+            den = 20 * s_tokens * n + 6 * s_tokens + 18 * len(bgs[d]) * n_docs
+            bp = math.floor(float(idf_bits) * (float(num) / float(den))
+                            * 10000.0)
+            scores[(q, d)] = scores.get((q, d), 0) + bp
+    out = []
+    for q in sorted({q for q, _d in scores}):
+        cands = sorted(((s, d) for (qq, d), s in scores.items() if qq == q),
+                       key=lambda sd: (-sd[0], sd[1]))
+        for rank, (s, d) in enumerate(cands[:10], 1):
+            out.append((q, rank, d, s))
+    return out
+
+
+@given(st.lists(_WS_DOC, min_size=1, max_size=10), st.data())
+@settings(max_examples=40, deadline=None)
+def test_bm25_sql_matches_python(texts, data):
+    """SIM_BM25_SQL == the integer BM25 twin over adversarial whitespace
+    docs, with a planted near-copy of a query doc (which, when it forms
+    bigrams, must rank and score identically on both engines)."""
+    from ocr_spark.operators.corpus import SIM_BM25_SQL
+    if texts and texts[0]:
+        src = data.draw(st.integers(0, min(2, len(texts) - 1)))
+        texts = texts + [texts[src] + " extra tail words here"]
+    got = _con(texts).execute(SIM_BM25_SQL).fetchall()
+    assert got == _py_bm25(texts)

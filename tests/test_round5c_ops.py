@@ -127,7 +127,7 @@ def _r5c_dir(spark, tmp_path):
 
 @pytest.mark.parametrize("name", [
     "txt_drift_tvd", "smp_length_buckets", "dd_soft_dedup",
-    "dd_dup_rate_by_length"])
+    "dd_dup_rate_by_length", "mm_blob_dedup", "smp_soft_budget"])
 def test_r5c_edge_corpus_matches_oracle(spark, tmp_path, name):
     from ocr_spark.operators import ALL_QUERIES
     fn, sql = ALL_QUERIES[name]
@@ -272,6 +272,67 @@ def test_retention_matrix_planted_cohorts(spark, tmp_path):
     orc = {(r[0], r[1]): (r[2], r[3])
            for r in con.execute(QR_RETENTION_SQL).fetchall()}
     assert got == orc
+
+
+def test_soft_budget_mass_conservation(spark, tmp_path):
+    """Soft dedup spreads exactly one document's token mass across each
+    cluster (up to per-doc floor loss): soft_tokens is bounded by the
+    canonical mass and equals raw for dup-free sources."""
+    from ocr_spark.operators.corpus import smp_soft_budget
+    d = _r5c_dir(spark, tmp_path)
+    rows = {r.source: r for r in smp_soft_budget(spark, d).collect()}
+    dup = rows["dup_src"]
+    solo = rows["solo_src"]
+    # solo source has no duplicates: soft mass == raw mass
+    assert solo.soft_tokens == solo.raw_tokens
+    # the dup triple (4 tokens x 3 copies at 3333bp) floors to 1 each:
+    # cluster mass 3 <= one doc's 4 raw tokens
+    assert dup.soft_tokens < dup.raw_tokens
+
+
+def test_blob_dedup_is_byte_exact_not_normalized(spark, tmp_path):
+    """Whitespace-variant copies that TEXT dedup conflates must stay
+    distinct assets under byte-exact blob dedup."""
+    import os as _os
+    from ocr_spark.operators.corpus import dd_exact_dup, mm_blob_dedup
+    d = str(tmp_path / "blob")
+    rows = [
+        (0, "same words here", "en", "s", 15),
+        (1, "same words here", "en", "s", 15),      # byte-identical copy
+        (2, "same  words\there", "en", "s", 16),    # ws-variant
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(_os.path.join(d, "documents.parquet"))
+    blob = {r.blob_hash: r.n_copies
+            for r in mm_blob_dedup(spark, d).collect()}
+    assert sorted(blob.values()) == [1, 2]          # ws-variant distinct
+    text = {r.text_hash: r.n_copies
+            for r in dd_exact_dup(spark, d).collect()}
+    assert sorted(text.values()) == [3]             # text dedup conflates
+
+
+def test_stickiness_planted_churn(spark, tmp_path):
+    """DAU == WAU on an isolated day; a returning user widens WAU."""
+    import datetime as dt
+    from ocr_spark.operators.temporal import qr_stickiness
+    d = str(tmp_path / "ev2")
+    base = dt.datetime(2024, 1, 1, 9, 0)
+    rows = [
+        (1, base, 10, "view", 1.0, "{}"),
+        (2, base, 20, "view", 1.0, "{}"),
+        (3, base + dt.timedelta(days=3), 10, "view", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    ).write.parquet(os.path.join(d, "events.parquet"))
+    got = {r.day: (r.dau, r.wau, r.stickiness_bp)
+           for r in qr_stickiness(spark, d).collect()}
+    assert got[0] == (2, 2, 10000)     # first day: window holds only it
+    # day 3: 1 active, 2 distinct users in the trailing week
+    assert got[3] == (1, 2, 5000)
 
 
 def test_hybrid_rrf_fusion_semantics(spark):
