@@ -1862,6 +1862,9 @@ def _dot(a, b):
                        F.lit(0.0), lambda acc, v: acc + v)
 
 
+N_COSINE_QUERIES = 5   # the dense family's query universe (vec_id cutoff)
+
+
 def sim_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k: the 5 query vectors are broadcast against
     the corpus; dot/norm via zip_with + aggregate (JVM-side, no Python).
@@ -1872,7 +1875,7 @@ def sim_cosine_topk(spark, sf_dir):
                         F.col("embedding").cast("array<double>").alias("embedding"))
              .withColumn("norm", F.sqrt(_dot(F.col("embedding"),
                                              F.col("embedding")))))
-    queries = emb_d.where(F.col("vec_id") < 5).select(
+    queries = emb_d.where(F.col("vec_id") < N_COSINE_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"),
         F.col("norm").alias("qnorm"))
     corpus = emb_d.select(F.col("vec_id").alias("cand_id"),
@@ -1893,7 +1896,7 @@ def sim_cosine_topk(spark, sf_dir):
     )
 
 
-SIM_COSINE_SQL = """
+SIM_COSINE_SQL = f"""
 SELECT query_id, rank, cand_id, cosine FROM (
   SELECT query_id, cand_id, cosine,
          ROW_NUMBER() OVER (PARTITION BY query_id
@@ -1902,7 +1905,8 @@ SELECT query_id, rank, cand_id, cosine FROM (
     SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
            ROUND(list_cosine_similarity(
                CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) AS cosine
-    FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND q.vec_id != c.vec_id
+    FROM embeddings q JOIN embeddings c
+      ON q.vec_id < {N_COSINE_QUERIES} AND q.vec_id != c.vec_id
   )
 ) WHERE rank <= 10 ORDER BY query_id, rank
 """
@@ -2069,6 +2073,14 @@ SELECT query_id, rank, cand_id, score_bp FROM (
 
 RRF_K = 60         # the standard reciprocal-rank-fusion damping constant
 RRF_SCALE = 1_000_000
+
+# the fusion's query universe is the INTERSECTION of the two rankings'
+# query sets: cosine ranks only vec_id < N_COSINE_QUERIES, so raising
+# BM25_N_QUERIES past it would silently strip the dense arm from the
+# extra queries (both engines would degrade identically — the oracle
+# pair could not catch it)
+assert BM25_N_QUERIES <= N_COSINE_QUERIES, \
+    "sim_hybrid_topk: BM25 query cutoff exceeds the cosine query universe"
 
 
 def sim_hybrid_topk(spark, sf_dir):

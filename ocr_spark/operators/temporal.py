@@ -378,21 +378,23 @@ def qr_stickiness(spark, sf_dir):
     is the same tz-free DATE difference as qr_retention_matrix.
 
     Scale shape: events collapse to distinct (user, day) — one
-    map-side-combinable shuffle; the day dimension is tiny and BROADCAST
-    against it for the trailing-window distinct count (a range-joined
-    re-aggregation of the small frame, never the event log)."""
+    map-side-combinable shuffle; the trailing window is the module's own
+    bucketize doctrine, NOT a range join: each (user, day) row explodes
+    into the 7 window anchors it contributes to (sequence(day, day+6) —
+    map-only, fixed 7x fanout) and the WAU is one equi-groupBy. A
+    broadcast nested-loop against the day dimension would evaluate
+    |user-days| x |days| predicates — linear blowup with corpus history
+    for an output that is only 7x the frame."""
     ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
     ud = (ev.select("user_id",
                     F.expr(f"CAST(datediff(to_date(ts), "
                            f"DATE '{RETENTION_EPOCH}') AS BIGINT)")
                     .alias("day"))
           .distinct())
-    days = ud.select("day").distinct().select(F.col("day").alias("d"))
     dau = ud.groupBy("day").agg(
         F.countDistinct("user_id").cast("long").alias("dau"))
-    wau = (ud.join(F.broadcast(days),
-                   (F.col("day") <= F.col("d"))
-                   & (F.col("day") >= F.col("d") - F.lit(6)))
+    wau = (ud.select("user_id",
+                     F.explode(F.expr("sequence(day, day + 6)")).alias("d"))
            .groupBy("d")
            .agg(F.countDistinct("user_id").cast("long").alias("wau")))
     return (dau.join(wau, dau.day == wau.d)
