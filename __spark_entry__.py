@@ -96,6 +96,10 @@ _MEASURED_COST = {
     'dd_soft_dedup': 1.1, 'tok_fertility': 0.5, 'qr_retention_matrix': 0.7,
     'dd_dup_rate_by_length': 0.6, 'sim_hybrid_topk': 2.2,
     'mm_blob_dedup': 0.5, 'smp_soft_budget': 0.7, 'qr_stickiness': 0.9,
+    # round-5 third continuation (measured sf0.01, one driver-sim pass)
+    'qr_daily_anomaly': 0.9, 'txt_vocab_coverage': 0.8, 'txt_entropy': 1.3,
+    'txt_cooc_pmi': 1.5, 'dd_bloom_check': 1.8, 'sim_recall_eval': 3.2,
+    'txt_zipf_slope': 1.0, 'qr_event_funnel': 1.0,
 }
 
 

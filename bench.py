@@ -93,6 +93,13 @@ HEADLINE = HEADLINE_R1 + [
     "dd_soft_dedup", "tok_fertility", "qr_retention_matrix",
     "dd_dup_rate_by_length", "sim_hybrid_topk", "mm_blob_dedup",
     "smp_soft_budget", "qr_stickiness",
+    # round 5 continuation: Bloom-filter incremental dedup with
+    # false-positive calibration, ANN recall evaluation, integer-bits
+    # entropy, co-occurrence lift, vocab coverage curve, daily volume
+    # anomalies
+    "dd_bloom_check", "sim_recall_eval", "txt_entropy", "txt_cooc_pmi",
+    "txt_vocab_coverage", "qr_daily_anomaly", "txt_zipf_slope",
+    "qr_event_funnel",
 ]
 
 

@@ -838,6 +838,144 @@ ORDER BY b.doc_id
 """
 
 
+BLOOM_K = 4           # hash functions per inserted key
+BLOOM_EXTRA_BITS = 3  # m = 2^(floorlog2(n)+1+3)  →  8n ≤ m < 16n bits
+
+
+def dd_bloom_check(spark, sf_dir, extra_bits: int = BLOOM_EXTRA_BITS):
+    """Bloom-filter incremental dedup — the membership structure a
+    100 TB pipeline actually ships between crawls: the corpus's content
+    hashes are folded into an m-bit Bloom filter (m sized from the
+    corpus count: m = 2^(floorlog2(n)+1+extra_bits), so 8n ≤ m < 16n at
+    the default and the fill ratio is bounded by construction), and the
+    new batch probes k = BLOOM_K bit positions per doc. A doc whose k
+    bits are all set is a *bloom* duplicate; joining the exact hash
+    index alongside classifies each flag as true-dup or false-positive,
+    so the op IS the filter's calibration report (the reason you can
+    size m before trusting the filter at scale).
+
+    Scale shape: the filter is ≤ 2 n bytes of bits — at 1e10 corpus docs
+    an ~18 GB bitset that real systems shard; here the declarative
+    mirror is a distinct-positions frame (≤ m rows) joined by position.
+    The corpus is touched once (map-only hash → k positions), the batch
+    side is a keyed join against the position set and the exact index —
+    never a corpus self-join. Batch membership and the planted replays
+    reuse dd_incremental's deterministic doc_id slice, so both verdict
+    branches (dup / new) are exercised on any testdata; false positives
+    appear when extra_bits is small (tests probe extra_bits=0 where the
+    filter saturates).
+
+    Engine-exact: positions are pmod(md5-long(hash||':'||j), m) — pure
+    integer/md5 arithmetic, identical on DuckDB via the UBIGINT bridge
+    and `((x % m) + m) % m`."""
+    docs = _docs(spark, sf_dir)
+    is_batch = F.col("doc_id") % 10 == INCR_BATCH_RESIDUE
+
+    def text_hash(c):
+        return F.md5(F.regexp_replace(F.lower(c), r"[ \t\n\x0b\f\r]+", " "))
+
+    donors = docs.select(
+        (F.col("doc_id") + INCR_BATCH_RESIDUE).alias("doc_id"),
+        F.col("text").alias("donor_text"))
+    batch = (docs.where(is_batch)
+             .join(donors, "doc_id")
+             .select("doc_id",
+                     F.when(F.col("doc_id") % 20 == INCR_BATCH_RESIDUE,
+                            F.col("donor_text"))
+                     .otherwise(F.concat(
+                         F.col("text"), F.lit(" batch-new-"),
+                         F.col("doc_id").cast("string"))).alias("text")))
+    corpus = docs.where(~is_batch).select(
+        "doc_id", text_hash(F.col("text")).alias("text_hash"))
+    # m from the corpus count: one metadata-cheap agg, broadcast as a
+    # 1-row sizing frame to both the insert and the probe side
+    sizing = corpus.agg(F.count("*").alias("n_corpus")).selectExpr(
+        "shiftleft(CAST(1 AS BIGINT), length(bin(n_corpus)) + {e}) AS m"
+        .format(e=int(extra_bits)))
+
+    def positions(df):
+        pos = F.explode(F.array(*[
+            F.expr("pmod(CAST(({h}) AS BIGINT), m)".format(
+                h=("CAST(conv(substring(md5(concat(text_hash, ':{j}')), 1, 16),"
+                   " 16, 10) AS DECIMAL(20,0)) - CAST('9223372036854775808'"
+                   " AS DECIMAL(20,0))").format(j=j)))
+            for j in range(BLOOM_K)])).alias("pos")
+        return df.crossJoin(broadcast(sizing)).select("*", pos)
+
+    bits = positions(corpus).select("pos").distinct()
+    probes = positions(
+        batch.select("doc_id", text_hash(F.col("text")).alias("text_hash")))
+    hit_counts = (probes.join(bits.withColumn("hit", F.lit(1)), "pos", "left")
+                  .groupBy("doc_id")
+                  .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                       .cast("long").alias("n_hits")))
+    corpus_idx = corpus.groupBy("text_hash").agg(F.min("doc_id").alias("dup_of"))
+    return (batch.select("doc_id", text_hash(F.col("text")).alias("text_hash"))
+            .join(corpus_idx, "text_hash", "left")
+            .join(hit_counts, "doc_id")
+            .select("doc_id", "n_hits",
+                    (F.col("n_hits") == BLOOM_K).alias("bloom_dup"),
+                    F.col("dup_of").isNotNull().alias("exact_dup"),
+                    ((F.col("n_hits") == BLOOM_K)
+                     & F.col("dup_of").isNull()).alias("false_positive"))
+            .orderBy("doc_id"))
+
+
+def _dd_bloom_sql(extra_bits: int = BLOOM_EXTRA_BITS) -> str:
+    """Oracle for dd_bloom_check: the identical batch construction,
+    md5-long bit positions, sign-safe mod, and data-derived m."""
+    pos_expr = (
+        "((CAST(CAST(('0x' || substr(md5(text_hash || ':' ||"
+        " CAST(j AS VARCHAR)), 1, 16))::UBIGINT AS HUGEINT)"
+        " - 9223372036854775808 AS BIGINT) % m) + m) % m")
+    js = ", ".join(str(j) for j in range(BLOOM_K))
+    return f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL
+), batch AS (
+  SELECT b.doc_id,
+         md5(regexp_replace(lower(
+             CASE WHEN b.doc_id % 20 = {INCR_BATCH_RESIDUE} THEN d.text
+                  ELSE b.text || ' batch-new-' || CAST(b.doc_id AS VARCHAR)
+             END), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS text_hash
+  FROM base b JOIN base d ON d.doc_id = b.doc_id - {INCR_BATCH_RESIDUE}
+  WHERE b.doc_id % 10 = {INCR_BATCH_RESIDUE}
+), corpus AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS text_hash
+  FROM base WHERE doc_id % 10 <> {INCR_BATCH_RESIDUE}
+), sizing AS (
+  SELECT CAST(1 AS BIGINT) << (length(bin(COUNT(*))) + {int(extra_bits)}) AS m
+  FROM corpus
+), bits AS (
+  SELECT DISTINCT {pos_expr} AS pos
+  FROM corpus, sizing, (SELECT UNNEST([{js}]) AS j)
+), probes AS (
+  SELECT doc_id, {pos_expr} AS pos
+  FROM batch, sizing, (SELECT UNNEST([{js}]) AS j)
+), hit_counts AS (
+  SELECT p.doc_id,
+         CAST(SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hits
+  FROM probes p LEFT JOIN bits b USING (pos)
+  GROUP BY p.doc_id
+), corpus_idx AS (
+  SELECT text_hash, MIN(doc_id) AS dup_of FROM corpus GROUP BY text_hash
+)
+SELECT b.doc_id, h.n_hits,
+       h.n_hits = {BLOOM_K} AS bloom_dup,
+       c.dup_of IS NOT NULL AS exact_dup,
+       h.n_hits = {BLOOM_K} AND c.dup_of IS NULL AS false_positive
+FROM batch b
+LEFT JOIN corpus_idx c USING (text_hash)
+JOIN hit_counts h ON h.doc_id = b.doc_id
+ORDER BY b.doc_id
+"""
+
+
+DD_BLOOM_SQL = _dd_bloom_sql()
+
+
 def dd_incremental_neardup(spark, sf_dir):
     """Incremental NEAR-dup: the new batch is checked against the
     corpus's banded MinHash index — the daily-crawl shape for fuzzy
@@ -3228,6 +3366,58 @@ SELECT query_id, rank, cand_id, cosine FROM (
 SIM_LSH_TOPK_SQL = _sim_lsh_topk_sql()
 
 
+def sim_recall_eval(spark, sf_dir):
+    """Recall@10 of the multiprobe-LSH ANN path against the exact cosine
+    top-10 — the calibration query a team runs before trusting an ANN
+    index at scale (the pytest recall floors pin the same number; this
+    makes it a first-class, oracle-checked report). Composition of two
+    already-oracle-paired rankings (the sim_hybrid precedent): both
+    top-10 lists are deterministic on both engines (rounded cosine desc,
+    cand_id tiebreak), so the intersection count is exact. recall_bp is
+    integer basis points — (n_hit*10000) DIV n_exact, truncation ==
+    floor on non-negative operands in both engines (the `//` lesson).
+
+    Scale shape: inherits each side's own plan (exact = broadcast query
+    cross join, LSH = keyed bucket join); the eval join itself touches
+    only 2×50 ranked rows."""
+    exact = sim_cosine_topk(spark, sf_dir)
+    approx = sim_lsh_topk(spark, sf_dir).select("query_id", "cand_id")
+    ex = exact.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_exact"))
+    hits = (exact.join(approx, ["query_id", "cand_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count("*").cast("long").alias("n_hit")))
+    return (ex.join(hits, "query_id", "left")
+            .select("query_id", "n_exact",
+                    F.coalesce(F.col("n_hit"), F.lit(0)).cast("long")
+                    .alias("n_hit"))
+            .selectExpr("query_id", "n_exact", "n_hit",
+                        "CAST((n_hit * 10000) DIV n_exact AS BIGINT)"
+                        " AS recall_bp")
+            .orderBy("query_id"))
+
+
+def _sim_recall_sql() -> str:
+    return f"""
+WITH exact AS ({SIM_COSINE_SQL}),
+approx AS ({SIM_LSH_TOPK_SQL}),
+ex AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+       FROM exact GROUP BY query_id),
+hits AS (
+  SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM exact e JOIN approx a
+    ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+  GROUP BY e.query_id
+)
+SELECT ex.query_id, ex.n_exact,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST((COALESCE(h.n_hit, 0) * 10000) // ex.n_exact AS BIGINT)
+           AS recall_bp
+FROM ex LEFT JOIN hits h USING (query_id)
+ORDER BY ex.query_id
+"""
+
+
 N_IVF_CELLS = 16
 N_IVF_PROBE = 4
 N_IVF_ITERS = 2
@@ -4150,6 +4340,7 @@ QUERIES = {
     "dd_novelty_by_source": (dd_novelty_by_source, DD_NOVELTY_SQL),
     "dd_syndication_matrix": (dd_syndication_matrix, DD_SYNDICATION_SQL),
     "dd_incremental": (dd_incremental, DD_INCR_SQL),
+    "dd_bloom_check": (dd_bloom_check, DD_BLOOM_SQL),
     "dd_incremental_neardup": (
         dd_incremental_neardup,
         _dd_incr_neardup_sql().format(
@@ -4160,6 +4351,7 @@ QUERIES = {
     "dd_embedding_neardup": (dd_embedding_neardup, DD_EMB_SQL),
     "sim_lsh_buckets": (sim_lsh_buckets, SIM_LSH_BUCKETS_SQL),
     "sim_lsh_topk": (sim_lsh_topk, SIM_LSH_TOPK_SQL),
+    "sim_recall_eval": (sim_recall_eval, _sim_recall_sql()),
     "mm_winnow_fingerprint": (mm_winnow_fingerprint, MM_WINNOW_SQL),
     "mm_binary_features": (mm_binary_features, MM_BINARY_SQL),
     "dd_simhash": (dd_simhash, DD_SIMHASH_SQL),

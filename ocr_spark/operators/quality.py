@@ -2841,8 +2841,315 @@ FROM per_doc GROUP BY bucket_size ORDER BY bucket_size
 """
 
 
+# ---------------------------------------------------------------------------
+# Token-distribution entropy (compression-ratio proxy quality signal)
+# ---------------------------------------------------------------------------
+
+# run-length fold over a SORTED token array that accumulates the exact
+# integer-bits entropy numerator  Σ_types count · floor(log2(n / count)).
+# floor(log2(n/c)) == length(bin(n DIV c)) - 1 for 1 ≤ c ≤ n (floor can
+# only cross a power of two when the quotient itself does), so the whole
+# statistic is integer arithmetic — portable to the last bit, no
+# transcendental in the oracle pair. The zero accumulator carries n
+# (evaluated once per row); the lambda touches ONLY (a, x) per the
+# _run_fold discipline.
+_ENT_ZERO = (f"named_struct('prev', CAST(NULL AS STRING), 'run', {_ZERO}, "
+             "'n', CAST(size(t) AS BIGINT), 'acc', " + _ZERO + ")")
+_ENT_FLUSH = ("a.acc + IF(a.run > {one}, "
+              "a.run * CAST(length(bin(a.n DIV a.run)) - 1 AS BIGINT), "
+              "{zero})").format(one=_ZERO, zero=_ZERO)
+_ENT_STEP = (f"(a, x) -> IF(x <=> a.prev, "
+             f"named_struct('prev', x, 'run', a.run + {_ONE}, "
+             f"'n', a.n, 'acc', a.acc), "
+             f"named_struct('prev', x, 'run', {_ONE}, "
+             f"'n', a.n, 'acc', {_ENT_FLUSH}))")
+
+
+def txt_entropy(spark, sf_dir):
+    """Per-doc token-distribution entropy in exact integer bits — the
+    compression-ratio proxy quality gate (low entropy = repetitive /
+    machine-generated junk; the signal Gopher's repetition rules
+    approximate). ent_bits = Σ count·floor(log2(n/count)) over token
+    types; bits-per-token reported as basis points via integer division.
+    Zero transcendentals: floor-log2 via length(bin(n DIV c)) - 1, exact
+    on both engines (the log()-ulp lesson).
+
+    Scale shape: map-only — one sort-run fold per doc inside a single
+    projection (the with_repetition_signals pattern); the corpus never
+    shuffles. The DuckDB oracle recomputes the same integers via the
+    keyed explode + GROUP BY form, so the compare is differential across
+    two algorithms."""
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id", f"filter({_TOKENS}, x -> x <> '') AS t"
+    ).where("size(t) >= 1")
+    fold = (f"aggregate(array_sort(t), {_ENT_ZERO}, {_ENT_STEP}, "
+            f"a -> {_ENT_FLUSH})")
+    return (docs.selectExpr(
+                "doc_id", "CAST(size(t) AS BIGINT) AS n_tokens",
+                f"{fold} AS ent_bits")
+            .selectExpr("doc_id", "n_tokens", "ent_bits",
+                        "CAST((ent_bits * 10000) DIV n_tokens AS BIGINT)"
+                        " AS bpt_bp")
+            .orderBy("doc_id"))
+
+
+TXT_ENTROPY_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'),
+                     x -> x <> '') AS t
+  FROM documents WHERE doc_id IS NOT NULL
+),
+counts AS (
+  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(t) AS g FROM tok WHERE len(t) >= 1)
+  GROUP BY doc_id, g
+),
+totals AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY doc_id
+),
+ent AS (
+  SELECT c.doc_id,
+         CAST(SUM(c.c * (length(bin(t.n // c.c)) - 1)) AS BIGINT) AS ent_bits
+  FROM counts c JOIN totals t USING (doc_id)
+  GROUP BY c.doc_id
+)
+SELECT t.doc_id, t.n AS n_tokens, e.ent_bits,
+       CAST((e.ent_bits * 10000) // t.n AS BIGINT) AS bpt_bp
+FROM totals t JOIN ent e USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Word co-occurrence lift over the top vocabulary (association mining)
+# ---------------------------------------------------------------------------
+
+COOC_TOP_V = 30     # vocabulary cut: pairs only among the top-V df words
+COOC_MIN_PAIR = 2   # emit pairs co-occurring in >= this many docs
+
+
+def txt_cooc_pmi(spark, sf_dir):
+    """Word co-occurrence lift (the integer-exact PMI core) among the
+    top-COOC_TOP_V document-frequency words — the association-mining
+    read a corpus team uses to spot boilerplate phrases and topic
+    clumps. lift = P(a,b)/(P(a)P(b)) emitted as floor basis points of
+    the all-integer ratio df_ab·N·10⁴ / (df_a·df_b) (PMI = log2 of the
+    same ratio; keeping the ratio integer sidesteps the log-ulp class).
+
+    Scale shape: per-doc DISTINCT tokens → one keyed df aggregation; the
+    top-V cut is a distributed TakeOrdered on the vocab frame (total
+    order (df DESC, w) — unique, so the cut is deterministic); the tiny
+    winner set broadcasts back, and pair generation is a keyed self-join
+    on doc_id over ≤ V rows per doc (≤ C(V,2) = 435 pairs/doc) — the
+    corpus token stream itself never self-joins. int64 headroom:
+    df_ab·N·10⁴ ≤ N²·10⁴ needs N ≤ 3·10⁷ docs per partition-universe;
+    beyond that the same op runs per source shard (documented bound)."""
+    base = _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        f"explode(array_distinct(filter({_TOKENS}, x -> x <> ''))) AS w")
+    dfreq = base.groupBy("w").agg(F.count("*").cast("long").alias("df"))
+    topv = dfreq.orderBy(F.desc("df"), F.asc("w")).limit(COOC_TOP_V)
+    n_docs = _docs(spark, sf_dir).agg(
+        F.count("*").cast("long").alias("n_docs"))
+    presence = base.join(broadcast(topv), "w")
+    a = presence.select("doc_id", F.col("w").alias("w1"),
+                        F.col("df").alias("df1"))
+    b = presence.select("doc_id", F.col("w").alias("w2"),
+                        F.col("df").alias("df2"))
+    return (a.join(b, "doc_id")
+            .where(F.col("w1") < F.col("w2"))
+            .groupBy("w1", "w2", "df1", "df2")
+            .agg(F.count("*").cast("long").alias("df_ab"))
+            .where(F.col("df_ab") >= COOC_MIN_PAIR)
+            .crossJoin(broadcast(n_docs))
+            .selectExpr("w1", "w2", "df_ab",
+                        "CAST((df_ab * n_docs * 10000)"
+                        " DIV (df1 * df2) AS BIGINT) AS lift_bp")
+            .orderBy("w1", "w2"))
+
+
+TXT_COOC_SQL = f"""
+WITH pres AS (
+  SELECT DISTINCT doc_id, g AS w
+  FROM (SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text),
+                      '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')) AS g
+        FROM documents WHERE doc_id IS NOT NULL)
+),
+dfreq AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM pres GROUP BY w
+),
+topv AS (
+  SELECT w, df FROM dfreq ORDER BY df DESC, w LIMIT {COOC_TOP_V}
+),
+n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents WHERE doc_id IS NOT NULL
+),
+pairs AS (
+  SELECT a.w AS w1, b.w AS w2, a.df AS df1, b.df AS df2,
+         CAST(COUNT(*) AS BIGINT) AS df_ab
+  FROM (SELECT p.doc_id, p.w, t.df FROM pres p JOIN topv t USING (w)) a
+  JOIN (SELECT p.doc_id, p.w, t.df FROM pres p JOIN topv t USING (w)) b
+    ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY a.w, b.w, a.df, b.df
+)
+SELECT w1, w2, df_ab,
+       CAST((df_ab * n_docs * 10000) // (df1 * df2) AS BIGINT) AS lift_bp
+FROM pairs, n
+WHERE df_ab >= {COOC_MIN_PAIR}
+ORDER BY w1, w2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve (tokenizer-sizing evidence)
+# ---------------------------------------------------------------------------
+
+COV_THRESHOLDS = [100, 1000, 10000]
+
+
+def txt_vocab_coverage(spark, sf_dir):
+    """Cumulative token-coverage of the top-N vocabulary — the curve a
+    team reads before sizing a tokenizer vocab or a stopword list: what
+    share of all token INSTANCES do the top 100 / 1k / 10k types cover.
+
+    Scale shape: one keyed token-count aggregation (map-side combine),
+    then a distributed TakeOrdered cut to the top max(threshold) rows —
+    the only global window (the rank cumsum) runs over that BOUNDED
+    frame (≤ 10k rows by construction), never the full vocab. Totals are
+    one map-side-combinable agg. All integer: coverage_bp = floor via
+    BIGINT division."""
+    counts = (_docs(spark, sf_dir).selectExpr(
+                  "explode(filter(" + _TOKENS + ", x -> x <> '')) AS w")
+              .groupBy("w").agg(F.count("*").cast("long").alias("c")))
+    total = counts.agg(F.sum("c").cast("long").alias("s"))
+    top = counts.orderBy(F.desc("c"), F.asc("w")).limit(max(COV_THRESHOLDS))
+    ranked = top.withColumn(
+        "rank", F.row_number().over(
+            Window.orderBy(F.desc("c"), F.asc("w"))))
+    thr = F.explode(F.array(*[F.lit(t) for t in COV_THRESHOLDS])).alias(
+        "threshold")
+    return (ranked.select("rank", "c", thr)
+            .where(F.col("rank") <= F.col("threshold"))
+            .groupBy("threshold")
+            .agg(F.count("*").cast("long").alias("n_types"),
+                 F.sum("c").cast("long").alias("covered_tokens"))
+            .crossJoin(broadcast(total))
+            .selectExpr("threshold", "n_types", "covered_tokens",
+                        "CAST((covered_tokens * 10000) DIV s AS BIGINT)"
+                        " AS coverage_bp")
+            .orderBy("threshold"))
+
+
+TXT_VOCAB_COV_SQL = f"""
+WITH counts AS (
+  SELECT g AS w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(list_filter(string_split_regex(lower(text),
+               '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')) AS g
+        FROM documents WHERE doc_id IS NOT NULL)
+  GROUP BY g
+),
+total AS (SELECT CAST(SUM(c) AS BIGINT) AS s FROM counts),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rank
+  FROM (SELECT w, c FROM counts ORDER BY c DESC, w
+        LIMIT {max(COV_THRESHOLDS)})
+)
+SELECT t.threshold,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(r.c) AS BIGINT) AS covered_tokens,
+       CAST((CAST(SUM(r.c) AS BIGINT) * 10000) // (SELECT s FROM total)
+            AS BIGINT) AS coverage_bp
+FROM ranked r,
+     (SELECT UNNEST([{", ".join(str(t) for t in COV_THRESHOLDS)}])
+         AS threshold) t
+WHERE r.rank <= t.threshold
+GROUP BY t.threshold
+ORDER BY t.threshold
+"""
+
+
+# ---------------------------------------------------------------------------
+# Zipf-slope corpus health check
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP_RANKS = 1024  # regression over the top-N token ranks
+
+
+def txt_zipf_slope(spark, sf_dir):
+    """Least-squares slope of floor-log2(count) against floor-log2(rank)
+    over the top-ZIPF_TOP_RANKS token ranks — the corpus-health read
+    (natural language sits near slope −1; template/machine corpora bend
+    the curve). EVERY term is integer: x = length(bin(rank))−1,
+    y = length(bin(count))−1, slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²)
+    with the ×10⁴ floor taken via the explicit pmod floor-division
+    identity (slope is negative; bare integer division truncates toward
+    zero on BOTH engines and would round the wrong way — the `//` lesson).
+
+    Scale shape: one keyed token-count aggregation, a distributed
+    TakeOrdered cut to ZIPF_TOP_RANKS rows, and the rank window + sums
+    over that BOUNDED frame only. int64 headroom: n ≤ 1024, x,y ≤ 63 →
+    10⁴·n·Σxy ≤ 4·10¹³."""
+    counts = (_docs(spark, sf_dir).selectExpr(
+                  "explode(filter(" + _TOKENS + ", x -> x <> '')) AS w")
+              .groupBy("w").agg(F.count("*").cast("long").alias("c")))
+    top = counts.orderBy(F.desc("c"), F.asc("w")).limit(ZIPF_TOP_RANKS)
+    pts = (top.withColumn(
+               "rank", F.row_number().over(
+                   Window.orderBy(F.desc("c"), F.asc("w"))))
+           .selectExpr("CAST(length(bin(rank)) - 1 AS BIGINT) AS x",
+                       "CAST(length(bin(c)) - 1 AS BIGINT) AS y"))
+    return (pts.agg(F.count("*").cast("long").alias("n"),
+                    F.sum("x").cast("long").alias("sx"),
+                    F.sum("y").cast("long").alias("sy"),
+                    F.sum(F.expr("x * y")).cast("long").alias("sxy"),
+                    F.sum(F.expr("x * x")).cast("long").alias("sxx"))
+            .selectExpr("n AS n_points",
+                        "10000 * (n * sxy - sx * sy) AS num",
+                        "n * sxx - sx * sx AS den")
+            .where("den <> 0")
+            .selectExpr("n_points",
+                        "CAST((num - ((num % den) + den) % den) DIV den"
+                        " AS BIGINT) AS slope_bp"))
+
+
+TXT_ZIPF_SQL = f"""
+WITH counts AS (
+  SELECT g AS w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(list_filter(string_split_regex(lower(text),
+               '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')) AS g
+        FROM documents WHERE doc_id IS NOT NULL)
+  GROUP BY g
+),
+pts AS (
+  SELECT CAST(length(bin(ROW_NUMBER() OVER (ORDER BY c DESC, w))) - 1
+              AS BIGINT) AS x,
+         CAST(length(bin(c)) - 1 AS BIGINT) AS y
+  FROM (SELECT w, c FROM counts ORDER BY c DESC, w LIMIT {ZIPF_TOP_RANKS})
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM pts
+)
+SELECT n AS n_points,
+       CAST((num - ((num % den) + den) % den) // den AS BIGINT) AS slope_bp
+FROM (SELECT n, 10000 * (n * sxy - sx * sy) AS num,
+             n * sxx - sx * sx AS den
+      FROM sums)
+WHERE den <> 0
+"""
+
+
 QUERIES = {
     "txt_repetition": (txt_repetition, TXT_REPETITION_SQL),
+    "txt_entropy": (txt_entropy, TXT_ENTROPY_SQL),
+    "txt_cooc_pmi": (txt_cooc_pmi, TXT_COOC_SQL),
+    "txt_vocab_coverage": (txt_vocab_coverage, TXT_VOCAB_COV_SQL),
+    "txt_zipf_slope": (txt_zipf_slope, TXT_ZIPF_SQL),
     "txt_drift_tvd": (txt_drift_tvd, TXT_DRIFT_SQL),
     "smp_length_buckets": (smp_length_buckets, SMP_LEN_BUCKETS_SQL),
     "txt_gate_agreement": (txt_gate_agreement,

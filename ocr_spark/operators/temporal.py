@@ -428,6 +428,154 @@ ORDER BY day
 """
 
 
+ANOM_DEV_PCT = 50   # flag days deviating more than 50% from the mean
+
+
+def qr_daily_anomaly(spark, sf_dir):
+    """Per-event-type daily volume anomalies — the ingestion-monitoring
+    read a pipeline runs over its event firehose (a crawler that went
+    dark or a runaway producer shows up as a day far off the type's mean
+    volume). Deviation from the mean is decided with INTEGER
+    cross-multiplies only (the engine-exact playbook): a day is
+    anomalous iff 100·|cnt·n_days − S| > ANOM_DEV_PCT·S (the exact
+    |cnt − S/n_days| > pct·mean test scaled through by n_days·100), and
+    dev_bp = floor basis points of |cnt·n_days − S| / S. No doubles, no
+    sqrt, no engine edge.
+
+    Scale shape: one keyed (event_type, day) count with map-side
+    combine, one tiny per-type stats agg joined back on event_type
+    (broadcastable — types are few); the event stream is touched once.
+    int64 headroom: cnt·n_days ≤ S·n_days needs S·n_days·10⁴ < 2⁶³ —
+    ~10¹³ events over 10⁴ days; beyond that, quantize to per-1000
+    counts. Day index = the module's tz-free DATE difference."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull())
+    daily = (ev.groupBy(
+                 "event_type",
+                 F.expr(f"CAST(datediff(to_date(ts), "
+                        f"DATE '{RETENTION_EPOCH}') AS BIGINT)").alias("day"))
+             .agg(F.count("*").cast("long").alias("n_events")))
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("n_events").cast("long").alias("s"))
+    return (daily.join(stats, "event_type")
+            .selectExpr(
+                "event_type", "day", "n_events",
+                "CAST((abs(n_events * n_days - s) * 10000) DIV s AS BIGINT)"
+                " AS dev_bp",
+                f"100 * abs(n_events * n_days - s) > {ANOM_DEV_PCT} * s"
+                " AS is_anomaly")
+            .orderBy("event_type", "day"))
+
+
+QR_ANOMALY_SQL = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(datediff('day', DATE '{RETENTION_EPOCH}', CAST(ts AS DATE))
+              AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(n_events) AS BIGINT) AS s
+  FROM daily GROUP BY event_type
+)
+SELECT d.event_type, d.day, d.n_events,
+       CAST((abs(d.n_events * t.n_days - t.s) * 10000) // t.s AS BIGINT)
+           AS dev_bp,
+       100 * abs(d.n_events * t.n_days - t.s) > {ANOM_DEV_PCT} * t.s
+           AS is_anomaly
+FROM daily d JOIN stats t USING (event_type)
+ORDER BY d.event_type, d.day
+"""
+
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def qr_event_funnel(spark, sf_dir):
+    """Ordered multi-step funnel (view → click → purchase): a user
+    reaches step k only with a step-k event AT OR AFTER their earliest
+    step-(k−1) arrival — the product-analytics read every event store
+    ships, and the ordered-chain semantics a bare per-type count gets
+    wrong (a purchase BEFORE the first view must not convert).
+    Arrival at step k = min step-k ts ≥ arrival at step k−1; timestamps
+    compare at native microsecond precision — no arithmetic, no engine
+    edge. Conversion ratios are integer basis points.
+
+    Scale shape: one keyed (user, step) min-ts aggregation with
+    map-side combine per step, chained by keyed equi-joins on user_id —
+    the event stream is scanned once per step with the type filter
+    pushed to the scan, and nothing ever self-joins on time."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+    arrivals = []   # per-step frames: (user_id, t_k)
+    prev = None
+    for k, step in enumerate(FUNNEL_STEPS):
+        cur = ev.where(F.col("event_type") == step)
+        if prev is not None:
+            cur = (cur.join(prev.select("user_id", F.col("t").alias("t_prev")),
+                            "user_id")
+                   .where(F.col("ts") >= F.col("t_prev")))
+        cur = cur.groupBy("user_id").agg(F.min("ts").alias("t"))
+        arrivals.append(cur)
+        prev = cur
+    counts = None
+    for k, (step, fr) in enumerate(zip(FUNNEL_STEPS, arrivals)):
+        c = fr.agg(F.count("*").cast("long").alias("n_users")).selectExpr(
+            f"CAST({k + 1} AS INT) AS step_idx", f"'{step}' AS step",
+            "n_users")
+        counts = c if counts is None else counts.unionByName(c)
+    first = F.first("n_users").over(
+        Window.orderBy("step_idx").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow))
+    prev_n = F.lag("n_users", 1).over(Window.orderBy("step_idx"))
+    return (counts
+            .withColumn("_first", first)
+            .withColumn("_prev", F.coalesce(prev_n, F.col("n_users")))
+            .selectExpr("step_idx", "step", "n_users",
+                        "CAST((n_users * 10000) DIV _prev AS BIGINT)"
+                        " AS conv_prev_bp",
+                        "CAST((n_users * 10000) DIV _first AS BIGINT)"
+                        " AS conv_first_bp")
+            .orderBy("step_idx"))
+
+
+def _qr_funnel_sql() -> str:
+    ctes = ["s1 AS (SELECT user_id, MIN(ts) AS t FROM ev "
+            f"WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id)"]
+    for k in range(1, len(FUNNEL_STEPS)):
+        ctes.append(
+            f"s{k + 1} AS (SELECT e.user_id, MIN(e.ts) AS t FROM ev e "
+            f"JOIN s{k} p ON p.user_id = e.user_id AND e.ts >= p.t "
+            f"WHERE e.event_type = '{FUNNEL_STEPS[k]}' GROUP BY e.user_id)")
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({k + 1} AS INTEGER) AS step_idx, '{s}' AS step, "
+        f"CAST((SELECT COUNT(*) FROM s{k + 1}) AS BIGINT) AS n_users"
+        for k, s in enumerate(FUNNEL_STEPS))
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_type, ts FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+{", ".join(ctes)},
+counts AS ({selects})
+SELECT step_idx, step, n_users,
+       CAST((n_users * 10000) //
+            COALESCE(LAG(n_users) OVER (ORDER BY step_idx), n_users)
+            AS BIGINT) AS conv_prev_bp,
+       CAST((n_users * 10000) //
+            FIRST_VALUE(n_users) OVER (ORDER BY step_idx)
+            AS BIGINT) AS conv_first_bp
+FROM counts ORDER BY step_idx
+"""
+
+
+QR_FUNNEL_SQL = _qr_funnel_sql()
+
+
 QUERIES = {
     "qr_asof_join": (qr_asof_join, QR_ASOF_SQL),
     "qr_range_join": (qr_range_join, QR_RANGE_SQL),
@@ -435,4 +583,6 @@ QUERIES = {
     "qr_conversion_cohorts": (qr_conversion_cohorts, QR_COHORT_SQL),
     "qr_retention_matrix": (qr_retention_matrix, QR_RETENTION_SQL),
     "qr_stickiness": (qr_stickiness, QR_STICKINESS_SQL),
+    "qr_daily_anomaly": (qr_daily_anomaly, QR_ANOMALY_SQL),
+    "qr_event_funnel": (qr_event_funnel, QR_FUNNEL_SQL),
 }

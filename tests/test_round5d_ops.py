@@ -1,0 +1,450 @@
+"""Round-5 continuation ops: Bloom incremental dedup (false-positive
+calibration + saturation), ANN recall eval, integer-bits entropy,
+co-occurrence lift, vocab coverage curve, daily volume anomalies.
+
+The sf0.001 oracle compare for the registry entries runs in
+test_operators.py via the ALL_QUERIES parametrize; this file covers the
+branch reachability, Python-twin arithmetic, and exact edge fixtures."""
+
+import datetime
+import hashlib
+import os
+import re
+from collections import Counter, defaultdict
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="testdata not available")
+
+
+def _duck_docs_con(d=SF_DIR):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(d, 'documents.parquet')}'")
+    return con
+
+
+# ---------------------------------------------------------------------------
+# dd_bloom_check
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_both_branches(spark):
+    from ocr_spark.operators.corpus import dd_bloom_check
+    rows = dd_bloom_check(spark, SF_DIR).collect()
+    assert rows, "batch slice empty"
+    # Bloom guarantee: an exact dup can NEVER miss the filter
+    assert all(r.bloom_dup for r in rows if r.exact_dup)
+    # the planted batch exercises both verdict branches
+    assert any(r.exact_dup for r in rows)
+    assert any(not r.exact_dup for r in rows)
+    # n_hits is bounded by the hash-function count
+    from ocr_spark.operators.corpus import BLOOM_K
+    assert all(0 <= r.n_hits <= BLOOM_K for r in rows)
+
+
+def test_bloom_saturated_filter_false_positives_and_oracle(spark):
+    """extra_bits=0 sizes m ≈ n: the filter saturates and false
+    positives MUST appear — the branch the default sizing rarely
+    reaches — and the parameterized oracle still matches exactly."""
+    from ocr_spark.operators.corpus import _dd_bloom_sql, dd_bloom_check
+    got = dd_bloom_check(spark, SF_DIR, extra_bits=0).collect()
+    assert any(r.false_positive for r in got)
+    con = _duck_docs_con()
+    want = con.execute(_dd_bloom_sql(0)).fetchall()
+    assert [(r.doc_id, r.n_hits, r.bloom_dup, r.exact_dup, r.false_positive)
+            for r in got] == want
+
+
+def test_bloom_python_twin_arithmetic(spark):
+    """Independent Python implementation of the Bloom arithmetic (m
+    sizing, md5-long positions, sign-safe mod) over DuckDB-computed
+    content hashes must reproduce Spark's n_hits exactly."""
+    from ocr_spark.operators.corpus import (BLOOM_EXTRA_BITS, BLOOM_K,
+                                            INCR_BATCH_RESIDUE,
+                                            dd_bloom_check)
+    con = _duck_docs_con()
+    norm = ("md5(regexp_replace(lower({t}), '[ \\t\\n\\x0b\\f\\r]+',"
+            " ' ', 'g'))")
+    corpus = con.execute(
+        f"SELECT {norm.format(t='text')} FROM documents "
+        f"WHERE doc_id IS NOT NULL AND doc_id % 10 <> {INCR_BATCH_RESIDUE}"
+    ).fetchall()
+    batch = con.execute(f"""
+        WITH base AS (SELECT doc_id, text FROM documents
+                      WHERE doc_id IS NOT NULL)
+        SELECT b.doc_id, {norm.format(t=f'''
+            CASE WHEN b.doc_id % 20 = {INCR_BATCH_RESIDUE} THEN d.text
+                 ELSE b.text || ' batch-new-' || CAST(b.doc_id AS VARCHAR)
+            END''')}
+        FROM base b JOIN base d ON d.doc_id = b.doc_id - {INCR_BATCH_RESIDUE}
+        WHERE b.doc_id % 10 = {INCR_BATCH_RESIDUE}
+    """).fetchall()
+
+    n = len(corpus)
+    m = 1 << (n.bit_length() + BLOOM_EXTRA_BITS)
+
+    def positions(h):
+        for j in range(BLOOM_K):
+            v = int(hashlib.md5(f"{h}:{j}".encode()).hexdigest()[:16], 16)
+            yield ((v - (1 << 63)) % m + m) % m
+
+    bits = {p for (h,) in corpus for p in positions(h)}
+    want = {doc_id: sum(p in bits for p in positions(h))
+            for doc_id, h in batch}
+    got = {r.doc_id: r.n_hits
+           for r in dd_bloom_check(spark, SF_DIR).collect()}
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# sim_recall_eval
+# ---------------------------------------------------------------------------
+
+
+def test_recall_eval_matches_components(spark):
+    from ocr_spark.operators.corpus import (sim_cosine_topk, sim_lsh_topk,
+                                            sim_recall_eval)
+    exact = defaultdict(set)
+    for r in sim_cosine_topk(spark, SF_DIR).collect():
+        exact[r.query_id].add(r.cand_id)
+    approx = defaultdict(set)
+    for r in sim_lsh_topk(spark, SF_DIR).collect():
+        approx[r.query_id].add(r.cand_id)
+    got = sim_recall_eval(spark, SF_DIR).collect()
+    assert {r.query_id for r in got} == set(exact)
+    for r in got:
+        n_hit = len(exact[r.query_id] & approx[r.query_id])
+        assert r.n_exact == len(exact[r.query_id]) == 10
+        assert r.n_hit == n_hit
+        assert r.recall_bp == (n_hit * 10000) // r.n_exact
+        assert 0 <= r.recall_bp <= 10000
+
+
+# ---------------------------------------------------------------------------
+# txt_entropy
+# ---------------------------------------------------------------------------
+
+
+def _write_docs(spark, tmp_path, docs):
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    return d
+
+
+def test_entropy_exact_fixtures(spark, tmp_path):
+    """Hand-computable corners of the integer-bits definition:
+    Σ count·floor(log2(n/count)) with floor-log2 = bit_length-1."""
+    from ocr_spark.operators.quality import txt_entropy
+    docs = [
+        (1, "a a a a", "en", "s", 7),            # one type: 0 bits
+        (2, "t1 t2 t3 t4 t5 t6 t7 t8", "en", "s", 23),  # 8 distinct: 3 b/tok
+        (3, "a a b b", "en", "s", 7),            # two even types: 1 b/tok
+        (4, "a a a b", "en", "s", 7),            # 3·flog2(1) + 1·flog2(4)
+        (5, "solo", "en", "s", 4),               # single token: 0 bits
+    ]
+    got = {r.doc_id: (r.n_tokens, r.ent_bits, r.bpt_bp)
+           for r in txt_entropy(spark, _write_docs(spark, tmp_path, docs))
+           .collect()}
+    assert got == {
+        1: (4, 0, 0),
+        2: (8, 24, 30000),
+        3: (4, 4, 10000),
+        4: (4, 2, 5000),
+        5: (1, 0, 0),
+    }
+
+
+def test_entropy_python_twin(spark):
+    from ocr_spark.operators.quality import txt_entropy
+    con = _duck_docs_con()
+    want = {}
+    for doc_id, text in con.execute(
+            "SELECT doc_id, text FROM documents "
+            "WHERE doc_id IS NOT NULL").fetchall():
+        toks = [t for t in re.split(r"[ \t\n\x0b\f\r]+", (text or "").lower())
+                if t]
+        if not toks:
+            continue
+        n = len(toks)
+        ent = sum(c * ((n // c).bit_length() - 1)
+                  for c in Counter(toks).values())
+        want[doc_id] = (n, ent, (ent * 10000) // n)
+    got = {r.doc_id: (r.n_tokens, r.ent_bits, r.bpt_bp)
+           for r in txt_entropy(spark, SF_DIR).collect()}
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# txt_cooc_pmi
+# ---------------------------------------------------------------------------
+
+
+def test_cooc_lift_python_twin(spark):
+    from ocr_spark.operators.quality import (COOC_MIN_PAIR, COOC_TOP_V,
+                                             txt_cooc_pmi)
+    con = _duck_docs_con()
+    rows = con.execute("SELECT doc_id, text FROM documents "
+                       "WHERE doc_id IS NOT NULL").fetchall()
+    n_docs = len(rows)
+    pres = {doc_id: {t for t in re.split(r"[ \t\n\x0b\f\r]+",
+                                         (text or "").lower()) if t}
+            for doc_id, text in rows}
+    df = Counter(t for s in pres.values() for t in s)
+    topv = dict(sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))
+                [:COOC_TOP_V])
+    pair_df = Counter()
+    for s in pres.values():
+        hits = sorted(s & topv.keys())
+        for i, w1 in enumerate(hits):
+            for w2 in hits[i + 1:]:
+                pair_df[(w1, w2)] += 1
+    want = {p: (c, (c * n_docs * 10000) // (topv[p[0]] * topv[p[1]]))
+            for p, c in pair_df.items() if c >= COOC_MIN_PAIR}
+    got = {(r.w1, r.w2): (r.df_ab, r.lift_bp)
+           for r in txt_cooc_pmi(spark, SF_DIR).collect()}
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# txt_vocab_coverage
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_coverage_curve_shape(spark):
+    from ocr_spark.operators.quality import COV_THRESHOLDS, txt_vocab_coverage
+    rows = txt_vocab_coverage(spark, SF_DIR).collect()
+    assert [r.threshold for r in rows] == sorted(COV_THRESHOLDS)
+    prev_cov = prev_types = 0
+    for r in rows:
+        assert r.n_types <= r.threshold
+        assert r.n_types >= prev_types and r.covered_tokens >= prev_cov
+        assert 0 <= r.coverage_bp <= 10000
+        # a threshold that swallows the whole vocab covers everything
+        if r.n_types < r.threshold:
+            assert r.coverage_bp == 10000
+        prev_cov, prev_types = r.covered_tokens, r.n_types
+
+
+def test_vocab_coverage_python_twin(spark):
+    from ocr_spark.operators.quality import COV_THRESHOLDS, txt_vocab_coverage
+    con = _duck_docs_con()
+    counts = Counter()
+    for (text,) in con.execute("SELECT text FROM documents "
+                               "WHERE doc_id IS NOT NULL").fetchall():
+        counts.update(t for t in re.split(r"[ \t\n\x0b\f\r]+",
+                                          (text or "").lower()) if t)
+    s = sum(counts.values())
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    want = {}
+    for t in COV_THRESHOLDS:
+        top = ranked[:t]
+        covered = sum(c for _, c in top)
+        want[t] = (len(top), covered, (covered * 10000) // s)
+    got = {r.threshold: (r.n_types, r.covered_tokens, r.coverage_bp)
+           for r in txt_vocab_coverage(spark, SF_DIR).collect()}
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# qr_daily_anomaly
+# ---------------------------------------------------------------------------
+
+
+def test_daily_anomaly_strict_boundary(spark, tmp_path):
+    """A day at EXACTLY the deviation threshold (100·dev == pct·S) is
+    NOT an anomaly — pins the strict inequality on both shapes."""
+    from ocr_spark.operators.temporal import qr_daily_anomaly
+    rows = []
+    eid = 0
+
+    def add(day, event_type, n):
+        nonlocal eid
+        for i in range(n):
+            rows.append((eid, datetime.datetime(2024, 1, day, 8, i // 60,
+                                                i % 60),
+                         100 + i, event_type, 1.0, "{}"))
+            eid += 1
+
+    # type 'x': days {50, 150} → S=200, n=2, dev=100 each side →
+    # 100·100·? : 100·dev = 10000 == 50·S — the exact boundary
+    add(1, "x", 50)
+    add(2, "x", 150)
+    # type 'y': days {12, 12, 30} → S=54: day-30 dev 36 (anomaly),
+    # day-12 dev 18 (clean)
+    add(1, "y", 12)
+    add(2, "y", 12)
+    add(3, "y", 30)
+    d = str(tmp_path / "ev")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    ).write.parquet(os.path.join(d, "events.parquet"))
+    got = {(r.event_type, r.day): (r.n_events, r.dev_bp, r.is_anomaly)
+           for r in qr_daily_anomaly(spark, d).collect()}
+    assert got == {
+        ("x", 0): (50, 5000, False),
+        ("x", 1): (150, 5000, False),
+        ("y", 0): (12, 3333, False),
+        ("y", 1): (12, 3333, False),
+        ("y", 2): (30, 6666, True),
+    }
+
+
+def test_daily_anomaly_python_twin(spark):
+    from ocr_spark.operators.temporal import ANOM_DEV_PCT, qr_daily_anomaly
+    con = duckdb.connect()
+    daily = Counter()
+    for et, day in con.execute(
+            f"SELECT event_type, "
+            f"datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) "
+            f"FROM '{SF_DIR}/events.parquet' "
+            f"WHERE event_type IS NOT NULL AND ts IS NOT NULL").fetchall():
+        daily[(et, day)] += 1
+    stats = defaultdict(lambda: [0, 0])
+    for (et, _), c in daily.items():
+        stats[et][0] += 1
+        stats[et][1] += c
+    want = {}
+    for (et, day), c in daily.items():
+        n_days, s = stats[et]
+        dev = abs(c * n_days - s)
+        want[(et, day)] = (c, (dev * 10000) // s,
+                           100 * dev > ANOM_DEV_PCT * s)
+    got = {(r.event_type, r.day): (r.n_events, r.dev_bp, r.is_anomaly)
+           for r in qr_daily_anomaly(spark, SF_DIR).collect()}
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# txt_zipf_slope
+# ---------------------------------------------------------------------------
+
+
+def test_zipf_exact_fixture(spark, tmp_path):
+    """Power-of-two token counts make every regression term hand-
+    computable: counts 8/4/2/1 → x=(0,1,1,2), y=(3,2,1,0) →
+    slope = (4·3 − 4·6)/(4·6 − 16) = −1.5 exactly."""
+    from ocr_spark.operators.quality import txt_zipf_slope
+    docs = [(1, " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"]),
+             "en", "s", 0)]
+    rows = txt_zipf_slope(spark, _write_docs(spark, tmp_path, docs)).collect()
+    assert [(r.n_points, r.slope_bp) for r in rows] == [(4, -15000)]
+
+
+def test_zipf_python_twin(spark):
+    from ocr_spark.operators.quality import ZIPF_TOP_RANKS, txt_zipf_slope
+    con = _duck_docs_con()
+    counts = Counter()
+    for (text,) in con.execute("SELECT text FROM documents "
+                               "WHERE doc_id IS NOT NULL").fetchall():
+        counts.update(t for t in re.split(r"[ \t\n\x0b\f\r]+",
+                                          (text or "").lower()) if t)
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    pts = [((r + 1).bit_length() - 1, c.bit_length() - 1)
+           for r, (_, c) in enumerate(ranked[:ZIPF_TOP_RANKS])]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    den = n * sxx - sx * sx
+    want = (n, (10000 * (n * sxy - sx * sy)) // den)  # Python // floors
+    rows = txt_zipf_slope(spark, SF_DIR).collect()
+    assert [(r.n_points, r.slope_bp) for r in rows] == [want]
+
+
+# ---------------------------------------------------------------------------
+# qr_event_funnel
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_ordered_chain_semantics(spark, tmp_path):
+    """A purchase BEFORE the user's click arrival must not convert; an
+    equal-timestamp next step does (>= semantics); steps without the
+    prior step never enter the funnel."""
+    from ocr_spark.operators.temporal import qr_event_funnel
+    t = datetime.datetime
+    ev = [
+        # user 1: full ordered chain
+        (1, t(2024, 1, 1, 9), 1, "view", 1.0, "{}"),
+        (2, t(2024, 1, 1, 10), 1, "click", 1.0, "{}"),
+        (3, t(2024, 1, 1, 11), 1, "purchase", 1.0, "{}"),
+        # user 2: purchase BEFORE the chain — must stop at click
+        (4, t(2024, 1, 1, 8), 2, "purchase", 1.0, "{}"),
+        (5, t(2024, 1, 1, 9), 2, "view", 1.0, "{}"),
+        (6, t(2024, 1, 1, 10), 2, "click", 1.0, "{}"),
+        # user 3: click with no view — not in the funnel at all
+        (7, t(2024, 1, 1, 9), 3, "click", 1.0, "{}"),
+        # user 4: view then purchase, no click — stops at view
+        (8, t(2024, 1, 1, 9), 4, "view", 1.0, "{}"),
+        (9, t(2024, 1, 1, 10), 4, "purchase", 1.0, "{}"),
+        # user 5: view and click at the SAME microsecond — click counts
+        (10, t(2024, 1, 1, 9, 0, 0, 123456), 5, "view", 1.0, "{}"),
+        (11, t(2024, 1, 1, 9, 0, 0, 123456), 5, "click", 1.0, "{}"),
+    ]
+    d = str(tmp_path / "fev")
+    spark.createDataFrame(
+        ev, "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+    ).write.parquet(os.path.join(d, "events.parquet"))
+    got = [(r.step_idx, r.step, r.n_users, r.conv_prev_bp, r.conv_first_bp)
+           for r in qr_event_funnel(spark, d).collect()]
+    assert got == [
+        (1, "view", 4, 10000, 10000),
+        (2, "click", 3, 7500, 7500),
+        (3, "purchase", 1, 3333, 2500),
+    ]
+
+
+def test_funnel_python_twin(spark):
+    from ocr_spark.operators.temporal import FUNNEL_STEPS, qr_event_funnel
+    con = duckdb.connect()
+    evs = con.execute(
+        f"SELECT user_id, event_type, ts FROM '{SF_DIR}/events.parquet' "
+        f"WHERE user_id IS NOT NULL AND ts IS NOT NULL").fetchall()
+    by_user = defaultdict(lambda: defaultdict(list))
+    for uid, et, ts in evs:
+        by_user[uid][et].append(ts)
+    counts = []
+    arrivals = {}
+    for k, step in enumerate(FUNNEL_STEPS):
+        nxt = {}
+        for uid, evts in by_user.items():
+            if k and uid not in arrivals:
+                continue
+            cand = [ts for ts in evts.get(step, [])
+                    if k == 0 or ts >= arrivals[uid]]
+            if cand:
+                nxt[uid] = min(cand)
+        arrivals = nxt
+        counts.append(len(nxt))
+    want = [(k + 1, s, counts[k],
+             (counts[k] * 10000) // (counts[k - 1] if k else counts[0]),
+             (counts[k] * 10000) // counts[0])
+            for k, s in enumerate(FUNNEL_STEPS)]
+    got = [(r.step_idx, r.step, r.n_users, r.conv_prev_bp, r.conv_first_bp)
+           for r in qr_event_funnel(spark, SF_DIR).collect()]
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# plan pins
+# ---------------------------------------------------------------------------
+
+
+def test_entropy_plan_is_map_only(spark):
+    """The per-doc entropy fold must never hash-shuffle the corpus: the
+    only exchange in the plan is the output orderBy's range partition."""
+    from ocr_spark.operators.quality import txt_entropy
+    plan = txt_entropy(spark, SF_DIR)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "hashpartitioning" not in plan
