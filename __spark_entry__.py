@@ -99,7 +99,8 @@ _MEASURED_COST = {
     # round-5 third continuation (measured sf0.01, one driver-sim pass)
     'qr_daily_anomaly': 0.9, 'txt_vocab_coverage': 0.8, 'txt_entropy': 1.3,
     'txt_cooc_pmi': 1.5, 'dd_bloom_check': 1.8, 'sim_recall_eval': 3.2,
-    'txt_zipf_slope': 1.0, 'qr_event_funnel': 1.0,
+    'txt_zipf_slope': 1.0, 'qr_event_funnel': 1.0, 'smp_mix_report': 0.9,
+    'emb_cosine_hist': 2.9,
 }
 
 

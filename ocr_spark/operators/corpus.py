@@ -765,6 +765,31 @@ ORDER BY prefix_key
 INCR_BATCH_RESIDUE = 7  # doc_id % 10 == 7 plays the "new crawl batch"
 
 
+def incr_batch_frame(docs: DataFrame, replay_suffix: str = "") -> DataFrame:
+    """The deterministic "new crawl batch" shared by the incremental
+    dedup family (dd_incremental / dd_incremental_neardup /
+    dd_bloom_check and the streaming bloom twin): doc_id % 10 == 7 rows
+    form the batch; half of them (doc_id % 20 == 7) replay doc_id-7's
+    text plus `replay_suffix` (planted dups / near-dups), the rest get a
+    unique marker (guaranteed new) — so every verdict branch is
+    exercised and oracle-replayable on any testdata."""
+    is_batch = F.col("doc_id") % 10 == INCR_BATCH_RESIDUE
+    donors = docs.select(
+        (F.col("doc_id") + INCR_BATCH_RESIDUE).alias("doc_id"),
+        F.col("text").alias("donor_text"))
+    replay = F.col("donor_text")
+    if replay_suffix:
+        replay = F.concat(replay, F.lit(replay_suffix))
+    return (docs.where(is_batch)
+            .join(donors, "doc_id")
+            .select("doc_id",
+                    F.when(F.col("doc_id") % 20 == INCR_BATCH_RESIDUE,
+                           replay)
+                    .otherwise(F.concat(
+                        F.col("text"), F.lit(" batch-new-"),
+                        F.col("doc_id").cast("string"))).alias("text")))
+
+
 def dd_incremental(spark, sf_dir):
     """Incremental dedup of a new batch against the existing corpus — the
     daily-crawl shape: the historical corpus is never re-shuffled against
@@ -781,29 +806,12 @@ def dd_incremental(spark, sf_dir):
     branches are exercised and oracle-checked on any testdata."""
     docs = _docs(spark, sf_dir)
     is_batch = F.col("doc_id") % 10 == INCR_BATCH_RESIDUE
-
-    def text_hash(c):
-        return F.md5(F.regexp_replace(F.lower(c), r"[ \t\n\x0b\f\r]+", " "))
-
-    # the incoming batch: doc_id % 20 == 7 replays the text of doc_id-7
-    # (a corpus doc — residue 0 — so a guaranteed exact dup); the rest
-    # get a unique suffix (guaranteed new)
-    donors = docs.select(
-        (F.col("doc_id") + INCR_BATCH_RESIDUE).alias("doc_id"),
-        F.col("text").alias("donor_text"))
-    batch = (docs.where(is_batch)
-             .join(donors, "doc_id")
-             .select("doc_id",
-                     F.when(F.col("doc_id") % 20 == INCR_BATCH_RESIDUE,
-                            F.col("donor_text"))
-                     .otherwise(F.concat(
-                         F.col("text"), F.lit(" batch-new-"),
-                         F.col("doc_id").cast("string"))).alias("text")))
+    batch = incr_batch_frame(docs)
     corpus_idx = (docs.where(~is_batch)
-                  .groupBy(text_hash(F.col("text")).alias("text_hash"))
+                  .groupBy(content_md5(F.col("text")).alias("text_hash"))
                   .agg(F.min("doc_id").alias("dup_of")))
     return (batch.select("doc_id",
-                         text_hash(F.col("text")).alias("text_hash"))
+                         content_md5(F.col("text")).alias("text_hash"))
             .join(corpus_idx, "text_hash", "left")
             .select("doc_id",
                     F.when(F.col("dup_of").isNotNull(), F.lit("dup"))
@@ -842,6 +850,45 @@ BLOOM_K = 4           # hash functions per inserted key
 BLOOM_EXTRA_BITS = 3  # m = 2^(floorlog2(n)+1+3)  →  8n ≤ m < 16n bits
 
 
+def content_md5(c):
+    """Whitespace-normalized lowercase content hash (md5 hex) — the
+    exact-dedup key shared by the incremental family and the streaming
+    bloom twin."""
+    return F.md5(F.regexp_replace(F.lower(c), r"[ \t\n\x0b\f\r]+", " "))
+
+
+def bloom_pos_explode():
+    """Explode column yielding the BLOOM_K probe positions of one
+    content hash; expects columns `text_hash` (md5 hex) and `m`
+    (BIGINT) in scope. Positions are pmod(md5-long(hash||':'||j), m) —
+    pure integer/md5 arithmetic, identical on DuckDB via the UBIGINT
+    bridge and `((x % m) + m) % m`. j rides as a literal suffix so the
+    Spark concat and the SQL `|| ':' || CAST(j AS VARCHAR)` render the
+    same preimage bytes."""
+    return F.explode(F.array(*[
+        F.expr("pmod(CAST(({h}) AS BIGINT), m)".format(
+            h=("CAST(conv(substring(md5(concat(text_hash, ':{j}')), 1, 16),"
+               " 16, 10) AS DECIMAL(20,0)) - CAST('9223372036854775808'"
+               " AS DECIMAL(20,0))").format(j=j)))
+        for j in range(BLOOM_K)]))
+
+
+def bloom_bits_build(corpus_docs: DataFrame,
+                     extra_bits: int = BLOOM_EXTRA_BITS):
+    """Materialize the Bloom filter of a corpus's content hashes for
+    serving (the streaming twin joins a stream against it): returns
+    (bits DataFrame of distinct positions, m). m is fixed driver-side
+    from one count — the serving path wants a CONSTANT modulus it can
+    persist alongside the bits."""
+    n = corpus_docs.count()
+    m = 1 << (max(int(n), 1).bit_length() + extra_bits)
+    hashes = corpus_docs.select(
+        content_md5(F.col("text")).alias("text_hash"),
+        F.lit(m).cast("long").alias("m"))
+    bits = hashes.select(bloom_pos_explode().alias("pos")).distinct()
+    return bits, m
+
+
 def dd_bloom_check(spark, sf_dir, extra_bits: int = BLOOM_EXTRA_BITS):
     """Bloom-filter incremental dedup — the membership structure a
     100 TB pipeline actually ships between crawls: the corpus's content
@@ -870,23 +917,9 @@ def dd_bloom_check(spark, sf_dir, extra_bits: int = BLOOM_EXTRA_BITS):
     and `((x % m) + m) % m`."""
     docs = _docs(spark, sf_dir)
     is_batch = F.col("doc_id") % 10 == INCR_BATCH_RESIDUE
-
-    def text_hash(c):
-        return F.md5(F.regexp_replace(F.lower(c), r"[ \t\n\x0b\f\r]+", " "))
-
-    donors = docs.select(
-        (F.col("doc_id") + INCR_BATCH_RESIDUE).alias("doc_id"),
-        F.col("text").alias("donor_text"))
-    batch = (docs.where(is_batch)
-             .join(donors, "doc_id")
-             .select("doc_id",
-                     F.when(F.col("doc_id") % 20 == INCR_BATCH_RESIDUE,
-                            F.col("donor_text"))
-                     .otherwise(F.concat(
-                         F.col("text"), F.lit(" batch-new-"),
-                         F.col("doc_id").cast("string"))).alias("text")))
+    batch = incr_batch_frame(docs)
     corpus = docs.where(~is_batch).select(
-        "doc_id", text_hash(F.col("text")).alias("text_hash"))
+        "doc_id", content_md5(F.col("text")).alias("text_hash"))
     # m from the corpus count: one metadata-cheap agg, broadcast as a
     # 1-row sizing frame to both the insert and the probe side
     sizing = corpus.agg(F.count("*").alias("n_corpus")).selectExpr(
@@ -894,23 +927,19 @@ def dd_bloom_check(spark, sf_dir, extra_bits: int = BLOOM_EXTRA_BITS):
         .format(e=int(extra_bits)))
 
     def positions(df):
-        pos = F.explode(F.array(*[
-            F.expr("pmod(CAST(({h}) AS BIGINT), m)".format(
-                h=("CAST(conv(substring(md5(concat(text_hash, ':{j}')), 1, 16),"
-                   " 16, 10) AS DECIMAL(20,0)) - CAST('9223372036854775808'"
-                   " AS DECIMAL(20,0))").format(j=j)))
-            for j in range(BLOOM_K)])).alias("pos")
-        return df.crossJoin(broadcast(sizing)).select("*", pos)
+        return (df.crossJoin(broadcast(sizing))
+                .select("*", bloom_pos_explode().alias("pos")))
 
     bits = positions(corpus).select("pos").distinct()
     probes = positions(
-        batch.select("doc_id", text_hash(F.col("text")).alias("text_hash")))
+        batch.select("doc_id", content_md5(F.col("text")).alias("text_hash")))
     hit_counts = (probes.join(bits.withColumn("hit", F.lit(1)), "pos", "left")
                   .groupBy("doc_id")
                   .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0)))
                        .cast("long").alias("n_hits")))
     corpus_idx = corpus.groupBy("text_hash").agg(F.min("doc_id").alias("dup_of"))
-    return (batch.select("doc_id", text_hash(F.col("text")).alias("text_hash"))
+    return (batch.select("doc_id",
+                         content_md5(F.col("text")).alias("text_hash"))
             .join(corpus_idx, "text_hash", "left")
             .join(hit_counts, "doc_id")
             .select("doc_id", "n_hits",
@@ -990,18 +1019,7 @@ def dd_incremental_neardup(spark, sf_dir):
     signature → banding → index-join chain end to end."""
     docs = _docs(spark, sf_dir)
     is_batch = F.col("doc_id") % 10 == INCR_BATCH_RESIDUE
-    donors = docs.select(
-        (F.col("doc_id") + INCR_BATCH_RESIDUE).alias("doc_id"),
-        F.col("text").alias("donor_text"))
-    batch = (docs.where(is_batch)
-             .join(donors, "doc_id")
-             .select("doc_id",
-                     F.when(F.col("doc_id") % 20 == INCR_BATCH_RESIDUE,
-                            F.concat(F.col("donor_text"),
-                                     F.lit(" near dup probe")))
-                     .otherwise(F.concat(
-                         F.col("text"), F.lit(" batch-new-"),
-                         F.col("doc_id").cast("string"))).alias("text")))
+    batch = incr_batch_frame(docs, replay_suffix=" near dup probe")
     src = (docs.where(~is_batch).select("doc_id", "text")
            .unionByName(batch))
     sigs = _spread(src).mapInPandas(_minhash_sig_stage(),
@@ -3366,6 +3384,86 @@ SELECT query_id, rank, cand_id, cosine FROM (
 SIM_LSH_TOPK_SQL = _sim_lsh_topk_sql()
 
 
+EMB_HIST_BINS = 20  # cosine in [-1, 1] → 20 bins of width 0.1
+
+
+def emb_cosine_hist(spark, sf_dir):
+    """Pairwise-cosine histogram over LSH-bucket-restricted pairs — the
+    threshold-calibration read a team takes BEFORE setting a near-dup or
+    ANN cutoff (the dense-side analog of dd_minhash_est_error): where
+    does this corpus's same-bucket similarity mass actually sit?
+    Restricting pairs to equal 6-bit hyperplane codes keeps the pair set
+    bucket-bounded (the all-pairs histogram is quadratic; the bucketed
+    one is what scales, and it is exactly the population an LSH-based
+    dedup would score). Bin = floor((cosine+1)·10) clamped to the top
+    bin — both engines floor the IDENTICAL IEEE double (dot and norm
+    chains are written in the same association order as the generated
+    SQL; the floor-bin pattern of txt_quality_hist).
+
+    Scale shape: one map-only code+norm stage, one keyed self-join on
+    the code, one tiny groupBy(bin). At 100 TB the same cap discipline
+    as dd_embedding_neardup applies (salt-split oversized cells)."""
+    coded = lsh_code_frame(_emb(spark, sf_dir))
+    a = coded.select(F.col("vec_id").alias("id1"), F.col("code"),
+                     F.col("vec").alias("v1"), F.col("norm").alias("n1"))
+    b = coded.select(F.col("vec_id").alias("id2"), F.col("code"),
+                     F.col("vec").alias("v2"), F.col("norm").alias("n2"))
+    cos = _dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))
+    pairs = (a.join(b, "code")
+             .where(F.col("id1") < F.col("id2"))
+             .select(F.least(F.lit(EMB_HIST_BINS - 1),
+                             F.floor((cos + F.lit(1.0)) * F.lit(10.0)))
+                     .cast("long").alias("bin")))
+    hist = pairs.groupBy("bin").agg(F.count("*").cast("long").alias("n_pairs"))
+    tot = hist.agg(F.sum("n_pairs").cast("long").alias("total_pairs"))
+    return (hist.crossJoin(broadcast(tot))
+            .selectExpr("bin", "n_pairs",
+                        "CAST((n_pairs * 10000) DIV total_pairs AS BIGINT)"
+                        " AS share_bp")
+            .orderBy("bin"))
+
+
+def _emb_cosine_hist_sql() -> str:
+    """Oracle: the same literal hyperplane planes, dimension-sequential
+    dot/norm chains, equal-code pair restriction, and floor binning."""
+    planes = _lsh_topk_planes()
+    code_expr = " + ".join(
+        "(CASE WHEN ("
+        + " + ".join(f"e[{j + 1}] * {float(planes[j][p])!r}"
+                     for j in range(EMB_DIM))
+        + f") >= 0 THEN 1 ELSE 0 END) * {1 << p}"
+        for p in range(N_LSH_TOPK_PLANES))
+    sq_chain = " + ".join(f"e[{j + 1}] * e[{j + 1}]" for j in range(EMB_DIM))
+    dot_chain = " + ".join(f"a.e[{j + 1}] * b.e[{j + 1}]"
+                           for j in range(EMB_DIM))
+    return f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+),
+coded AS (
+  SELECT vec_id, e, CAST({code_expr} AS BIGINT) AS code,
+         sqrt({sq_chain}) AS norm
+  FROM base
+),
+pairs AS (
+  SELECT LEAST({EMB_HIST_BINS - 1},
+               CAST(FLOOR((({dot_chain}) / (a.norm * b.norm)
+                    + CAST(1.0 AS DOUBLE)) * CAST(10.0 AS DOUBLE))
+                    AS BIGINT)) AS bin
+  FROM coded a JOIN coded b ON a.code = b.code AND a.vec_id < b.vec_id
+),
+hist AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pairs GROUP BY bin
+),
+tot AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS total_pairs FROM hist)
+SELECT bin, n_pairs,
+       CAST((n_pairs * 10000) // total_pairs AS BIGINT) AS share_bp
+FROM hist, tot
+ORDER BY bin
+"""
+
+
 def sim_recall_eval(spark, sf_dir):
     """Recall@10 of the multiprobe-LSH ANN path against the exact cosine
     top-10 — the calibration query a team runs before trusting an ANN
@@ -4352,6 +4450,7 @@ QUERIES = {
     "sim_lsh_buckets": (sim_lsh_buckets, SIM_LSH_BUCKETS_SQL),
     "sim_lsh_topk": (sim_lsh_topk, SIM_LSH_TOPK_SQL),
     "sim_recall_eval": (sim_recall_eval, _sim_recall_sql()),
+    "emb_cosine_hist": (emb_cosine_hist, _emb_cosine_hist_sql()),
     "mm_winnow_fingerprint": (mm_winnow_fingerprint, MM_WINNOW_SQL),
     "mm_binary_features": (mm_binary_features, MM_BINARY_SQL),
     "dd_simhash": (dd_simhash, DD_SIMHASH_SQL),

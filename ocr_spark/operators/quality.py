@@ -3072,6 +3072,92 @@ ORDER BY t.threshold
 
 
 # ---------------------------------------------------------------------------
+# Mix reconciliation report (achieved vs configured source shares)
+# ---------------------------------------------------------------------------
+
+# MIX_WEIGHTS ×10 as exact integers so the whole report is integer
+# arithmetic (the quantize-before-cross-group-sums lesson)
+_MIX_W10 = {s: int(w * 10) for s, w in MIX_WEIGHTS.items()}
+_MIX_DEFAULT_W10 = 10
+
+
+def smp_mix_report(spark, sf_dir):
+    """Mix reconciliation: per source, the achieved token share against
+    the configured MIX_WEIGHTS target — the monitoring read that tells a
+    data team which sources are over/under-represented and by how much
+    BEFORE re-running the mixing pass (smp_source_mix is the actuator;
+    this is the gauge). All integer: weights ride as exact ×10 integers,
+    target_bp = (w·10⁴) DIV Σw, achieved_bp = (tok_s·10⁴) DIV total,
+    deficit_bp = target − achieved, and the corrective resample factor
+    in ppm = (w·total·10⁶) DIV (Σw·tok_s) — floor division on
+    non-negative operands, identical on both engines.
+
+    Scale shape: one map-only token-count projection + one tiny
+    groupBy(source) + a single-row total cross-joined back — the corpus
+    never shuffles beyond the keyed source agg. int64 headroom:
+    w·total·10⁶ needs total ≤ 2·10¹¹ tokens per report universe; at
+    100 TB run the report per shard or quantize tokens to thousands
+    (documented bound)."""
+    docs = _docs(spark, sf_dir)
+    w = F.lit(_MIX_DEFAULT_W10)
+    for s, wt in _MIX_W10.items():
+        w = F.when(F.col("source") == s, F.lit(wt)).otherwise(w)
+    stats = (docs.selectExpr(
+                 "source",
+                 "CAST(size(split(lower(coalesce(text, '')),"
+                 " '[ \\\\t\\\\n\\\\x0b\\\\f\\\\r]+')) AS BIGINT)"
+                 " AS n_tokens_b")
+             .groupBy("source")
+             .agg(F.sum("n_tokens_b").cast("long").alias("tok_total"))
+             .withColumn("w10", w.cast("long")))
+    tot = stats.agg(F.sum("tok_total").cast("long").alias("total_tokens"),
+                    F.sum("w10").cast("long").alias("total_w10"))
+    return (stats.crossJoin(broadcast(tot))
+            .selectExpr(
+                "source", "tok_total",
+                "CAST((tok_total * 10000) DIV total_tokens AS BIGINT)"
+                " AS achieved_bp",
+                "CAST((w10 * 10000) DIV total_w10 AS BIGINT) AS target_bp",
+                "CAST((w10 * 10000) DIV total_w10"
+                " - (tok_total * 10000) DIV total_tokens AS BIGINT)"
+                " AS deficit_bp",
+                "CAST((w10 * total_tokens * 1000000)"
+                " DIV (total_w10 * tok_total) AS BIGINT) AS resample_ppm")
+            .orderBy("source"))
+
+
+_MIX_W10_CASES = "\n".join(
+    f"       WHEN source = '{s}' THEN {w}" for s, w in _MIX_W10.items())
+
+SMP_MIX_REPORT_SQL = f"""
+WITH stats AS (
+  SELECT source,
+         CAST(SUM(len(string_split_regex(lower(coalesce(text, '')),
+              '[ \\t\\n\\x0b\\f\\r]+'))) AS BIGINT) AS tok_total,
+         CAST(CASE
+{_MIX_W10_CASES}
+         ELSE {_MIX_DEFAULT_W10} END AS BIGINT) AS w10
+  FROM documents WHERE doc_id IS NOT NULL
+  GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(tok_total) AS BIGINT) AS total_tokens,
+         CAST(SUM(w10) AS BIGINT) AS total_w10
+  FROM stats
+)
+SELECT source, tok_total,
+       CAST((tok_total * 10000) // total_tokens AS BIGINT) AS achieved_bp,
+       CAST((w10 * 10000) // total_w10 AS BIGINT) AS target_bp,
+       CAST((w10 * 10000) // total_w10
+            - (tok_total * 10000) // total_tokens AS BIGINT) AS deficit_bp,
+       CAST((w10 * total_tokens * 1000000)
+            // (total_w10 * tok_total) AS BIGINT) AS resample_ppm
+FROM stats, tot
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # Zipf-slope corpus health check
 # ---------------------------------------------------------------------------
 
@@ -3150,6 +3236,7 @@ QUERIES = {
     "txt_cooc_pmi": (txt_cooc_pmi, TXT_COOC_SQL),
     "txt_vocab_coverage": (txt_vocab_coverage, TXT_VOCAB_COV_SQL),
     "txt_zipf_slope": (txt_zipf_slope, TXT_ZIPF_SQL),
+    "smp_mix_report": (smp_mix_report, SMP_MIX_REPORT_SQL),
     "txt_drift_tvd": (txt_drift_tvd, TXT_DRIFT_SQL),
     "smp_length_buckets": (smp_length_buckets, SMP_LEN_BUCKETS_SQL),
     "txt_gate_agreement": (txt_gate_agreement,

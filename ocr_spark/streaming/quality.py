@@ -100,6 +100,30 @@ def url_spam_gate_stream(docs: DataFrame) -> DataFrame:
                 " AS link_char_bp"))
 
 
+def bloom_check_stream(docs: DataFrame, bits: DataFrame,
+                       m: int) -> DataFrame:
+    """Streaming Bloom membership check: documents ARRIVING on a stream
+    probe the committed corpus Bloom filter (corpus.bloom_bits_build) —
+    the dedup_index.check_stream shape with an O(m/8)-byte static side
+    instead of the full band index (the reason real pipelines put a
+    Bloom in FRONT of the exact index: most novel docs resolve against
+    bits that fit in memory). Stateless stream-static LEFT join; output
+    grain is (doc_id, pos, hit) — one row per probe position, per-doc
+    roll-up (n_hits == BLOOM_K ⇒ bloom-dup) is the consumer's
+    aggregation, exactly as check_stream leaves it. Batch equivalence
+    with dd_bloom_check's n_hits is pinned by
+    tests/test_streaming_quality.py."""
+    from ..operators.corpus import bloom_pos_explode, content_md5
+    probes = (docs.select(
+                  "doc_id",
+                  content_md5(F.col("text")).alias("text_hash"),
+                  F.lit(int(m)).cast("long").alias("m"))
+              .select("doc_id", bloom_pos_explode().alias("pos")))
+    return (probes.join(bits.withColumn("hit", F.lit(1)), "pos", "left")
+            .select("doc_id", "pos",
+                    F.coalesce(F.col("hit"), F.lit(0)).alias("hit")))
+
+
 def chunk_windows_stream(docs: DataFrame) -> DataFrame:
     """Overlapping token-window chunks of a (streaming or batch)
     documents frame — txt_chunk_windows' exact projection without its

@@ -437,6 +437,90 @@ def test_funnel_python_twin(spark):
 
 
 # ---------------------------------------------------------------------------
+# smp_mix_report
+# ---------------------------------------------------------------------------
+
+
+def test_mix_report_exact_fixture(spark, tmp_path):
+    """Two sources with known weights: every output column is
+    hand-computable integer arithmetic."""
+    from ocr_spark.operators.quality import smp_mix_report
+    docs = [
+        # src0 (w10=40): 30 tokens; zz (unlisted, w10=10): 10 tokens
+        (1, " ".join(f"t{i}" for i in range(30)), "en", "src0", 0),
+        (2, " ".join(f"u{i}" for i in range(10)), "en", "zz", 0),
+    ]
+    got = {r.source: (r.tok_total, r.achieved_bp, r.target_bp,
+                      r.deficit_bp, r.resample_ppm)
+           for r in smp_mix_report(spark, _write_docs(spark, tmp_path, docs))
+           .collect()}
+    # totals: 40 tokens, Σw10 = 50
+    assert got == {
+        "src0": (30, 7500, 8000, 500, (40 * 40 * 1000000) // (50 * 30)),
+        "zz": (10, 2500, 2000, -500, (10 * 40 * 1000000) // (50 * 10)),
+    }
+
+
+def test_mix_report_python_twin(spark):
+    from ocr_spark.operators.quality import (_MIX_DEFAULT_W10, _MIX_W10,
+                                             smp_mix_report)
+    con = _duck_docs_con()
+    tok = Counter()
+    for source, text in con.execute(
+            "SELECT source, text FROM documents "
+            "WHERE doc_id IS NOT NULL").fetchall():
+        # Spark split keeps leading/trailing empty fields — count them
+        tok[source] += len(re.split(r"[ \t\n\x0b\f\r]+",
+                                    (text or "").lower()))
+    total = sum(tok.values())
+    w10 = {s: _MIX_W10.get(s, _MIX_DEFAULT_W10) for s in tok}
+    total_w = sum(w10.values())
+    want = {s: (t, (t * 10000) // total, (w10[s] * 10000) // total_w,
+                (w10[s] * 10000) // total_w - (t * 10000) // total,
+                (w10[s] * total * 1000000) // (total_w * t))
+            for s, t in tok.items()}
+    got = {r.source: (r.tok_total, r.achieved_bp, r.target_bp,
+                      r.deficit_bp, r.resample_ppm)
+           for r in smp_mix_report(spark, SF_DIR).collect()}
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# emb_cosine_hist
+# ---------------------------------------------------------------------------
+
+
+def test_cosine_hist_python_twin(spark):
+    """Independent pair generation + binning over the SAME coded frame:
+    collect codes and vectors, enumerate equal-code pairs in Python with
+    the sequential dot fold, and compare the histogram exactly."""
+    from ocr_spark.operators.corpus import (EMB_HIST_BINS, _emb,
+                                            emb_cosine_hist,
+                                            lsh_code_frame)
+    import math
+    coded = lsh_code_frame(_emb(spark, SF_DIR)).collect()
+    by_code = defaultdict(list)
+    for r in coded:
+        by_code[r.code].append((r.vec_id, r.vec, r.norm))
+    hist = Counter()
+    for members in by_code.values():
+        members.sort()
+        for i, (_, v1, n1) in enumerate(members):
+            for _, v2, n2 in members[i + 1:]:
+                dot = 0.0
+                for x, y in zip(v1, v2):
+                    dot += x * y
+                cos = dot / (n1 * n2)
+                hist[min(EMB_HIST_BINS - 1, math.floor((cos + 1.0) * 10.0))] \
+                    += 1
+    total = sum(hist.values())
+    want = {b: (c, (c * 10000) // total) for b, c in hist.items()}
+    got = {r.bin: (r.n_pairs, r.share_bp)
+           for r in emb_cosine_hist(spark, SF_DIR).collect()}
+    assert got == want and total > 0
+
+
+# ---------------------------------------------------------------------------
 # plan pins
 # ---------------------------------------------------------------------------
 

@@ -181,3 +181,42 @@ def test_url_spam_gate_stream_equals_batch(spark, tmp_path):
     kept_ids = {t[0] for t in got}
     assert not any(i >= 20_000_000 for i in kept_ids), \
         "every planted link farm must drop"
+
+
+def test_bloom_check_stream_equals_batch(spark, tmp_path):
+    """The streaming Bloom probe (stream-static join against the
+    committed bits) must reproduce dd_bloom_check's per-doc n_hits
+    exactly on the same planted batch, including at least one planted
+    duplicate (all BLOOM_K probes hit)."""
+    from ocr_spark.operators.corpus import (BLOOM_K, INCR_BATCH_RESIDUE,
+                                            bloom_bits_build,
+                                            dd_bloom_check,
+                                            incr_batch_frame)
+    from ocr_spark.streaming.quality import bloom_check_stream
+
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .where(F.col("doc_id").isNotNull()))
+    corpus = docs.where(F.col("doc_id") % 10 != INCR_BATCH_RESIDUE)
+    bits, m = bloom_bits_build(corpus)
+    bits = bits.cache()
+
+    # the same deterministic "new crawl" the batch op checks
+    src = str(tmp_path / "in")
+    incr_batch_frame(docs).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (bloom_check_stream(stream, bits, m)
+         .writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    rolled = (spark.read.parquet(out).groupBy("doc_id")
+              .agg(F.sum("hit").cast("long").alias("n_hits")))
+    got = {r.doc_id: r.n_hits for r in rolled.collect()}
+    want = {r.doc_id: r.n_hits
+            for r in dd_bloom_check(spark, SF_DIR).collect()}
+    assert got == want and len(got) > 0
+    assert any(v == BLOOM_K for v in got.values())
+    bits.unpersist()
