@@ -100,7 +100,8 @@ _MEASURED_COST = {
     'qr_daily_anomaly': 0.9, 'txt_vocab_coverage': 0.8, 'txt_entropy': 1.3,
     'txt_cooc_pmi': 1.5, 'dd_bloom_check': 1.8, 'sim_recall_eval': 3.2,
     'txt_zipf_slope': 1.0, 'qr_event_funnel': 1.0, 'smp_mix_report': 0.9,
-    'emb_cosine_hist': 2.9,
+    'emb_cosine_hist': 2.9, 'conv_loss_mass': 0.8,
+    'dd_dup_rate_by_gate': 1.8, 'qr_bot_detection': 0.7,
 }
 
 

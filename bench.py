@@ -100,6 +100,7 @@ HEADLINE = HEADLINE_R1 + [
     "dd_bloom_check", "sim_recall_eval", "txt_entropy", "txt_cooc_pmi",
     "txt_vocab_coverage", "qr_daily_anomaly", "txt_zipf_slope",
     "qr_event_funnel", "smp_mix_report", "emb_cosine_hist",
+    "conv_loss_mass", "dd_dup_rate_by_gate", "qr_bot_detection",
 ]
 
 

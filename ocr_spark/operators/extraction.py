@@ -1679,8 +1679,65 @@ FROM r ORDER BY conv_id
 """
 
 
+def conv_loss_mass(spark, sf_dir):
+    """Trainable-token accounting per conversation — the loss-mass read
+    an SFT team takes before training: how many of a conversation's
+    tokens actually train (assistant spans, the chat-pack loss-mask
+    rule) versus ride as masked context. A corpus whose trainable share
+    is tiny wastes sequence budget; this is the gauge that catches it
+    at the conversation grain before packing.
+
+    One map-only token-count projection + one keyed conv aggregation;
+    integer basis points. Token rule = the chat-pack tokenizer
+    (whitespace split with the explicit Java-\\s class, ≥1 token per
+    turn via coalesce ''), so this report and smp_chat_pack's masks
+    count the same units. Uses conv_mod=25 (coprime to the role
+    modulus — the default 50 would put assistants in disjoint
+    conversations)."""
+    t = _agent_transcripts(spark, sf_dir, conv_mod=25)
+    tok = t.selectExpr(
+        "conv_id", "role",
+        "CAST(size(split(lower(coalesce(text, '')),"
+        " '[ \\\\t\\\\n\\\\x0b\\\\f\\\\r]+')) AS BIGINT) AS n_tok")
+    return (tok.groupBy("conv_id")
+            .agg(F.count("*").cast("long").alias("n_turns"),
+                 F.sum("n_tok").cast("long").alias("n_tokens"),
+                 F.sum(F.when(F.col("role") == "assistant", F.col("n_tok"))
+                       .otherwise(F.lit(0))).cast("long")
+                 .alias("asst_tokens"))
+            .selectExpr("conv_id", "n_turns", "n_tokens", "asst_tokens",
+                        "CAST((asst_tokens * 10000) DIV n_tokens AS BIGINT)"
+                        " AS trainable_bp")
+            .orderBy("conv_id"))
+
+
+CONV_LOSS_MASS_SQL = f"""
+WITH t AS ({{cte}}),
+tok AS (
+  SELECT conv_id, role,
+         CAST(len(string_split_regex(lower(coalesce(text, '')),
+              '[ \\t\\n\\x0b\\f\\r]+')) AS BIGINT) AS n_tok
+  FROM t
+)
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN role = 'assistant' THEN n_tok ELSE 0 END)
+            AS BIGINT) AS asst_tokens,
+       CAST((CAST(SUM(CASE WHEN role = 'assistant' THEN n_tok ELSE 0 END)
+            AS BIGINT) * 10000) // CAST(SUM(n_tok) AS BIGINT) AS BIGINT)
+           AS trainable_bp
+FROM tok
+GROUP BY conv_id
+ORDER BY conv_id
+"""
+
+
 QUERIES = {
     "conv_assemble": (conv_assemble, CONV_ASSEMBLE_SQL),
+    "conv_loss_mass": (conv_loss_mass,
+                       CONV_LOSS_MASS_SQL.format(
+                           cte=_agent_transcripts_cte(25))),
     "conv_chat_render": (conv_chat_render, CONV_CHAT_RENDER_SQL),
     "conv_stats": (conv_stats, CONV_STATS_SQL),
     "conv_dialogue_balance": (conv_dialogue_balance, CONV_BALANCE_SQL),

@@ -3072,6 +3072,101 @@ ORDER BY t.threshold
 
 
 # ---------------------------------------------------------------------------
+# Dup-rate × quality-gate interaction
+# ---------------------------------------------------------------------------
+
+
+def dd_dup_rate_by_gate(spark, sf_dir):
+    """Exact-duplicate rate split by the doc-local quality-gate verdict —
+    the interaction read behind curation-stage ORDERING: if duplicates
+    concentrate in gate-failing docs, quality-first saves the dedup
+    shuffle most of its input (and vice versa). Gate = the curation
+    funnel's doc-local rules (token floor + Gopher repetition caps, the
+    map-only sort-run fold); dup = corpus-wide content-hash multiplicity
+    ≥ 2 (the dd_exact_dup md5 fold).
+
+    Scale shape: gate signals are map-only; the only corpus shuffle is
+    the keyed hash count + same-key join back (the exact-dedup shape);
+    the final rollup is two rows. The DuckDB oracle recomputes the gate
+    via the keyed explode+GROUP BY form — differential across the two
+    signal algorithms, like txt_repetition."""
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id", "text", f"{_TOKENS} AS t")
+    sig = with_repetition_signals(docs)
+    gated = sig.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                               r"[ \t\n\x0b\f\r]+", " ")).alias("h"),
+        (F.coalesce(
+            (F.col("n_tok") >= MIN_TOKENS)
+            & (F.floor(F.col("max_tok").cast("double")
+                       / F.col("n_tok") * 10000) <= MAX_TOP_TOKEN_BP)
+            & (F.floor(F.col("dup_bg").cast("double")
+                       / F.col("n_bg") * 10000) <= MAX_DUP_BIGRAM_BP),
+            F.lit(False)).alias("gate_pass")))
+    dup_counts = gated.groupBy("h").agg(F.count("*").alias("n_h"))
+    return (gated.join(dup_counts, "h")
+            .groupBy("gate_pass")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum((F.col("n_h") >= 2).cast("long")).cast("long")
+                 .alias("n_dup_docs"))
+            .selectExpr("gate_pass", "n_docs", "n_dup_docs",
+                        "CAST((n_dup_docs * 10000) DIV n_docs AS BIGINT)"
+                        " AS dup_bp")
+            .orderBy("gate_pass"))
+
+
+DD_DUP_BY_GATE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+') AS t
+  FROM documents WHERE doc_id IS NOT NULL
+),
+uni AS (
+  SELECT doc_id, MAX(c) AS max_tok, CAST(SUM(c) AS BIGINT) AS n_tok FROM (
+    SELECT doc_id, g, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(t) AS g FROM tok) GROUP BY 1, 2)
+  GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id, CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+             AS dup_bg,
+         CAST(SUM(c) AS BIGINT) AS n_bg
+  FROM (
+    SELECT doc_id, g, COUNT(*) AS c
+    FROM (SELECT doc_id,
+                 unnest(list_transform(range(1, len(t)),
+                        i -> t[i] || ' ' || t[i + 1])) AS g
+          FROM tok) GROUP BY 1, 2)
+  GROUP BY doc_id
+),
+gated AS (
+  SELECT k.doc_id,
+         md5(regexp_replace(lower(coalesce(k.text, '')),
+             '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS h,
+         COALESCE(u.n_tok >= {MIN_TOKENS}
+                  AND FLOOR(CAST(u.max_tok AS DOUBLE) / u.n_tok * 10000)
+                      <= {MAX_TOP_TOKEN_BP}
+                  AND FLOOR(CAST(b.dup_bg AS DOUBLE) / b.n_bg * 10000)
+                      <= {MAX_DUP_BIGRAM_BP}, FALSE) AS gate_pass
+  FROM tok k
+  LEFT JOIN uni u USING (doc_id)
+  LEFT JOIN bg b USING (doc_id)
+),
+dupc AS (SELECT h, COUNT(*) AS n_h FROM gated GROUP BY h)
+SELECT g.gate_pass,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN d.n_h >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_docs,
+       CAST((CAST(SUM(CASE WHEN d.n_h >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+            * 10000) // COUNT(*) AS BIGINT) AS dup_bp
+FROM gated g JOIN dupc d USING (h)
+GROUP BY g.gate_pass
+ORDER BY g.gate_pass
+"""
+
+
+# ---------------------------------------------------------------------------
 # Mix reconciliation report (achieved vs configured source shares)
 # ---------------------------------------------------------------------------
 
@@ -3237,6 +3332,7 @@ QUERIES = {
     "txt_vocab_coverage": (txt_vocab_coverage, TXT_VOCAB_COV_SQL),
     "txt_zipf_slope": (txt_zipf_slope, TXT_ZIPF_SQL),
     "smp_mix_report": (smp_mix_report, SMP_MIX_REPORT_SQL),
+    "dd_dup_rate_by_gate": (dd_dup_rate_by_gate, DD_DUP_BY_GATE_SQL),
     "txt_drift_tvd": (txt_drift_tvd, TXT_DRIFT_SQL),
     "smp_length_buckets": (smp_length_buckets, SMP_LEN_BUCKETS_SQL),
     "txt_gate_agreement": (txt_gate_agreement,

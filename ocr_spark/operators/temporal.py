@@ -576,6 +576,54 @@ FROM counts ORDER BY step_idx
 QR_FUNNEL_SQL = _qr_funnel_sql()
 
 
+BOT_EVENTS_PER_MIN = 3  # flag users averaging more than this per active minute
+
+
+def qr_bot_detection(spark, sf_dir):
+    """Bot-traffic screen over the event stream — the crawl-hygiene read
+    a training-data team runs before trusting engagement signals: a user
+    whose event rate per ACTIVE minute is superhuman is automation, and
+    their events should not weight any mix or quality decision. Active
+    minutes = distinct date_trunc('minute') buckets (identical NTZ
+    truncation on both engines — no elapsed-time arithmetic, so the
+    timestampdiff-vs-datediff boundary class never enters); the rate
+    test is the integer cross-multiply n_events > RATE · n_minutes, and
+    the reported rate is ×100 fixed-point integer division.
+
+    Scale shape: one keyed (user, minute) distinct + one per-user
+    aggregation, both map-side combinable; the stream is touched once."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+    per_user = (ev.groupBy("user_id")
+                .agg(F.count("*").cast("long").alias("n_events"),
+                     F.countDistinct(F.date_trunc("minute", F.col("ts")))
+                     .cast("long").alias("n_active_minutes")))
+    return (per_user
+            .selectExpr(
+                "user_id", "n_events", "n_active_minutes",
+                "CAST((n_events * 100) DIV n_active_minutes AS BIGINT)"
+                " AS events_per_min_x100",
+                f"n_events > {BOT_EVENTS_PER_MIN} * n_active_minutes"
+                " AS is_bot")
+            .orderBy("user_id"))
+
+
+QR_BOT_SQL = f"""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT date_trunc('minute', ts)) AS BIGINT)
+           AS n_active_minutes,
+       CAST((CAST(COUNT(*) AS BIGINT) * 100)
+            // COUNT(DISTINCT date_trunc('minute', ts)) AS BIGINT)
+           AS events_per_min_x100,
+       COUNT(*) > {BOT_EVENTS_PER_MIN}
+           * COUNT(DISTINCT date_trunc('minute', ts)) AS is_bot
+FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "qr_asof_join": (qr_asof_join, QR_ASOF_SQL),
     "qr_range_join": (qr_range_join, QR_RANGE_SQL),
@@ -585,4 +633,5 @@ QUERIES = {
     "qr_stickiness": (qr_stickiness, QR_STICKINESS_SQL),
     "qr_daily_anomaly": (qr_daily_anomaly, QR_ANOMALY_SQL),
     "qr_event_funnel": (qr_event_funnel, QR_FUNNEL_SQL),
+    "qr_bot_detection": (qr_bot_detection, QR_BOT_SQL),
 }

@@ -521,6 +521,110 @@ def test_cosine_hist_python_twin(spark):
 
 
 # ---------------------------------------------------------------------------
+# conv_loss_mass
+# ---------------------------------------------------------------------------
+
+
+def test_loss_mass_agrees_with_chat_pack_masks(spark):
+    """The loss-mass report and the chat-pack loss masks must count the
+    SAME units: per conversation, asst_tokens == the sum of n_tokens on
+    loss=1 turns in chat_pack_placement, and n_tokens == the total."""
+    from ocr_spark.operators.extraction import (_agent_transcripts,
+                                                conv_loss_mass)
+    from ocr_spark.operators.quality import chat_pack_placement
+    placement = chat_pack_placement(
+        _agent_transcripts(spark, SF_DIR, conv_mod=25)).collect()
+    want_total = Counter()
+    want_loss = Counter()
+    for r in placement:
+        want_total[r.conv_id] += r.n_tokens
+        if r.loss == 1:
+            want_loss[r.conv_id] += r.n_tokens
+    got = conv_loss_mass(spark, SF_DIR).collect()
+    assert {r.conv_id for r in got} == set(want_total)
+    for r in got:
+        assert r.n_tokens == want_total[r.conv_id]
+        assert r.asst_tokens == want_loss[r.conv_id]
+        assert r.trainable_bp == (r.asst_tokens * 10000) // r.n_tokens
+    # the conv_mod=25 surface mixes roles: trainable mass exists and is
+    # never the whole conversation
+    assert any(r.asst_tokens > 0 for r in got)
+    assert all(r.trainable_bp < 10000 for r in got)
+
+
+# ---------------------------------------------------------------------------
+# dd_dup_rate_by_gate
+# ---------------------------------------------------------------------------
+
+
+def test_dup_by_gate_planted_interaction(spark, tmp_path):
+    """Duplicates planted ONLY among gate-failing junk must show up as
+    dup_bp > 0 on the fail row and 0 on the pass row."""
+    from ocr_spark.operators.quality import dd_dup_rate_by_gate
+    junk = "spam " * 30            # top-token share 100% → gate fail
+    good = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon ")
+    docs = [
+        (1, junk, "en", "s", 0), (2, junk, "en", "s", 0),   # planted dups
+        (3, good + "one", "en", "s", 0),
+        (4, good + "two", "en", "s", 0),
+        (5, good + "three", "en", "s", 0),
+    ]
+    got = {r.gate_pass: (r.n_docs, r.n_dup_docs, r.dup_bp)
+           for r in dd_dup_rate_by_gate(
+               spark, _write_docs(spark, tmp_path, docs)).collect()}
+    assert got == {False: (2, 2, 10000), True: (3, 0, 0)}
+
+
+def test_dup_by_gate_conserves_doc_count(spark):
+    from ocr_spark.operators.quality import dd_dup_rate_by_gate
+    con = _duck_docs_con()
+    n = con.execute("SELECT COUNT(*) FROM documents "
+                    "WHERE doc_id IS NOT NULL").fetchone()[0]
+    rows = dd_dup_rate_by_gate(spark, SF_DIR).collect()
+    assert sum(r.n_docs for r in rows) == n
+    assert all(r.dup_bp == (r.n_dup_docs * 10000) // r.n_docs for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# qr_bot_detection
+# ---------------------------------------------------------------------------
+
+
+def test_bot_detection_strict_rate_boundary(spark, tmp_path):
+    """Exactly RATE·minutes events is NOT a bot (strict >); one more
+    is. Active minutes count distinct truncated buckets, not elapsed
+    time."""
+    from ocr_spark.operators.temporal import qr_bot_detection
+    t = datetime.datetime
+    ev = []
+    # user 1: 10 events across 2 active minutes → 500 x100, bot
+    for i in range(10):
+        ev.append((len(ev), t(2024, 1, 1, 9, i % 2, i), 1, "click",
+                   1.0, "{}"))
+    # user 2: 3 events in 3 minutes → 100 x100, clean
+    for i in range(3):
+        ev.append((len(ev), t(2024, 1, 1, 9, i), 2, "view", 1.0, "{}"))
+    # user 3: 6 events in 2 minutes → exactly 3/min — NOT a bot
+    for i in range(6):
+        ev.append((len(ev), t(2024, 1, 1, 9, i % 2, 10 + i), 3, "view",
+                   1.0, "{}"))
+    d = str(tmp_path / "bev")
+    spark.createDataFrame(
+        ev, "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+    ).write.parquet(os.path.join(d, "events.parquet"))
+    got = {r.user_id: (r.n_events, r.n_active_minutes,
+                       r.events_per_min_x100, r.is_bot)
+           for r in qr_bot_detection(spark, d).collect()}
+    assert got == {
+        1: (10, 2, 500, True),
+        2: (3, 3, 100, False),
+        3: (6, 2, 300, False),
+    }
+
+
+# ---------------------------------------------------------------------------
 # plan pins
 # ---------------------------------------------------------------------------
 
