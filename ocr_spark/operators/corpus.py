@@ -847,7 +847,7 @@ ORDER BY b.doc_id
 
 
 BLOOM_K = 4           # hash functions per inserted key
-BLOOM_EXTRA_BITS = 3  # m = 2^(floorlog2(n)+1+3)  →  8n ≤ m < 16n bits
+BLOOM_EXTRA_BITS = 3  # m = 2^(bit_length(n)+3)  →  8n < m ≤ 16n bits
 
 
 def content_md5(c):
@@ -860,16 +860,14 @@ def content_md5(c):
 def bloom_pos_explode():
     """Explode column yielding the BLOOM_K probe positions of one
     content hash; expects columns `text_hash` (md5 hex) and `m`
-    (BIGINT) in scope. Positions are pmod(md5-long(hash||':'||j), m) —
-    pure integer/md5 arithmetic, identical on DuckDB via the UBIGINT
-    bridge and `((x % m) + m) % m`. j rides as a literal suffix so the
-    Spark concat and the SQL `|| ':' || CAST(j AS VARCHAR)` render the
-    same preimage bytes."""
+    (BIGINT) in scope. Positions are pmod(_md5_long(hash||':'||j), m) —
+    the repo's ONE md5-to-int64 bridge composed with the sign-safe mod,
+    identical on DuckDB via the UBIGINT bridge and `((x % m) + m) % m`.
+    j rides as a literal suffix so the Spark concat and the SQL
+    `|| ':' || CAST(j AS VARCHAR)` render the same preimage bytes."""
     return F.explode(F.array(*[
-        F.expr("pmod(CAST(({h}) AS BIGINT), m)".format(
-            h=("CAST(conv(substring(md5(concat(text_hash, ':{j}')), 1, 16),"
-               " 16, 10) AS DECIMAL(20,0)) - CAST('9223372036854775808'"
-               " AS DECIMAL(20,0))").format(j=j)))
+        F.pmod(_md5_long(F.concat(F.col("text_hash"), F.lit(f":{j}"))),
+               F.col("m"))
         for j in range(BLOOM_K)]))
 
 
@@ -893,7 +891,7 @@ def dd_bloom_check(spark, sf_dir, extra_bits: int = BLOOM_EXTRA_BITS):
     """Bloom-filter incremental dedup — the membership structure a
     100 TB pipeline actually ships between crawls: the corpus's content
     hashes are folded into an m-bit Bloom filter (m sized from the
-    corpus count: m = 2^(floorlog2(n)+1+extra_bits), so 8n ≤ m < 16n at
+    corpus count: m = 2^(bit_length(n)+extra_bits), so 8n < m ≤ 16n at
     the default and the fill ratio is bounded by construction), and the
     new batch probes k = BLOOM_K bit positions per doc. A doc whose k
     bits are all set is a *bloom* duplicate; joining the exact hash
@@ -917,9 +915,13 @@ def dd_bloom_check(spark, sf_dir, extra_bits: int = BLOOM_EXTRA_BITS):
     and `((x % m) + m) % m`."""
     docs = _docs(spark, sf_dir)
     is_batch = F.col("doc_id") % 10 == INCR_BATCH_RESIDUE
-    batch = incr_batch_frame(docs)
+    # hash each side ONCE and persist: corpus feeds the bit insert AND
+    # the exact index; the batch (a donor join) feeds the probes AND the
+    # verdict join (the repo's two-branch persist convention)
     corpus = docs.where(~is_batch).select(
-        "doc_id", content_md5(F.col("text")).alias("text_hash"))
+        "doc_id", content_md5(F.col("text")).alias("text_hash")).persist()
+    batch = incr_batch_frame(docs).select(
+        "doc_id", content_md5(F.col("text")).alias("text_hash")).persist()
     # m from the corpus count: one metadata-cheap agg, broadcast as a
     # 1-row sizing frame to both the insert and the probe side
     sizing = corpus.agg(F.count("*").alias("n_corpus")).selectExpr(
@@ -931,15 +933,13 @@ def dd_bloom_check(spark, sf_dir, extra_bits: int = BLOOM_EXTRA_BITS):
                 .select("*", bloom_pos_explode().alias("pos")))
 
     bits = positions(corpus).select("pos").distinct()
-    probes = positions(
-        batch.select("doc_id", content_md5(F.col("text")).alias("text_hash")))
+    probes = positions(batch)
     hit_counts = (probes.join(bits.withColumn("hit", F.lit(1)), "pos", "left")
                   .groupBy("doc_id")
                   .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0)))
                        .cast("long").alias("n_hits")))
     corpus_idx = corpus.groupBy("text_hash").agg(F.min("doc_id").alias("dup_of"))
-    return (batch.select("doc_id",
-                         content_md5(F.col("text")).alias("text_hash"))
+    return (batch
             .join(corpus_idx, "text_hash", "left")
             .join(hit_counts, "doc_id")
             .select("doc_id", "n_hits",
@@ -3334,11 +3334,12 @@ def sim_lsh_topk(spark, sf_dir):
     )
 
 
-def _sim_lsh_topk_sql() -> str:
-    """Oracle for sim_lsh_topk: the same PCG64 plane values as repr-exact
-    double literals, dot products as strict left-to-right `+` chains
-    (matching both the numpy code stage's dimension-sequential
-    accumulation and the JVM aggregate-fold used for norms/cosines)."""
+def _lsh_coded_cte() -> str:
+    """The `base, coded` WITH-prefix shared by every oracle that mirrors
+    lsh_code_frame (sim_lsh_topk, emb_cosine_hist): PCG64 plane values
+    as repr-exact double literals, the 6-bit sign code, and the norm as
+    a strict left-to-right `+` chain — one generator, so a change to
+    EMB_DIM / the plane seed cannot diverge the oracles."""
     planes = _lsh_topk_planes()
     code_expr = " + ".join(
         "(CASE WHEN ("
@@ -3347,12 +3348,7 @@ def _sim_lsh_topk_sql() -> str:
         + f") >= 0 THEN 1 ELSE 0 END) * {1 << p}"
         for p in range(N_LSH_TOPK_PLANES))
     sq_chain = " + ".join(f"e[{j + 1}] * e[{j + 1}]" for j in range(EMB_DIM))
-    dot_chain = " + ".join(f"p.qe[{j + 1}] * c.e[{j + 1}]"
-                           for j in range(EMB_DIM))
-    masks = ", ".join(str(m) for m in range(1 << N_LSH_TOPK_PLANES)
-                      if bin(m).count("1") <= N_LSH_MULTIPROBE)
-    return f"""
-WITH base AS (
+    return f"""base AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
   WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
 ),
@@ -3360,7 +3356,20 @@ coded AS (
   SELECT vec_id, e, CAST({code_expr} AS BIGINT) AS code,
          sqrt({sq_chain}) AS norm
   FROM base
-),
+)"""
+
+
+def _sim_lsh_topk_sql() -> str:
+    """Oracle for sim_lsh_topk: the shared coded CTE (_lsh_coded_cte) +
+    multiprobe expansion; dot products as strict left-to-right `+`
+    chains (matching both the numpy code stage's dimension-sequential
+    accumulation and the JVM aggregate-fold used for norms/cosines)."""
+    dot_chain = " + ".join(f"p.qe[{j + 1}] * c.e[{j + 1}]"
+                           for j in range(EMB_DIM))
+    masks = ", ".join(str(m) for m in range(1 << N_LSH_TOPK_PLANES)
+                      if bin(m).count("1") <= N_LSH_MULTIPROBE)
+    return f"""
+WITH {_lsh_coded_cte()},
 probes AS (
   SELECT q.vec_id AS query_id, q.e AS qe, q.norm AS qnorm,
          xor(q.code, m.mask::BIGINT) AS code
@@ -3403,7 +3412,9 @@ def emb_cosine_hist(spark, sf_dir):
     Scale shape: one map-only code+norm stage, one keyed self-join on
     the code, one tiny groupBy(bin). At 100 TB the same cap discipline
     as dd_embedding_neardup applies (salt-split oversized cells)."""
-    coded = lsh_code_frame(_emb(spark, sf_dir))
+    # cache: both sides of the pair join read the Arrow code+norm stage
+    # (the sim_lsh_topk precedent — uncached it would run twice)
+    coded = lsh_code_frame(_emb(spark, sf_dir)).cache()
     a = coded.select(F.col("vec_id").alias("id1"), F.col("code"),
                      F.col("vec").alias("v1"), F.col("norm").alias("n1"))
     b = coded.select(F.col("vec_id").alias("id2"), F.col("code"),
@@ -3424,28 +3435,13 @@ def emb_cosine_hist(spark, sf_dir):
 
 
 def _emb_cosine_hist_sql() -> str:
-    """Oracle: the same literal hyperplane planes, dimension-sequential
-    dot/norm chains, equal-code pair restriction, and floor binning."""
-    planes = _lsh_topk_planes()
-    code_expr = " + ".join(
-        "(CASE WHEN ("
-        + " + ".join(f"e[{j + 1}] * {float(planes[j][p])!r}"
-                     for j in range(EMB_DIM))
-        + f") >= 0 THEN 1 ELSE 0 END) * {1 << p}"
-        for p in range(N_LSH_TOPK_PLANES))
-    sq_chain = " + ".join(f"e[{j + 1}] * e[{j + 1}]" for j in range(EMB_DIM))
+    """Oracle: the shared coded CTE (_lsh_coded_cte — same plane
+    literals and chains as the Spark stage), equal-code pair
+    restriction, and floor binning."""
     dot_chain = " + ".join(f"a.e[{j + 1}] * b.e[{j + 1}]"
                            for j in range(EMB_DIM))
     return f"""
-WITH base AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
-),
-coded AS (
-  SELECT vec_id, e, CAST({code_expr} AS BIGINT) AS code,
-         sqrt({sq_chain}) AS norm
-  FROM base
-),
+WITH {_lsh_coded_cte()},
 pairs AS (
   SELECT LEAST({EMB_HIST_BINS - 1},
                CAST(FLOOR((({dot_chain}) / (a.norm * b.norm)
@@ -3478,7 +3474,10 @@ def sim_recall_eval(spark, sf_dir):
     Scale shape: inherits each side's own plan (exact = broadcast query
     cross join, LSH = keyed bucket join); the eval join itself touches
     only 2×50 ranked rows."""
-    exact = sim_cosine_topk(spark, sf_dir)
+    # persist: the n_exact aggregation AND the semi-join both read the
+    # brute-force ranking — uncached, the cosine scan would run twice
+    # (the repo's two-branch persist convention; harness clears caches)
+    exact = sim_cosine_topk(spark, sf_dir).persist()
     approx = sim_lsh_topk(spark, sf_dir).select("query_id", "cand_id")
     ex = exact.groupBy("query_id").agg(
         F.count("*").cast("long").alias("n_exact"))

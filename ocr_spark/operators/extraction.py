@@ -1694,11 +1694,14 @@ def conv_loss_mass(spark, sf_dir):
     count the same units. Uses conv_mod=25 (coprime to the role
     modulus — the default 50 would put assistants in disjoint
     conversations)."""
+    # the SAME tokenizer expression chat_pack_placement counts with —
+    # imported, not re-spelled, so the two surfaces cannot drift
+    # (in-function import: quality.py lazily imports extraction)
+    from .quality import _TURN_TOKENS
     t = _agent_transcripts(spark, sf_dir, conv_mod=25)
     tok = t.selectExpr(
         "conv_id", "role",
-        "CAST(size(split(lower(coalesce(text, '')),"
-        " '[ \\\\t\\\\n\\\\x0b\\\\f\\\\r]+')) AS BIGINT) AS n_tok")
+        f"CAST(size({_TURN_TOKENS}) AS BIGINT) AS n_tok")
     return (tok.groupBy("conv_id")
             .agg(F.count("*").cast("long").alias("n_turns"),
                  F.sum("n_tok").cast("long").alias("n_tokens"),

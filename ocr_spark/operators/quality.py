@@ -3090,20 +3090,23 @@ def dd_dup_rate_by_gate(spark, sf_dir):
     the final rollup is two rows. The DuckDB oracle recomputes the gate
     via the keyed explode+GROUP BY form — differential across the two
     signal algorithms, like txt_repetition."""
+    from .corpus import content_md5
     docs = _docs(spark, sf_dir).selectExpr(
         "doc_id", "text", f"{_TOKENS} AS t")
     sig = with_repetition_signals(docs)
+    # persist: the dup-count aggregation and the join-back both read the
+    # heavy sort-run-fold projection (the dd_exact_dup two-branch
+    # precedent); content_md5 = THE shared exact-dedup key
     gated = sig.select(
         "doc_id",
-        F.md5(F.regexp_replace(F.lower(F.coalesce(F.col("text"), F.lit(""))),
-                               r"[ \t\n\x0b\f\r]+", " ")).alias("h"),
+        content_md5(F.coalesce(F.col("text"), F.lit(""))).alias("h"),
         (F.coalesce(
             (F.col("n_tok") >= MIN_TOKENS)
             & (F.floor(F.col("max_tok").cast("double")
                        / F.col("n_tok") * 10000) <= MAX_TOP_TOKEN_BP)
             & (F.floor(F.col("dup_bg").cast("double")
                        / F.col("n_bg") * 10000) <= MAX_DUP_BIGRAM_BP),
-            F.lit(False)).alias("gate_pass")))
+            F.lit(False)).alias("gate_pass"))).persist()
     dup_counts = gated.groupBy("h").agg(F.count("*").alias("n_h"))
     return (gated.join(dup_counts, "h")
             .groupBy("gate_pass")
