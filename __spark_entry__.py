@@ -102,6 +102,7 @@ _MEASURED_COST = {
     'txt_zipf_slope': 1.0, 'qr_event_funnel': 1.0, 'smp_mix_report': 0.9,
     'emb_cosine_hist': 2.9, 'conv_loss_mass': 0.8,
     'dd_dup_rate_by_gate': 1.8, 'qr_bot_detection': 0.7,
+    'dd_jaccard_threshold_sweep': 2.5, 'sim_hard_negatives': 4.0,
 }
 
 

@@ -101,6 +101,7 @@ HEADLINE = HEADLINE_R1 + [
     "txt_vocab_coverage", "qr_daily_anomaly", "txt_zipf_slope",
     "qr_event_funnel", "smp_mix_report", "emb_cosine_hist",
     "conv_loss_mass", "dd_dup_rate_by_gate", "qr_bot_detection",
+    "dd_jaccard_threshold_sweep", "sim_hard_negatives",
 ]
 
 

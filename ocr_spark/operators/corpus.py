@@ -1125,6 +1125,38 @@ def _ngram_shingle_stage(batches):
                             "s": pd.Series(hs, dtype="int64")})
 
 
+def _ngram_pair_frames(spark, sf_dir):
+    """Shared Spark side of the shingle-pair family (dd_ngram_jaccard /
+    dd_containment / dd_jaccard_threshold_sweep — the _NGRAM_PAIR_CTES
+    mirror): per-doc distinct 3-gram shingle hashes from one map-only
+    Arrow stage, the count-first DF_CAP guard, the keyed self-join
+    intersection counts, and the two size projections. Returns
+    (inter, sa, sb). `exploded` is persisted (MEMORY_AND_DISK) because
+    the df-stats and join branches both read it — uncached, the
+    tokenizer stage would run twice; `filtered` because the sizes branch
+    and both self-join sides read it."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    exploded = (_spread(docs)
+                .mapInPandas(_ngram_shingle_stage, "doc_id long, s long")
+                .persist(StorageLevel.MEMORY_AND_DISK))
+    stats = (exploded.groupBy("s").agg(F.count("*").alias("df"))
+             .where(F.col("df") <= DF_CAP).drop("df"))
+    filtered = (exploded.join(stats, "s")
+                .persist(StorageLevel.MEMORY_AND_DISK))
+    sizes = (filtered.groupBy("doc_id")
+             .agg(F.count("*").alias("n_shingles")))
+    inter = (filtered.select(F.col("doc_id").alias("doc_a"), "s")
+             .join(filtered.select(F.col("doc_id").alias("doc_b"), "s"), "s")
+             .where(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count("*").alias("n_common")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_shingles").alias("size_b"))
+    return inter, sa, sb
+
+
 def dd_ngram_jaccard(spark, sf_dir):
     """N-gram Jaccard near-dup: word 3-gram shingles hashed to longs in a
     map-only Arrow stage (deduped per doc in the stage — no distinct
@@ -1150,29 +1182,9 @@ def dd_ngram_jaccard(spark, sf_dir):
     codegen, and their one-time codegen compile of the giant pair
     projection dominated the wall at bench scale — the self-join is the
     same shuffle volume, all JVM-side, and mirrors the oracle SQL's own
-    plan.) The exploded frame is persisted (MEMORY_AND_DISK) because the
-    stats and join branches both read it — uncached, the tokenizer stage
-    would run twice; `filtered` is persisted because the sizes branch
-    and both self-join sides read it."""
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
-    exploded = (_spread(docs)
-                .mapInPandas(_ngram_shingle_stage, "doc_id long, s long")
-                .persist(StorageLevel.MEMORY_AND_DISK))
-    stats = (exploded.groupBy("s").agg(F.count("*").alias("df"))
-             .where(F.col("df") <= DF_CAP).drop("df"))
-    filtered = (exploded.join(stats, "s")
-                .persist(StorageLevel.MEMORY_AND_DISK))
-    sizes = (filtered.groupBy("doc_id")
-             .agg(F.count("*").alias("n_shingles")))
-    inter = (filtered.select(F.col("doc_id").alias("doc_a"), "s")
-             .join(filtered.select(F.col("doc_id").alias("doc_b"), "s"), "s")
-             .where(F.col("doc_a") < F.col("doc_b"))
-             .groupBy("doc_a", "doc_b")
-             .agg(F.count("*").alias("n_common")))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"),
-                      F.col("n_shingles").alias("size_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"),
-                      F.col("n_shingles").alias("size_b"))
+    plan.) Pair generation is the shared _ngram_pair_frames builder
+    (persists documented there)."""
+    inter, sa, sb = _ngram_pair_frames(spark, sf_dir)
     # the threshold compares the RAW IEEE quotient (bit-identical on both
     # engines, exactly as the oracle's WHERE does); rounding only the
     # DISPLAY column — filtering on round(x,4)>=0.5 would admit
@@ -1206,26 +1218,9 @@ def dd_containment(spark, sf_dir):
     affordable, since every candidate pair must share an informative
     (df ≤ cap) shingle. The score is INTEGER basis points
     ((n_common*10000) DIV min-size), so the oracle threshold is exact —
-    no IEEE quotient anywhere in the pair."""
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
-    exploded = (_spread(docs)
-                .mapInPandas(_ngram_shingle_stage, "doc_id long, s long")
-                .persist(StorageLevel.MEMORY_AND_DISK))
-    stats = (exploded.groupBy("s").agg(F.count("*").alias("df"))
-             .where(F.col("df") <= DF_CAP).drop("df"))
-    filtered = (exploded.join(stats, "s")
-                .persist(StorageLevel.MEMORY_AND_DISK))
-    sizes = (filtered.groupBy("doc_id")
-             .agg(F.count("*").alias("n_shingles")))
-    inter = (filtered.select(F.col("doc_id").alias("doc_a"), "s")
-             .join(filtered.select(F.col("doc_id").alias("doc_b"), "s"), "s")
-             .where(F.col("doc_a") < F.col("doc_b"))
-             .groupBy("doc_a", "doc_b")
-             .agg(F.count("*").alias("n_common")))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"),
-                      F.col("n_shingles").alias("size_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"),
-                      F.col("n_shingles").alias("size_b"))
+    no IEEE quotient anywhere in the pair. Pair generation is the shared
+    _ngram_pair_frames builder."""
+    inter, sa, sb = _ngram_pair_frames(spark, sf_dir)
     return (
         inter.join(sa, "doc_a").join(sb, "doc_b")
         .withColumn("containment_bp", F.expr(
@@ -1308,6 +1303,53 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE (n_common * 10000) // LEAST(sa.n_shingles, sb.n_shingles)
       >= {CONTAIN_BP}
 ORDER BY doc_a, doc_b
+"""
+
+
+SWEEP_THRESHOLDS_BP = [5000, 6000, 7000, 8000, 9000]
+
+
+def dd_jaccard_threshold_sweep(spark, sf_dir):
+    """Dedup-threshold calibration curve — what a team reads before
+    picking the near-dup cutoff: at each candidate Jaccard threshold,
+    how many pairs fire and how many docs a one-hop first-wins pass
+    would drop (a doc drops iff it has at least one smaller-id partner
+    at or above the threshold — the conv funnel's drop rule). The
+    threshold test is the EXACT integer cross-multiply
+    n_common·10⁴ ≥ thr_bp·(|A|+|B|−n_common) — no IEEE quotient, so the
+    curve is engine-exact at every point (sister to dd_minhash_est_error
+    and emb_cosine_hist in the calibration family).
+
+    Scale shape: the pair set is computed ONCE (the shared df-capped
+    _ngram_pair_frames machinery); the sweep is a 5× explode of the
+    already-tiny candidate-pair frame + one groupBy(threshold)."""
+    inter, sa, sb = _ngram_pair_frames(spark, sf_dir)
+    thr = F.explode(F.array(*[F.lit(t) for t in SWEEP_THRESHOLDS_BP])) \
+        .alias("thr_bp")
+    pairs = (inter.join(sa, "doc_a").join(sb, "doc_b")
+             .select("doc_a", "doc_b", "n_common", "size_a", "size_b", thr)
+             .where(F.expr("n_common * 10000 >="
+                           " thr_bp * (size_a + size_b - n_common)")))
+    return (pairs.groupBy("thr_bp")
+            .agg(F.count("*").cast("long").alias("n_pairs"),
+                 F.countDistinct("doc_b").cast("long")
+                 .alias("n_dropped_docs"))
+            .orderBy("thr_bp"))
+
+
+DD_JACCARD_SWEEP_SQL = _NGRAM_PAIR_CTES + f"""
+SELECT t.thr_bp,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT doc_b) AS BIGINT) AS n_dropped_docs
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b,
+     (SELECT UNNEST([{", ".join(str(t) for t in SWEEP_THRESHOLDS_BP)}])
+         AS thr_bp) t
+WHERE n_common * 10000
+      >= t.thr_bp * (sa.n_shingles + sb.n_shingles - n_common)
+GROUP BY t.thr_bp
+ORDER BY t.thr_bp
 """
 
 
@@ -2237,6 +2279,73 @@ RRF_SCALE = 1_000_000
 # pair could not catch it)
 assert BM25_N_QUERIES <= N_COSINE_QUERIES, \
     "sim_hybrid_topk: BM25 query cutoff exceeds the cosine query universe"
+
+
+NEG_EXCLUDE_BP = 5000   # candidates at/above this jaccard are near-dups
+NEG_TOPK = 5
+
+
+def sim_hard_negatives(spark, sf_dir):
+    """Hard-negative mining — the contrastive-training read: per query
+    doc, the top lexically-similar candidates (BM25) that are NOT
+    near-duplicates of it (df-capped n-gram Jaccard below
+    NEG_EXCLUDE_BP). Lexically close but genuinely different content is
+    exactly what an embedding model trains against; near-dups in the
+    negative set are label noise (false negatives), the failure mode
+    this op screens out. Composition of two engine-exact pipelines (the
+    sim_hybrid precedent): the BM25 ranking and the pair-Jaccard exact
+    integer cross-multiply, glued by a LEFT ANTI join on the normalized
+    (min, max) pair key; re-ranked by the surviving BM25 order.
+
+    Scale shape: inherits each side's own plan (BM25 = broadcast query
+    terms, map-only corpus; pairs = df-capped keyed self-join); the anti
+    join touches only the tiny ranked frame."""
+    bm = sim_bm25_topk(spark, sf_dir)
+    inter, sa, sb = _ngram_pair_frames(spark, sf_dir)
+    dup_pairs = (inter.join(sa, "doc_a").join(sb, "doc_b")
+                 .where(F.expr(f"n_common * 10000 >= {NEG_EXCLUDE_BP}"
+                               " * (size_a + size_b - n_common)"))
+                 .select("doc_a", "doc_b"))
+    keyed = (bm.withColumn("doc_a", F.least("query_id", "cand_id"))
+             .withColumn("doc_b", F.greatest("query_id", "cand_id")))
+    kept = keyed.join(dup_pairs, ["doc_a", "doc_b"], "left_anti")
+    w = Window.partitionBy("query_id").orderBy("rank")
+    return (kept.withColumn("neg_rank", F.row_number().over(w))
+            .where(F.col("neg_rank") <= NEG_TOPK)
+            .select("query_id", "neg_rank", "cand_id", "score_bp")
+            .orderBy("query_id", "neg_rank"))
+
+
+def _sim_hard_neg_sql() -> str:
+    """Oracle: the BM25 oracle as a CTE subquery + the shared
+    _NGRAM_PAIR_CTES chain + the same anti-join and re-rank."""
+    pair_ctes = _NGRAM_PAIR_CTES.strip()
+    assert pair_ctes.startswith("WITH ")
+    return f"""
+WITH {pair_ctes[len("WITH "):]},
+bm AS ({SIM_BM25_SQL}),
+dups AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_common * 10000
+        >= {NEG_EXCLUDE_BP} * (sa.n_shingles + sb.n_shingles - n_common)
+),
+kept AS (
+  SELECT b.query_id, b.rank, b.cand_id, b.score_bp
+  FROM bm b LEFT JOIN dups d
+    ON d.doc_a = LEAST(b.query_id, b.cand_id)
+   AND d.doc_b = GREATEST(b.query_id, b.cand_id)
+  WHERE d.doc_a IS NULL
+)
+SELECT query_id, neg_rank, cand_id, score_bp FROM (
+  SELECT query_id, cand_id, score_bp,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rank)
+             AS neg_rank
+  FROM kept
+) WHERE neg_rank <= {NEG_TOPK}
+ORDER BY query_id, neg_rank
+"""
 
 
 def sim_hybrid_topk(spark, sf_dir):
@@ -4458,6 +4567,9 @@ QUERIES = {
     "dd_semantic_dup": (dd_semantic_dup, None),
     "dd_ngram_jaccard": (dd_ngram_jaccard, DD_NGRAM_SQL),
     "dd_containment": (dd_containment, DD_CONTAINMENT_SQL),
+    "dd_jaccard_threshold_sweep": (dd_jaccard_threshold_sweep,
+                                   DD_JACCARD_SWEEP_SQL),
+    "sim_hard_negatives": (sim_hard_negatives, _sim_hard_neg_sql()),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
     "dd_minhash_est_error": (dd_minhash_est_error, DD_MINHASH_EST_ERR_SQL),
     "dd_minhash_verified": (dd_minhash_verified, DD_MINHASH_VERIFIED_SQL),

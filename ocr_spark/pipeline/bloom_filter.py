@@ -3,11 +3,15 @@
 The in-registry operator (operators/corpus.dd_bloom_check) shows the
 SHAPE — corpus hashes fold into m bits, the batch probes k positions —
 but rebuilds the filter on every call. A real crawl pipeline commits the
-filter once and puts it in FRONT of the exact/banded indexes: most novel
+filter once and puts it in FRONT of the EXACT hash index: most novel
 docs resolve against a bitset of ≤ m/8 bytes (2 n_keys bytes at the
-default sizing) without ever touching the big index. This module is that
-artifact, seventh in the layer (ann, dedup, tokenizer, classifier,
-compaction, corpus-stats):
+default sizing) without ever touching the big index. Scope note: the
+Bloom answers exact membership ONLY — a near-duplicate has a different
+content hash and sails through clean, which is why the banded MinHash
+index (dedup_index.py) is a sibling, not a consumer: the two artifacts
+answer different questions and compose side-by-side in a crawl loop,
+never in series. This module is the seventh artifact in the layer (ann,
+dedup, tokenizer, classifier, compaction, corpus-stats):
 
 - build_bloom_filter: size m from the corpus count
   (corpus.bloom_bits_build: m = 2^(bit_length(n)+extra), 8n < m ≤ 16n),

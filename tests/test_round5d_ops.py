@@ -625,6 +625,64 @@ def test_bot_detection_strict_rate_boundary(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# dd_jaccard_threshold_sweep
+# ---------------------------------------------------------------------------
+
+
+def test_sweep_monotone_and_agrees_with_jaccard_op(spark):
+    """The curve must be nonincreasing in the threshold, and its 5000bp
+    point must count exactly dd_ngram_jaccard's pairs — the integer
+    cross-multiply n·10⁴ ≥ 5000·union is algebraically the same test as
+    the op's raw-quotient ≥ 0.5."""
+    from ocr_spark.operators.corpus import (SWEEP_THRESHOLDS_BP,
+                                            dd_jaccard_threshold_sweep,
+                                            dd_ngram_jaccard)
+    rows = dd_jaccard_threshold_sweep(spark, SF_DIR).collect()
+    got = {r.thr_bp: (r.n_pairs, r.n_dropped_docs) for r in rows}
+    assert set(got) <= set(SWEEP_THRESHOLDS_BP)
+    prev_pairs = prev_dropped = None
+    for t in sorted(got):
+        n_pairs, n_dropped = got[t]
+        assert n_dropped <= n_pairs
+        if prev_pairs is not None:
+            assert n_pairs <= prev_pairs and n_dropped <= prev_dropped
+        prev_pairs, prev_dropped = n_pairs, n_dropped
+    n_at_half = len(dd_ngram_jaccard(spark, SF_DIR).collect())
+    assert got.get(5000, (0, 0))[0] == n_at_half
+
+
+# ---------------------------------------------------------------------------
+# sim_hard_negatives
+# ---------------------------------------------------------------------------
+
+
+def test_hard_negatives_exclude_neardups_and_keep_bm25_order(spark):
+    from ocr_spark.operators.corpus import (NEG_TOPK, sim_bm25_topk,
+                                            dd_ngram_jaccard,
+                                            sim_hard_negatives)
+    # NEG_EXCLUDE_BP == 5000 == dd_ngram_jaccard's 0.5 cutoff, so the
+    # op's exclusion set IS that op's pair list
+    dups = {(min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b))
+            for r in dd_ngram_jaccard(spark, SF_DIR).collect()}
+    bm = defaultdict(list)
+    for r in sim_bm25_topk(spark, SF_DIR).collect():
+        bm[r.query_id].append((r.rank, r.cand_id, r.score_bp))
+    want = {}
+    for q, cands in bm.items():
+        kept = [(c, s) for rank, c, s in sorted(cands)
+                if (min(q, c), max(q, c)) not in dups]
+        want[q] = [(i + 1, c, s) for i, (c, s) in
+                   enumerate(kept[:NEG_TOPK])]
+    got = defaultdict(list)
+    for r in sim_hard_negatives(spark, SF_DIR).collect():
+        got[r.query_id].append((r.neg_rank, r.cand_id, r.score_bp))
+    assert dict(got) == {q: v for q, v in want.items() if v}
+    for q, negs in got.items():
+        for _, c, _ in negs:
+            assert (min(q, c), max(q, c)) not in dups
+
+
+# ---------------------------------------------------------------------------
 # plan pins
 # ---------------------------------------------------------------------------
 
