@@ -27,82 +27,82 @@ def entry(spark: SparkSession) -> DataFrame:
 # round 5, local[16]; spark wall + oracle wall — the driver pays both).
 # The round driver checks queries in iteration order under a budget (50
 # in rounds 1-4), so queries() yields CHEAPEST FIRST to maximize scored
-# rows under any cutoff. Regenerate: parse '[Xs/Ys]' from a driver_sim
-# log and sum. Unlisted (future) queries default to a middling cost;
-# ties keep registry order.
+# rows under any cutoff. Regenerate: `python tools/driver_sim.py 2>&1 |
+# tee /tmp/driver_sim.log && python tools/refresh_costs.py
+# /tmp/driver_sim.log` (parses the '[Xs/Ys]' walls and rewrites this
+# dict cheapest-first). Unlisted (future) queries default to a middling
+# cost; ties keep registry order.
 _MEASURED_COST = {
-    'j2b_sale_cost_derivation': 0.3, 't19_code_gen': 0.3, 'w2_top_n': 0.3,
-    't17_ocr_repair': 0.4, 't1_clean_string': 0.4,
-    'w5_first_match_cascade': 0.4, 'j3_semi_join': 0.5,
-    'smp_shard_assign': 0.5, 't23_split_explode': 0.5,
-    'txt_chunk_windows': 0.5, 'txt_fingerprint': 0.5, 'txt_quality': 0.5,
-    'w4_last_wins': 0.5, 'a1_a2_invoice_totals': 0.6, 'a3_file_summary': 0.6,
-    'conv_degenerate_scan': 0.6, 'dd_boilerplate_topk': 0.6,
-    'dd_exact_dup': 0.6, 'dd_incremental': 0.6, 'emb_norm_stats': 0.6,
-    'f3_rejects_antijoin': 0.6, 'f4b_tolerance_predicate': 0.6,
-    'mm_frame_plan': 0.6, 'smp_chat_pack': 0.6, 'smp_epoch_mix': 0.6,
-    't9_date_normalize': 0.6, 'txt_blocklist_filter': 0.6,
-    'txt_char_class_mix': 0.6, 'txt_code_detect': 0.6, 'txt_langid': 0.6,
-    'txt_len_quantiles': 0.6, 'txt_pii_scrub': 0.6, 'txt_quality_hist': 0.6,
-    'txt_sentence_stats': 0.6, 'txt_token_count': 0.6, 'txt_ttr': 0.6,
-    'txt_url_density': 0.6, 'txt_vocab_topk': 0.6, 'a11_distinct_users': 0.7,
-    'a13_rollup': 0.7, 'a14_pivot': 0.7, 'a4_validation_summary': 0.7,
-    'a8_max_cols': 0.7, 'conv_assemble': 0.7, 'conv_context_growth': 0.7,
-    'conv_refusal_scan': 0.7, 'conv_reply_latency': 0.7,
-    'conv_role_transitions': 0.7, 'conv_verbosity_drift': 0.7,
-    'dd_effective_tokens': 0.7, 'emb_label_centroids': 0.7,
-    'j2_product_join': 0.7, 'j4_base_key_pairing': 0.7, 'qr_range_join': 0.7,
-    's6_json_reader': 0.7, 'smp_domain_cap': 0.7, 'smp_quality_weighted': 0.7,
-    't7_parse_number': 0.7, 'txt_bpe_pair_counts': 0.7,
-    'txt_gopher_gate': 0.7, 'u2_first_wins_dedup': 0.7,
-    'a12_percentiles': 0.8, 'conv_stats': 0.8, 'dd_chunk_dedup_strip': 0.8,
-    'dd_chunk_dup': 0.8, 'dd_prefix_dup': 0.8, 'emb_dim_variance': 0.8,
-    'q1_pricing_summary': 0.8, 'q3_shipping_priority': 0.8,
-    'smp_stratified': 0.8, 'u3_distinct_values': 0.8,
-    'w3_gap_sessionize': 0.8, 'w3b_session_window': 0.8,
-    'conv_tool_latency': 0.9, 'f4_tolerance_gate': 0.9,
-    'mm_winnow_fingerprint': 0.9, 'qr_asof_join': 0.9,
-    'qr_conversion_cohorts': 0.9, 'qr_retry_collapse': 0.9,
-    's1_scan_filter_sort': 0.9, 't26_llm_json_cascade': 0.9,
-    'txt_lm_unigram_score': 0.9, 'txt_repetition': 0.9,
-    'conv_dialogue_balance': 1.0, 'dd_domain_stats': 1.0,
-    'dd_syndication_matrix': 1.0, 'j1_dim_lookup_join': 1.0,
-    'q5_local_supplier_volume': 1.0, 'sim_cosine_topk': 1.0,
-    'smp_pack_sequences': 1.0, 'smp_source_mix': 1.0,
-    'smp_temperature_mix': 1.0, 't13_currency_detect': 1.0,
-    'txt_contamination': 1.0, 'u4_fallback_chain': 1.0,
-    'conv_turn_dedup': 1.1, 'emb_outliers': 1.1, 'sim_lsh_buckets': 1.1,
-    'w6_row_number': 1.1, 'a6_argmax_customer': 1.2, 'a7_topk_per_group': 1.2,
-    'dd_dup_rate_by_source': 1.2, 'extract_ordered_spans': 1.2,
-    'extract_quality_gate': 1.2, 'mm_binary_features': 1.2,
-    'smp_chat_pack_seqs': 1.2, 'smp_token_budget': 1.2, 't18_imputation': 1.2,
-    'a5_confidence_mean': 1.3, 'conv_lang_mix': 1.3, 'conv_tool_chains': 1.3,
-    'smp_pack_assembly': 1.3, 'dd_novelty_by_source': 1.4,
-    'extract_pdf_layout': 1.4, 'u1_union_dedup': 1.4,
-    'extract_conversations': 1.5, 'extract_html_readability': 1.5,
-    'extract_synthetic': 1.5, 'mm_audio_features': 1.5,
-    'mm_image_resize': 1.5, 'dd_url_dup': 1.6, 'extract_documents': 1.6,
-    'sim_lsh_topk': 1.6, 'txt_classifier_score': 1.6, 'conv_chat_render': 1.6,
-    'dd_embedding_neardup': 1.7, 'import_star_schema': 1.8, 'dd_simhash': 1.9,
-    'import_sales': 1.9, 't21_slug': 1.9, 'txt_lm_bigram_score': 1.9,
-    'dd_minhash_lsh': 2.0, 'dd_ngram_jaccard': 2.1,
-    'dd_incremental_neardup': 2.2, 'dd_substring_dup': 2.2,
-    'curate_funnel': 2.3, 'dd_minhash_verified': 2.3, 'extract_yield': 2.5,
-    'dd_conv_neardup': 3.0, 'sim_ivf_topk': 3.1, 'dd_semantic_dup': 4.1,
-    'bpe_train_merges': 4.6, 'sim_pq_topk': 4.6, 'dd_cluster_canonical': 10.5,
-    'dd_dup_clusters': 16.2, 'dd_minhash_est_error': 17.6,
-    'conv_curate_funnel': 26.4, 'dd_containment': 4.4, 'mm_phash_neardup': 7.6, 'txt_gate_agreement': 4.9,
-    'sim_bm25_topk': 1.4, 'txt_drift_tvd': 0.9, 'smp_length_buckets': 0.7,
-    'dd_soft_dedup': 1.1, 'tok_fertility': 0.5, 'qr_retention_matrix': 0.7,
-    'dd_dup_rate_by_length': 0.6, 'sim_hybrid_topk': 2.2,
-    'mm_blob_dedup': 0.5, 'smp_soft_budget': 0.7, 'qr_stickiness': 0.9,
-    # round-5 third continuation (measured sf0.01, one driver-sim pass)
-    'qr_daily_anomaly': 0.9, 'txt_vocab_coverage': 0.8, 'txt_entropy': 1.3,
-    'txt_cooc_pmi': 1.5, 'dd_bloom_check': 1.8, 'sim_recall_eval': 3.2,
-    'txt_zipf_slope': 1.0, 'qr_event_funnel': 1.0, 'smp_mix_report': 0.9,
-    'emb_cosine_hist': 2.9, 'conv_loss_mass': 0.8,
-    'dd_dup_rate_by_gate': 1.8, 'qr_bot_detection': 0.7,
-    'dd_jaccard_threshold_sweep': 2.5, 'sim_hard_negatives': 4.0,
+    's1_scan_filter_sort': 0.2, 'j4_base_key_pairing': 0.3, 't21_slug': 0.3,
+    't7_parse_number': 0.3, 'txt_fingerprint': 0.3, 'txt_token_count': 0.3,
+    'u3_distinct_values': 0.3, 'a12_percentiles': 0.4,
+    'a4_validation_summary': 0.4, 'a5_confidence_mean': 0.4,
+    'a6_argmax_customer': 0.4, 'a7_topk_per_group': 0.4, 'a8_max_cols': 0.4,
+    'conv_verbosity_drift': 0.4, 'dd_exact_dup': 0.4, 'emb_norm_stats': 0.4,
+    'f4b_tolerance_predicate': 0.4, 't17_ocr_repair': 0.4,
+    't1_clean_string': 0.4, 't23_split_explode': 0.4,
+    'txt_bpe_pair_counts': 0.4, 'txt_char_class_mix': 0.4,
+    'txt_sentence_stats': 0.4, 'u4_fallback_chain': 0.4, 'w2_top_n': 0.4,
+    'w6_row_number': 0.4, 'a11_distinct_users': 0.5, 'a13_rollup': 0.5,
+    'a3_file_summary': 0.5, 'conv_assemble': 0.5, 'conv_chat_render': 0.5,
+    'conv_context_growth': 0.5, 'conv_loss_mass': 0.5, 'dd_soft_dedup': 0.5,
+    'emb_label_centroids': 0.5, 'f3_rejects_antijoin': 0.5,
+    'j1_dim_lookup_join': 0.5, 'j2_product_join': 0.5, 'mm_blob_dedup': 0.5,
+    'mm_frame_plan': 0.5, 'q1_pricing_summary': 0.5, 'qr_bot_detection': 0.5,
+    's6_json_reader': 0.5, 'smp_length_buckets': 0.5, 'smp_mix_report': 0.5,
+    'smp_quality_weighted': 0.5, 'smp_stratified': 0.5,
+    'smp_token_budget': 0.5, 't13_currency_detect': 0.5,
+    'txt_blocklist_filter': 0.5, 'txt_code_detect': 0.5, 'txt_entropy': 0.5,
+    'txt_pii_scrub': 0.5, 'txt_quality': 0.5, 'txt_ttr': 0.5,
+    'txt_url_density': 0.5, 'txt_vocab_topk': 0.5, 'txt_zipf_slope': 0.5,
+    'u2_first_wins_dedup': 0.5, 'w3_gap_sessionize': 0.5, 'a14_pivot': 0.6,
+    'a1_a2_invoice_totals': 0.6, 'conv_dialogue_balance': 0.6,
+    'conv_role_transitions': 0.6, 'conv_stats': 0.6, 'conv_turn_dedup': 0.6,
+    'dd_boilerplate_topk': 0.6, 'dd_dup_rate_by_length': 0.6,
+    'dd_effective_tokens': 0.6, 'dd_prefix_dup': 0.6, 'emb_dim_variance': 0.6,
+    'j2b_sale_cost_derivation': 0.6, 'j3_semi_join': 0.6,
+    'q3_shipping_priority': 0.6, 'qr_daily_anomaly': 0.6, 'qr_range_join': 0.6,
+    'smp_epoch_mix': 0.6, 'smp_soft_budget': 0.6, 't9_date_normalize': 0.6,
+    'txt_gopher_gate': 0.6, 'txt_langid': 0.6, 'txt_len_quantiles': 0.6,
+    'txt_quality_hist': 0.6, 'w3b_session_window': 0.6,
+    'conv_reply_latency': 0.7, 'dd_incremental': 0.7, 'f4_tolerance_gate': 0.7,
+    'mm_image_resize': 0.7, 'mm_winnow_fingerprint': 0.7,
+    'q5_local_supplier_volume': 0.7, 'qr_asof_join': 0.7,
+    'qr_conversion_cohorts': 0.7, 'qr_retry_collapse': 0.7,
+    'qr_stickiness': 0.7, 'sim_cosine_topk': 0.7, 'txt_chunk_windows': 0.7,
+    'txt_contamination': 0.7, 'txt_repetition': 0.7, 'txt_vocab_coverage': 0.7,
+    'w4_last_wins': 0.7, 'w5_first_match_cascade': 0.7,
+    'dd_chunk_dedup_strip': 0.8, 'dd_domain_stats': 0.8,
+    'dd_dup_rate_by_source': 0.8, 'smp_pack_sequences': 0.8,
+    't18_imputation': 0.8, 'tok_fertility': 0.8, 'txt_drift_tvd': 0.8,
+    'u1_union_dedup': 0.8, 'conv_degenerate_scan': 0.9,
+    'conv_tool_latency': 0.9, 'dd_chunk_dup': 0.9, 'dd_dup_rate_by_gate': 0.9,
+    'dd_syndication_matrix': 0.9, 'emb_outliers': 0.9,
+    'mm_audio_features': 0.9, 'mm_binary_features': 0.9,
+    'mm_phash_neardup': 0.9, 'qr_event_funnel': 0.9,
+    'qr_retention_matrix': 0.9, 'sim_lsh_buckets': 0.9,
+    'smp_shard_assign': 0.9, 'smp_source_mix': 0.9,
+    't26_llm_json_cascade': 0.9, 'txt_lm_unigram_score': 0.9,
+    'smp_chat_pack': 1.0, 'smp_domain_cap': 1.0, 'smp_temperature_mix': 1.0,
+    'extract_ordered_spans': 1.2, 'extract_quality_gate': 1.2,
+    'txt_cooc_pmi': 1.2, 'conv_tool_chains': 1.3, 'dd_url_dup': 1.3,
+    'smp_pack_assembly': 1.3, 'extract_html_readability': 1.5,
+    'smp_chat_pack_seqs': 1.5, 'dd_bloom_check': 1.7, 'conv_lang_mix': 1.8,
+    'extract_conversations': 1.8, 't19_code_gen': 1.8, 'dd_containment': 1.9,
+    'extract_pdf_layout': 1.9, 'dd_novelty_by_source': 2.0,
+    'extract_synthetic': 2.0, 'txt_gate_agreement': 2.0,
+    'extract_documents': 2.2, 'sim_bm25_topk': 2.2,
+    'txt_classifier_score': 2.2, 'sim_pq_topk': 2.4, 'conv_refusal_scan': 2.5,
+    'sim_lsh_topk': 2.6, 'txt_lm_bigram_score': 2.9, 'import_sales': 3.1,
+    'import_star_schema': 3.2, 'dd_embedding_neardup': 3.4,
+    'dd_minhash_est_error': 3.4, 'emb_cosine_hist': 3.5, 'dd_simhash': 4.2,
+    'sim_ivf_topk': 4.2, 'sim_hard_negatives': 4.3, 'bpe_train_merges': 4.4,
+    'dd_jaccard_threshold_sweep': 4.4, 'sim_recall_eval': 4.4,
+    'dd_semantic_dup': 4.7, 'extract_yield': 5.2, 'dd_dup_clusters': 5.6,
+    'dd_cluster_canonical': 6.3, 'dd_substring_dup': 6.5,
+    'dd_conv_neardup': 6.6, 'dd_minhash_lsh': 6.6, 'sim_hybrid_topk': 6.7,
+    'curate_funnel': 7.1, 'dd_minhash_verified': 8.6, 'dd_ngram_jaccard': 8.6,
+    'conv_curate_funnel': 9.9, 'dd_incremental_neardup': 11.1,
 }
 
 
