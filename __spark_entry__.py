@@ -103,6 +103,8 @@ _MEASURED_COST = {
     'dd_conv_neardup': 6.6, 'dd_minhash_lsh': 6.6, 'sim_hybrid_topk': 6.7,
     'curate_funnel': 7.1, 'dd_minhash_verified': 8.6, 'dd_ngram_jaccard': 8.6,
     'conv_curate_funnel': 9.9, 'dd_incremental_neardup': 11.1,
+    # wave 5 (measured single-query sessions at sf0.01)
+    'qr_cohort_value': 0.7, 'conv_system_templates': 1.1,
 }
 
 

@@ -102,6 +102,7 @@ HEADLINE = HEADLINE_R1 + [
     "qr_event_funnel", "smp_mix_report", "emb_cosine_hist",
     "conv_loss_mass", "dd_dup_rate_by_gate", "qr_bot_detection",
     "dd_jaccard_threshold_sweep", "sim_hard_negatives",
+    "conv_system_templates", "qr_cohort_value",
 ]
 
 

@@ -1736,8 +1736,80 @@ ORDER BY conv_id
 """
 
 
+SYS_TEMPLATE_TOPK = 10
+
+
+def conv_system_templates(spark, sf_dir):
+    """System-prompt template mining — the SFT-corpus read that exposes
+    how templated the instruction scaffolding is: group conversations by
+    the content hash of their concatenated system turns, report the top
+    templates by conversation count with their coverage share. A corpus
+    where one system template covers most conversations trains a model
+    that collapses without it; this is the gauge.
+
+    Per-conv system text = the turn_idx-ordered concatenation of system
+    turns (sort_array over (turn_idx, text) structs INSIDE the
+    aggregation — the conv_chat_render ordering discipline, so the hash
+    is partition-order invariant); hash = the shared content_md5 key.
+    Ranking is a TakeOrdered cut (count DESC, hash ASC — unique, so
+    deterministic); coverage is integer basis points of ALL
+    conversations (including system-less ones, which group under the
+    empty-concat hash like any other template). Uses conv_mod=25 (the
+    role-mixing surface)."""
+    from .corpus import content_md5
+    t = _agent_transcripts(spark, sf_dir, conv_mod=25)
+    per_conv = (t.groupBy("conv_id")
+                .agg(F.array_sort(F.collect_list(F.when(
+                        F.col("role") == "system",
+                        F.struct("turn_idx", "text")))).alias("sys_turns"))
+                .select("conv_id", content_md5(F.concat_ws(
+                    "\n", F.expr("transform(sys_turns, s -> s.text)")))
+                    .alias("template_hash")))
+    n_convs = per_conv.agg(F.count("*").cast("long").alias("n_convs"))
+    counts = (per_conv.groupBy("template_hash")
+              .agg(F.count("*").cast("long").alias("n_conv_uses"),
+                   F.min("conv_id").alias("example_conv")))
+    top = counts.orderBy(F.desc("n_conv_uses"),
+                         F.asc("template_hash")).limit(SYS_TEMPLATE_TOPK)
+    return (top.crossJoin(F.broadcast(n_convs))
+            .selectExpr("template_hash", "n_conv_uses", "example_conv",
+                        "CAST((n_conv_uses * 10000) DIV n_convs AS BIGINT)"
+                        " AS coverage_bp")
+            .orderBy(F.desc("n_conv_uses"), F.asc("template_hash")))
+
+
+CONV_SYS_TEMPLATES_SQL = """
+WITH t AS ({cte}),
+per_conv AS (
+  SELECT conv_id,
+         md5(regexp_replace(lower(coalesce(string_agg(
+             CASE WHEN role = 'system' THEN text END, chr(10)
+             ORDER BY turn_idx, text), '')),
+             '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS template_hash
+  FROM t
+  GROUP BY conv_id
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_convs FROM per_conv),
+counts AS (
+  SELECT template_hash,
+         CAST(COUNT(*) AS BIGINT) AS n_conv_uses,
+         MIN(conv_id) AS example_conv
+  FROM per_conv GROUP BY template_hash
+)
+SELECT template_hash, n_conv_uses, example_conv,
+       CAST((n_conv_uses * 10000) // n_convs AS BIGINT) AS coverage_bp
+FROM (SELECT * FROM counts
+      ORDER BY n_conv_uses DESC, template_hash LIMIT {topk}), n
+ORDER BY n_conv_uses DESC, template_hash
+"""
+
+
 QUERIES = {
     "conv_assemble": (conv_assemble, CONV_ASSEMBLE_SQL),
+    "conv_system_templates": (
+        conv_system_templates,
+        CONV_SYS_TEMPLATES_SQL.format(cte=_agent_transcripts_cte(25),
+                                      topk=SYS_TEMPLATE_TOPK)),
     "conv_loss_mass": (conv_loss_mass,
                        CONV_LOSS_MASS_SQL.format(
                            cte=_agent_transcripts_cte(25))),

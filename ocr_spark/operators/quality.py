@@ -2865,6 +2865,26 @@ _ENT_STEP = (f"(a, x) -> IF(x <=> a.prev, "
              f"'n', a.n, 'acc', {_ENT_FLUSH}))")
 
 
+ENT_GATE_MIN_BPT_BP = 2000  # stream gate: drop docs under 0.2 bits/token
+
+
+def with_entropy_bits(df: DataFrame) -> DataFrame:
+    """Append (n_tokens, ent_bits, bpt_bp) to a frame with a `text`
+    column — the map-only integer-bits entropy fold shared by
+    txt_entropy and the streaming low-entropy gate. Rows whose token
+    array is empty/NULL are dropped (entropy undefined)."""
+    fold = (f"aggregate(array_sort(t), {_ENT_ZERO}, {_ENT_STEP}, "
+            f"a -> {_ENT_FLUSH})")
+    return (df.selectExpr("*", f"filter({_TOKENS}, x -> x <> '') AS t")
+            .where("size(t) >= 1")
+            .selectExpr("* EXCEPT (t)",
+                        "CAST(size(t) AS BIGINT) AS n_tokens",
+                        f"{fold} AS ent_bits")
+            .selectExpr("*",
+                        "CAST((ent_bits * 10000) DIV n_tokens AS BIGINT)"
+                        " AS bpt_bp"))
+
+
 def txt_entropy(spark, sf_dir):
     """Per-doc token-distribution entropy in exact integer bits — the
     compression-ratio proxy quality gate (low entropy = repetitive /
@@ -2879,17 +2899,8 @@ def txt_entropy(spark, sf_dir):
     shuffles. The DuckDB oracle recomputes the same integers via the
     keyed explode + GROUP BY form, so the compare is differential across
     two algorithms."""
-    docs = _docs(spark, sf_dir).selectExpr(
-        "doc_id", f"filter({_TOKENS}, x -> x <> '') AS t"
-    ).where("size(t) >= 1")
-    fold = (f"aggregate(array_sort(t), {_ENT_ZERO}, {_ENT_STEP}, "
-            f"a -> {_ENT_FLUSH})")
-    return (docs.selectExpr(
-                "doc_id", "CAST(size(t) AS BIGINT) AS n_tokens",
-                f"{fold} AS ent_bits")
-            .selectExpr("doc_id", "n_tokens", "ent_bits",
-                        "CAST((ent_bits * 10000) DIV n_tokens AS BIGINT)"
-                        " AS bpt_bp")
+    return (with_entropy_bits(_docs(spark, sf_dir).select("doc_id", "text"))
+            .select("doc_id", "n_tokens", "ent_bits", "bpt_bp")
             .orderBy("doc_id"))
 
 

@@ -576,6 +576,79 @@ FROM counts ORDER BY step_idx
 QR_FUNNEL_SQL = _qr_funnel_sql()
 
 
+def qr_cohort_value(spark, sf_dir):
+    """Value-weighted cohort triangle: per first-signup-week cohort, the
+    purchase VALUE realized at each week-age — the revenue/LTV read
+    beside qr_retention_matrix's activity counts (a cohort can retain
+    users yet monetize nothing; this is the gauge that tells them
+    apart). Money follows the repo invariant: per-event cents =
+    floor(value·100 + 0.5) as BIGINT BEFORE any cross-row sum, so
+    parallel partial aggregation is order-independent and both engines
+    sum identical integers. Week index = the explicit pmod FLOOR
+    division of the tz-free DATE difference (the qr_retention_matrix
+    bridge); cohorts anchor on each user's FIRST signup week.
+
+    Scale shape: one keyed signup groupBy(user) for cohorts, one keyed
+    join of purchases on user, one (cohort, age) aggregation — all
+    map-side combinable; the stream is scanned twice with the
+    event_type filter pushed to both scans."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+    week = (f"CAST((datediff(to_date(ts), DATE '{RETENTION_EPOCH}') "
+            f"- pmod(datediff(to_date(ts), DATE '{RETENTION_EPOCH}'), 7)) "
+            f"DIV 7 AS BIGINT)")
+    cohort = (ev.where(F.col("event_type") == "signup")
+              .selectExpr("user_id", f"{week} AS week")
+              .groupBy("user_id")
+              .agg(F.min("week").alias("cohort_week")))
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .selectExpr("user_id", f"{week} AS week",
+                             "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+                             " AS cents"))
+    return (purchases.join(cohort, "user_id")
+            .where(F.col("week") >= F.col("cohort_week"))
+            .select("cohort_week",
+                    (F.col("week") - F.col("cohort_week")).alias("age_weeks"),
+                    "cents")
+            .groupBy("cohort_week", "age_weeks")
+            .agg(F.count("*").cast("long").alias("n_purchases"),
+                 F.sum("cents").cast("long").alias("value_cents"))
+            .orderBy("cohort_week", "age_weeks"))
+
+
+def _qr_cohort_value_sql() -> str:
+    week = (f"CAST((datediff('day', DATE '{RETENTION_EPOCH}', "
+            f"CAST(ts AS DATE)) - ((datediff('day', "
+            f"DATE '{RETENTION_EPOCH}', CAST(ts AS DATE)) % 7) + 7) % 7) "
+            f"// 7 AS BIGINT)")
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_type, ts, value FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+cohort AS (
+  SELECT user_id, MIN({week}) AS cohort_week
+  FROM ev WHERE event_type = 'signup' GROUP BY user_id
+),
+purchases AS (
+  SELECT user_id, {week} AS week,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM ev WHERE event_type = 'purchase'
+)
+SELECT c.cohort_week,
+       p.week - c.cohort_week AS age_weeks,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(p.cents) AS BIGINT) AS value_cents
+FROM purchases p JOIN cohort c USING (user_id)
+WHERE p.week >= c.cohort_week
+GROUP BY c.cohort_week, p.week - c.cohort_week
+ORDER BY cohort_week, age_weeks
+"""
+
+
+QR_COHORT_VALUE_SQL = _qr_cohort_value_sql()
+
+
 BOT_EVENTS_PER_MIN = 3  # flag users averaging more than this per active minute
 
 
@@ -634,4 +707,5 @@ QUERIES = {
     "qr_daily_anomaly": (qr_daily_anomaly, QR_ANOMALY_SQL),
     "qr_event_funnel": (qr_event_funnel, QR_FUNNEL_SQL),
     "qr_bot_detection": (qr_bot_detection, QR_BOT_SQL),
+    "qr_cohort_value": (qr_cohort_value, QR_COHORT_VALUE_SQL),
 }

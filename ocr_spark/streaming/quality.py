@@ -100,6 +100,19 @@ def url_spam_gate_stream(docs: DataFrame) -> DataFrame:
                 " AS link_char_bp"))
 
 
+def entropy_gate_stream(docs: DataFrame) -> DataFrame:
+    """Drop low-entropy (near-constant / machine-junk) documents as they
+    land: the integer-bits entropy fold (operators/quality.
+    with_entropy_bits — the txt_entropy signal, shared builder so batch
+    and stream cannot drift) as a stateless map-only plan, gating on
+    bits-per-token ≥ ENT_GATE_MIN_BPT_BP. Survivors keep n_tokens /
+    ent_bits / bpt_bp. Batch/stream equivalence pinned by
+    tests/test_streaming_quality.py."""
+    from ..operators.quality import ENT_GATE_MIN_BPT_BP, with_entropy_bits
+    return (with_entropy_bits(docs)
+            .where(F.col("bpt_bp") >= ENT_GATE_MIN_BPT_BP))
+
+
 def bloom_check_stream(docs: DataFrame, bits: DataFrame,
                        m: int) -> DataFrame:
     """Streaming Bloom membership check: documents ARRIVING on a stream

@@ -683,6 +683,86 @@ def test_hard_negatives_exclude_neardups_and_keep_bm25_order(spark):
 
 
 # ---------------------------------------------------------------------------
+# conv_system_templates
+# ---------------------------------------------------------------------------
+
+
+def test_system_templates_coverage_conserved(spark):
+    from ocr_spark.operators.extraction import (SYS_TEMPLATE_TOPK,
+                                                conv_system_templates)
+    rows = conv_system_templates(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= SYS_TEMPLATE_TOPK
+    # conv_mod=25 surface: 25 conversations total
+    assert sum(r.n_conv_uses for r in rows) <= 25
+    uses = [r.n_conv_uses for r in rows]
+    assert uses == sorted(uses, reverse=True)
+    for r in rows:
+        assert r.coverage_bp == (r.n_conv_uses * 10000) // 25
+        assert r.example_conv is not None
+
+
+# ---------------------------------------------------------------------------
+# qr_cohort_value
+# ---------------------------------------------------------------------------
+
+
+def test_cohort_value_excludes_presignup_and_floors_cents(spark, tmp_path):
+    """A purchase BEFORE the user's first signup week never lands in the
+    triangle; purchases by never-signed-up users are dropped; cents are
+    floor(value·100 + 0.5) of the IEEE double."""
+    import math
+    from ocr_spark.operators.temporal import qr_cohort_value
+    t = datetime.datetime
+    ev = [
+        # user 1: signup in week 1; purchases in weeks 1 and 3 land at
+        # ages 0 and 2; the week-0 purchase is PRE-signup and must drop
+        (1, t(2024, 1, 3), 1, "purchase", 5.0, "{}"),      # week 0: out
+        (2, t(2024, 1, 10), 1, "signup", 0.0, "{}"),       # week 1
+        (3, t(2024, 1, 11), 1, "purchase", 10.005, "{}"),  # age 0
+        (4, t(2024, 1, 24), 1, "purchase", 2.5, "{}"),     # age 2
+        # user 2: purchase with no signup at all — never in the triangle
+        (5, t(2024, 1, 10), 2, "purchase", 99.0, "{}"),
+    ]
+    d = str(tmp_path / "cv")
+    spark.createDataFrame(
+        ev, "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+    ).write.parquet(os.path.join(d, "events.parquet"))
+    got = {(r.cohort_week, r.age_weeks): (r.n_purchases, r.value_cents)
+           for r in qr_cohort_value(spark, d).collect()}
+    cents = math.floor(10.005 * 100 + 0.5)  # the exact IEEE-double floor
+    assert got == {(1, 0): (1, cents), (1, 2): (1, 250)}
+
+
+def test_cohort_value_python_twin(spark):
+    import math
+    from ocr_spark.operators.temporal import qr_cohort_value
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT user_id, event_type, "
+        f"datediff('day', DATE '2024-01-01', CAST(ts AS DATE)), value "
+        f"FROM '{SF_DIR}/events.parquet' "
+        f"WHERE user_id IS NOT NULL AND ts IS NOT NULL").fetchall()
+    cohort = {}
+    for uid, et, d, _ in rows:
+        if et == "signup":
+            w = (d - ((d % 7) + 7) % 7) // 7
+            cohort[uid] = min(cohort.get(uid, w), w)
+    agg = defaultdict(lambda: [0, 0])
+    for uid, et, d, v in rows:
+        if et == "purchase" and uid in cohort:
+            w = (d - ((d % 7) + 7) % 7) // 7
+            if w >= cohort[uid]:
+                cell = agg[(cohort[uid], w - cohort[uid])]
+                cell[0] += 1
+                cell[1] += math.floor(v * 100 + 0.5)
+    want = {k: tuple(v) for k, v in agg.items()}
+    got = {(r.cohort_week, r.age_weeks): (r.n_purchases, r.value_cents)
+           for r in qr_cohort_value(spark, SF_DIR).collect()}
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
 # plan pins
 # ---------------------------------------------------------------------------
 

@@ -220,3 +220,38 @@ def test_bloom_check_stream_equals_batch(spark, tmp_path):
     assert got == want and len(got) > 0
     assert any(v == BLOOM_K for v in got.values())
     bits.unpersist()
+
+
+def test_entropy_gate_stream_equals_batch(spark, tmp_path):
+    """The low-entropy gate must pass the identical survivor set (and
+    signals) on stream and batch, drop planted near-constant junk, and
+    keep diverse text."""
+    from ocr_spark.streaming.quality import entropy_gate_stream
+
+    batch = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+             .where(F.col("doc_id").isNotNull()))
+    junk = spark.createDataFrame(
+        [(30_000_000, "spam " * 50 + "spam", "en", "s", 0),
+         (30_000_001, " ".join(f"w{i}" for i in range(64)), "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    docs = batch.select(*junk.columns).unionByName(junk)
+    src = str(tmp_path / "in")
+    docs.repartition(4).write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (entropy_gate_stream(stream)
+         .select("doc_id", "n_tokens", "ent_bits", "bpt_bp")
+         .writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    want = {tuple(r) for r in
+            entropy_gate_stream(spark.read.parquet(src))
+            .select("doc_id", "n_tokens", "ent_bits", "bpt_bp").collect()}
+    assert got == want and len(got) > 0
+    kept = {t[0] for t in got}
+    assert 30_000_000 not in kept, "near-constant junk must drop"
+    assert 30_000_001 in kept, "diverse text must survive"
