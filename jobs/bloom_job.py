@@ -60,12 +60,17 @@ def main() -> None:
     else:
         batch = docs.where(F.col("doc_id") % 10 == args.batch_residue)
         if args.mode == "check":
-            verdicts = check_batch(spark, args.bloom, batch).collect()
+            # aggregate Spark-side: the per-doc verdict frame is batch-
+            # sized and must never ship through the driver (default 1g)
+            row = (check_batch(spark, args.bloom, batch)
+                   .agg(F.count("*").alias("n"),
+                        F.sum(F.col("bloom_dup").cast("long")).alias("d"))
+                   .collect()[0])
             out = {
                 "mode": "check",
-                "n_batch": len(verdicts),
-                "n_bloom_dup": sum(1 for r in verdicts if r.bloom_dup),
-                "n_clean": sum(1 for r in verdicts if not r.bloom_dup),
+                "n_batch": int(row.n),
+                "n_bloom_dup": int(row.d or 0),
+                "n_clean": int(row.n) - int(row.d or 0),
                 "wall_ms": int((time.time() - t0) * 1000),
             }
         else:

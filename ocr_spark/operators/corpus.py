@@ -871,20 +871,35 @@ def bloom_pos_explode():
         for j in range(BLOOM_K)]))
 
 
+def bloom_probe_frame(docs: DataFrame, m: int) -> DataFrame:
+    """(doc_id, pos) probe positions of a documents frame against an
+    m-bit filter — THE shared probe projection of the Bloom artifact's
+    build, batch-check, and streaming paths (one builder, so a preimage
+    change cannot drift batch vs stream). NULL text is coalesced to ''
+    (the sim_bm25 discipline): hashing NULL would probe NULL positions
+    that join nothing and break the artifact's no-false-negatives
+    contract."""
+    return (docs.select(
+                "doc_id",
+                content_md5(F.coalesce(F.col("text"), F.lit("")))
+                .alias("text_hash"),
+                F.lit(int(m)).cast("long").alias("m"))
+            .select("doc_id", bloom_pos_explode().alias("pos")))
+
+
 def bloom_bits_build(corpus_docs: DataFrame,
                      extra_bits: int = BLOOM_EXTRA_BITS):
     """Materialize the Bloom filter of a corpus's content hashes for
     serving (the streaming twin joins a stream against it): returns
-    (bits DataFrame of distinct positions, m). m is fixed driver-side
-    from one count — the serving path wants a CONSTANT modulus it can
-    persist alongside the bits."""
+    (bits DataFrame of distinct positions, m, n_keys). m is fixed
+    driver-side from ONE count (n_keys reuses it — no second input
+    scan, and the manifest's sizing claim can never disagree with its
+    own n_keys field)."""
     n = corpus_docs.count()
     m = 1 << (max(int(n), 1).bit_length() + extra_bits)
-    hashes = corpus_docs.select(
-        content_md5(F.col("text")).alias("text_hash"),
-        F.lit(m).cast("long").alias("m"))
-    bits = hashes.select(bloom_pos_explode().alias("pos")).distinct()
-    return bits, m
+    bits = (bloom_probe_frame(corpus_docs, m)
+            .select("pos").distinct())
+    return bits, m, int(n)
 
 
 def dd_bloom_check(spark, sf_dir, extra_bits: int = BLOOM_EXTRA_BITS):

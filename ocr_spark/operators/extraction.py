@@ -1758,13 +1758,16 @@ def conv_system_templates(spark, sf_dir):
     role-mixing surface)."""
     from .corpus import content_md5
     t = _agent_transcripts(spark, sf_dir, conv_mod=25)
+    # persist: the counts branch AND the n_convs total both read the
+    # transcript-assembly aggregation (the two-branch persist convention)
     per_conv = (t.groupBy("conv_id")
                 .agg(F.array_sort(F.collect_list(F.when(
                         F.col("role") == "system",
                         F.struct("turn_idx", "text")))).alias("sys_turns"))
                 .select("conv_id", content_md5(F.concat_ws(
                     "\n", F.expr("transform(sys_turns, s -> s.text)")))
-                    .alias("template_hash")))
+                    .alias("template_hash"))
+                .persist())
     n_convs = per_conv.agg(F.count("*").cast("long").alias("n_convs"))
     counts = (per_conv.groupBy("template_hash")
               .agg(F.count("*").cast("long").alias("n_conv_uses"),

@@ -47,8 +47,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.corpus import (BLOOM_EXTRA_BITS, BLOOM_K,
-                                bloom_bits_build, bloom_pos_explode,
-                                content_md5)
+                                bloom_bits_build, bloom_probe_frame)
 
 BLOOM_VERSION = 1
 
@@ -104,9 +103,8 @@ def build_bloom_filter(spark: SparkSession, docs: DataFrame,
     stale = os.path.join(output_dir, _MANIFEST)
     if os.path.exists(stale):
         os.remove(stale)  # invalidate BEFORE the overwrite starts
-    bits, m = bloom_bits_build(docs, extra_bits=extra_bits)
+    bits, m, n_keys = bloom_bits_build(docs, extra_bits=extra_bits)
     bits.write.mode("overwrite").parquet(data_dir)
-    n_keys = docs.count()
     n_bits_set = _bits_set(spark, data_dir)
     manifest = {
         "version": BLOOM_VERSION,
@@ -124,23 +122,16 @@ def build_bloom_filter(spark: SparkSession, docs: DataFrame,
     return manifest
 
 
-def _probe_positions(batch: DataFrame, m: int) -> DataFrame:
-    return (batch.select(
-                "doc_id",
-                content_md5(F.col("text")).alias("text_hash"),
-                F.lit(int(m)).cast("long").alias("m"))
-            .select("doc_id", bloom_pos_explode().alias("pos")))
-
-
 def check_batch(spark: SparkSession, bloom_dir: str,
                 batch: DataFrame) -> DataFrame:
     """Per batch doc: n_hits over its BLOOM_K probes and the bloom_dup
     verdict. Guarantee: a doc whose content hash was ever folded in can
-    NEVER report n_hits < k (no false negatives); bloom_dup with no
-    prior insert is a false positive, bounded by the fill ratio."""
+    NEVER report n_hits < k (no false negatives — NULL text included,
+    via the shared probe builder's coalesce); bloom_dup with no prior
+    insert is a false positive, bounded by the fill ratio."""
     manifest = read_manifest(bloom_dir)
     bits = spark.read.parquet(os.path.join(bloom_dir, _DATA))
-    return (_probe_positions(batch, manifest["m"])
+    return (bloom_probe_frame(batch, manifest["m"])
             .join(bits.withColumn("hit", F.lit(1)), "pos", "left")
             .groupBy("doc_id")
             .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0)))
@@ -180,7 +171,7 @@ def append_batch(spark: SparkSession, bloom_dir: str,
     t0 = time.time()
     data_dir = os.path.join(bloom_dir, _DATA)
     merged = (spark.read.parquet(data_dir)
-              .unionByName(_probe_positions(batch, manifest["m"])
+              .unionByName(bloom_probe_frame(batch, manifest["m"])
                            .select("pos"))
               .distinct())
     tmp = data_dir + ".append-tmp"

@@ -126,12 +126,8 @@ def bloom_check_stream(docs: DataFrame, bits: DataFrame,
     aggregation, exactly as check_stream leaves it. Batch equivalence
     with dd_bloom_check's n_hits is pinned by
     tests/test_streaming_quality.py."""
-    from ..operators.corpus import bloom_pos_explode, content_md5
-    probes = (docs.select(
-                  "doc_id",
-                  content_md5(F.col("text")).alias("text_hash"),
-                  F.lit(int(m)).cast("long").alias("m"))
-              .select("doc_id", bloom_pos_explode().alias("pos")))
+    from ..operators.corpus import bloom_probe_frame
+    probes = bloom_probe_frame(docs, m)
     return (probes.join(bits.withColumn("hit", F.lit(1)), "pos", "left")
             .select("doc_id", "pos",
                     F.coalesce(F.col("hit"), F.lit(0)).alias("hit")))

@@ -9,10 +9,8 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-SF_DIR = "/root/testdata/sf0.001"
-
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(SF_DIR), reason="testdata not available")
+# no testdata skipif: every test here builds its own frames via
+# tmp_path — the artifact's crash contracts must run on any machine
 
 
 def _docs_df(spark, rows):
@@ -51,6 +49,27 @@ def test_build_check_no_false_negatives(spark, tmp_path):
     # novel doc: with 3 keys in an 8n-wide filter a full k-hit is
     # effectively impossible; assert the verdict the fixture exhibits
     assert not got[13].bloom_dup
+
+
+def test_null_text_never_false_negative(spark, tmp_path):
+    """NULL text coalesces to '' on BOTH the build and probe paths (the
+    shared bloom_probe_frame): a NULL-text doc folded in is found again,
+    and no NULL position row ever pollutes the bits or the fill gauge."""
+    from ocr_spark.operators.corpus import BLOOM_K
+    from ocr_spark.pipeline.bloom_filter import (_DATA, build_bloom_filter,
+                                                 check_batch)
+    d = str(tmp_path / "bloom")
+    m = build_bloom_filter(
+        spark, _docs_df(spark, [(1, None), (2, "hello world")]), d)
+    bits = spark.read.parquet(os.path.join(d, _DATA)).collect()
+    assert all(r.pos is not None for r in bits)
+    assert m["n_bits_set"] == len(bits) <= 2 * BLOOM_K
+    got = {r.doc_id: r for r in check_batch(
+        spark, d, _docs_df(spark, [(11, None), (12, "Hello\t WORLD"),
+                                   (13, "novel content")])).collect()}
+    assert got[11].n_hits == BLOOM_K and got[11].bloom_dup
+    # case/whitespace variant normalizes to the inserted key
+    assert got[12].n_hits == BLOOM_K and got[12].bloom_dup
 
 
 def test_missing_manifest_is_no_filter(spark, tmp_path):

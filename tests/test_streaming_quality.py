@@ -197,7 +197,7 @@ def test_bloom_check_stream_equals_batch(spark, tmp_path):
     docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
             .where(F.col("doc_id").isNotNull()))
     corpus = docs.where(F.col("doc_id") % 10 != INCR_BATCH_RESIDUE)
-    bits, m = bloom_bits_build(corpus)
+    bits, m, _n = bloom_bits_build(corpus)
     bits = bits.cache()
 
     # the same deterministic "new crawl" the batch op checks
