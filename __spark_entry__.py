@@ -105,6 +105,7 @@ _MEASURED_COST = {
     'conv_curate_funnel': 9.9, 'dd_incremental_neardup': 11.1,
     # wave 5 (measured single-query sessions at sf0.01)
     'qr_cohort_value': 0.7, 'conv_system_templates': 1.1,
+    'conv_turn_profile': 0.9, 'dd_bloom_fpr_curve': 2.7,
 }
 
 

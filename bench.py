@@ -103,6 +103,7 @@ HEADLINE = HEADLINE_R1 + [
     "conv_loss_mass", "dd_dup_rate_by_gate", "qr_bot_detection",
     "dd_jaccard_threshold_sweep", "sim_hard_negatives",
     "conv_system_templates", "qr_cohort_value",
+    "dd_bloom_fpr_curve", "conv_turn_profile",
 ]
 
 

@@ -1020,6 +1020,136 @@ ORDER BY b.doc_id
 DD_BLOOM_SQL = _dd_bloom_sql()
 
 
+BLOOM_SWEEP_EXTRA = [0, 1, 2, 3]  # sizing margins to sweep
+
+
+def dd_bloom_fpr_curve(spark, sf_dir):
+    """Bloom sizing sweep — the measured false-positive curve that tells
+    a team how wide to build the filter BEFORE committing it (the
+    calibration sister of dd_minhash_est_error / emb_cosine_hist /
+    dd_jaccard_threshold_sweep): at each extra-bits margin, the planted
+    crawl batch's bloom verdicts are scored against the exact hash
+    index and the FP rate among truly-novel docs is reported in basis
+    points. Hash each side ONCE; the sweep rides as a 4-way explode of
+    the 1-row sizing frame (m = 1 << (bit_length(n)+extra), the
+    shiftleft-SQL column-shift pattern), so positions/bits/probes carry
+    an extra_bits key and everything else is the dd_bloom_check plan
+    keyed one level deeper. All integer/md5 — exact on both engines."""
+    docs = _docs(spark, sf_dir)
+    is_batch = F.col("doc_id") % 10 == INCR_BATCH_RESIDUE
+    corpus = docs.where(~is_batch).select(
+        "doc_id", content_md5(F.col("text")).alias("text_hash")).persist()
+    batch = incr_batch_frame(docs).select(
+        "doc_id", content_md5(F.col("text")).alias("text_hash")).persist()
+    sizing = (corpus.agg(F.count("*").alias("n_corpus"))
+              .select(F.explode(F.array(*[F.lit(e) for e in
+                                          BLOOM_SWEEP_EXTRA]))
+                      .alias("extra_bits"), "n_corpus")
+              .selectExpr("extra_bits",
+                          "shiftleft(CAST(1 AS BIGINT),"
+                          " length(bin(n_corpus)) + extra_bits) AS m"))
+
+    def positions(df):
+        return (df.crossJoin(broadcast(sizing))
+                .select("*", bloom_pos_explode().alias("pos")))
+
+    bits = positions(corpus).select("extra_bits", "pos").distinct()
+    hit_counts = (positions(batch)
+                  .join(bits.withColumn("hit", F.lit(1)),
+                        ["extra_bits", "pos"], "left")
+                  .groupBy("doc_id", "extra_bits", "m")
+                  .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                       .cast("long").alias("n_hits")))
+    corpus_idx = corpus.groupBy("text_hash").agg(
+        F.min("doc_id").alias("dup_of"))
+    verdicts = (batch.join(corpus_idx, "text_hash", "left")
+                .select("doc_id",
+                        F.col("dup_of").isNotNull().alias("exact_dup"))
+                .join(hit_counts, "doc_id"))
+    return (verdicts.groupBy("extra_bits", "m")
+            .agg(F.count("*").cast("long").alias("n_batch"),
+                 F.sum((F.col("n_hits") == BLOOM_K).cast("long"))
+                 .cast("long").alias("n_bloom_dup"),
+                 F.sum((~F.col("exact_dup")).cast("long")).cast("long")
+                 .alias("n_novel"),
+                 F.sum(((F.col("n_hits") == BLOOM_K)
+                        & ~F.col("exact_dup")).cast("long")).cast("long")
+                 .alias("n_false_pos"))
+            .selectExpr("extra_bits", "m", "n_batch", "n_bloom_dup",
+                        "n_novel", "n_false_pos",
+                        "CAST((n_false_pos * 10000) DIV n_novel AS BIGINT)"
+                        " AS fpr_bp")
+            .orderBy("extra_bits"))
+
+
+def _dd_bloom_fpr_sql() -> str:
+    pos_expr = (
+        "((CAST(CAST(('0x' || substr(md5(text_hash || ':' ||"
+        " CAST(j AS VARCHAR)), 1, 16))::UBIGINT AS HUGEINT)"
+        " - 9223372036854775808 AS BIGINT) % m) + m) % m")
+    js = ", ".join(str(j) for j in range(BLOOM_K))
+    extras = ", ".join(str(e) for e in BLOOM_SWEEP_EXTRA)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL
+), batch AS (
+  SELECT b.doc_id,
+         md5(regexp_replace(lower(
+             CASE WHEN b.doc_id % 20 = {INCR_BATCH_RESIDUE} THEN d.text
+                  ELSE b.text || ' batch-new-' || CAST(b.doc_id AS VARCHAR)
+             END), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS text_hash
+  FROM base b JOIN base d ON d.doc_id = b.doc_id - {INCR_BATCH_RESIDUE}
+  WHERE b.doc_id % 10 = {INCR_BATCH_RESIDUE}
+), corpus AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS text_hash
+  FROM base WHERE doc_id % 10 <> {INCR_BATCH_RESIDUE}
+), sizing AS (
+  SELECT e.extra_bits,
+         CAST(1 AS BIGINT) << (length(bin(c.n)) + e.extra_bits) AS m
+  FROM (SELECT COUNT(*) AS n FROM corpus) c,
+       (SELECT UNNEST([{extras}]) AS extra_bits) e
+), bits AS (
+  SELECT DISTINCT s.extra_bits, {pos_expr} AS pos
+  FROM corpus, sizing s, (SELECT UNNEST([{js}]) AS j)
+), hit_counts AS (
+  SELECT p.doc_id, p.extra_bits, p.m,
+         CAST(SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hits
+  FROM (SELECT batch.doc_id, s.extra_bits, s.m, {pos_expr} AS pos
+        FROM batch, sizing s, (SELECT UNNEST([{js}]) AS j)) p
+  LEFT JOIN bits b ON b.extra_bits = p.extra_bits AND b.pos = p.pos
+  GROUP BY p.doc_id, p.extra_bits, p.m
+), corpus_idx AS (
+  SELECT text_hash, MIN(doc_id) AS dup_of FROM corpus GROUP BY text_hash
+), verdicts AS (
+  SELECT h.extra_bits, h.m, h.n_hits,
+         c.dup_of IS NOT NULL AS exact_dup
+  FROM batch b
+  LEFT JOIN corpus_idx c USING (text_hash)
+  JOIN hit_counts h ON h.doc_id = b.doc_id
+)
+SELECT extra_bits, m,
+       CAST(COUNT(*) AS BIGINT) AS n_batch,
+       CAST(SUM(CASE WHEN n_hits = {BLOOM_K} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bloom_dup,
+       CAST(SUM(CASE WHEN NOT exact_dup THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel,
+       CAST(SUM(CASE WHEN n_hits = {BLOOM_K} AND NOT exact_dup
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+       CAST((CAST(SUM(CASE WHEN n_hits = {BLOOM_K} AND NOT exact_dup
+                 THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+            // CAST(SUM(CASE WHEN NOT exact_dup THEN 1 ELSE 0 END)
+                    AS BIGINT) AS BIGINT) AS fpr_bp
+FROM verdicts
+GROUP BY extra_bits, m
+ORDER BY extra_bits
+"""
+
+
+DD_BLOOM_FPR_SQL = _dd_bloom_fpr_sql()
+
+
 def dd_incremental_neardup(spark, sf_dir):
     """Incremental NEAR-dup: the new batch is checked against the
     corpus's banded MinHash index — the daily-crawl shape for fuzzy
@@ -4562,6 +4692,7 @@ QUERIES = {
     "dd_syndication_matrix": (dd_syndication_matrix, DD_SYNDICATION_SQL),
     "dd_incremental": (dd_incremental, DD_INCR_SQL),
     "dd_bloom_check": (dd_bloom_check, DD_BLOOM_SQL),
+    "dd_bloom_fpr_curve": (dd_bloom_fpr_curve, DD_BLOOM_FPR_SQL),
     "dd_incremental_neardup": (
         dd_incremental_neardup,
         _dd_incr_neardup_sql().format(

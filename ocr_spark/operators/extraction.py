@@ -1807,8 +1807,63 @@ ORDER BY n_conv_uses DESC, template_hash
 """
 
 
+def conv_turn_profile(spark, sf_dir):
+    """Per-role floor-log2 turn-length profile — the conversation-grain
+    drift baseline (the corpus-stats artifact's bucket definition at the
+    role grain): how long are user prompts vs assistant replies vs tool
+    outputs, as a bucketed histogram with integer shares. Uses the
+    SHARED len_bucket definition (corpus.len_bucket — a snapshot built
+    yesterday must bucket exactly like a profile computed today) over
+    character lengths, and conv_mod=25 so every role appears.
+
+    Scale shape: one keyed (role, bucket) count with map-side combine +
+    a tiny per-role total joined back (broadcast — roles are four)."""
+    from .corpus import len_bucket
+    t = _agent_transcripts(spark, sf_dir, conv_mod=25)
+    binned = t.select(
+        "role",
+        len_bucket(F.length(F.coalesce(F.col("text"), F.lit(""))))
+        .alias("bucket"))
+    counts = (binned.groupBy("role", "bucket")
+              .agg(F.count("*").cast("long").alias("n_turns")))
+    totals = counts.groupBy("role").agg(
+        F.sum("n_turns").cast("long").alias("role_total"))
+    return (counts.join(F.broadcast(totals), "role")
+            .selectExpr("role", "bucket", "n_turns",
+                        "CAST((n_turns * 10000) DIV role_total AS BIGINT)"
+                        " AS share_bp")
+            .orderBy("role", "bucket"))
+
+
+CONV_TURN_PROFILE_SQL = """
+WITH t AS ({cte}),
+binned AS (
+  SELECT role,
+         CAST(CASE WHEN length(coalesce(text, '')) > 0
+              THEN length(bin(CAST(length(coalesce(text, '')) AS BIGINT)))
+              ELSE 0 END AS INTEGER) AS bucket
+  FROM t
+),
+counts AS (
+  SELECT role, bucket, CAST(COUNT(*) AS BIGINT) AS n_turns
+  FROM binned GROUP BY role, bucket
+),
+totals AS (
+  SELECT role, CAST(SUM(n_turns) AS BIGINT) AS role_total
+  FROM counts GROUP BY role
+)
+SELECT c.role, c.bucket, c.n_turns,
+       CAST((c.n_turns * 10000) // t.role_total AS BIGINT) AS share_bp
+FROM counts c JOIN totals t USING (role)
+ORDER BY c.role, c.bucket
+"""
+
+
 QUERIES = {
     "conv_assemble": (conv_assemble, CONV_ASSEMBLE_SQL),
+    "conv_turn_profile": (
+        conv_turn_profile,
+        CONV_TURN_PROFILE_SQL.format(cte=_agent_transcripts_cte(25))),
     "conv_system_templates": (
         conv_system_templates,
         CONV_SYS_TEMPLATES_SQL.format(cte=_agent_transcripts_cte(25),

@@ -763,6 +763,56 @@ def test_cohort_value_python_twin(spark):
 
 
 # ---------------------------------------------------------------------------
+# dd_bloom_fpr_curve
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_fpr_curve_monotone_no_false_negatives(spark):
+    """FP rate must fall (weakly) as the filter widens; true dups are
+    flagged at EVERY size (no false negatives at any m); the flag
+    arithmetic must reconcile."""
+    from ocr_spark.operators.corpus import (BLOOM_SWEEP_EXTRA,
+                                            dd_bloom_fpr_curve)
+    rows = dd_bloom_fpr_curve(spark, SF_DIR).collect()
+    assert [r.extra_bits for r in rows] == sorted(BLOOM_SWEEP_EXTRA)
+    prev_fpr = None
+    n_true_dups = {r.n_batch - r.n_novel for r in rows}
+    assert len(n_true_dups) == 1  # exact-dup count is size-independent
+    for r in rows:
+        # every exact dup is bloom-flagged: bloom_dup - false_pos
+        # recovers the true-dup count exactly
+        assert r.n_bloom_dup - r.n_false_pos == r.n_batch - r.n_novel
+        assert r.fpr_bp == (r.n_false_pos * 10000) // r.n_novel
+        if prev_fpr is not None:
+            assert r.fpr_bp <= prev_fpr
+        prev_fpr = r.fpr_bp
+    assert rows[0].n_false_pos > 0, "the m≈n point must saturate"
+    assert rows[-1].fpr_bp < rows[0].fpr_bp
+
+
+# ---------------------------------------------------------------------------
+# conv_turn_profile
+# ---------------------------------------------------------------------------
+
+
+def test_turn_profile_shares_conserved(spark):
+    from ocr_spark.operators.extraction import conv_turn_profile
+    rows = conv_turn_profile(spark, SF_DIR).collect()
+    assert {r.role for r in rows} == {"user", "assistant", "tool", "system"}
+    by_role = defaultdict(list)
+    for r in rows:
+        assert r.bucket >= 0 and r.n_turns > 0
+        assert r.share_bp >= 0
+        by_role[r.role].append(r)
+    for role, rs in by_role.items():
+        total = sum(r.n_turns for r in rs)
+        for r in rs:
+            assert r.share_bp == (r.n_turns * 10000) // total
+        # floor shares sum to within one unit per bucket of 10000
+        assert 10000 - len(rs) < sum(r.share_bp for r in rs) <= 10000
+
+
+# ---------------------------------------------------------------------------
 # plan pins
 # ---------------------------------------------------------------------------
 
