@@ -104,6 +104,7 @@ HEADLINE = HEADLINE_R1 + [
     "dd_jaccard_threshold_sweep", "sim_hard_negatives",
     "conv_system_templates", "qr_cohort_value",
     "dd_bloom_fpr_curve", "conv_turn_profile",
+    "dd_dup_cluster_hist", "qr_interarrival_hist",
 ]
 
 

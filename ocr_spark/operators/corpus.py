@@ -1020,6 +1020,53 @@ ORDER BY b.doc_id
 DD_BLOOM_SQL = _dd_bloom_sql()
 
 
+def dd_dup_cluster_hist(spark, sf_dir):
+    """Exact-dup cluster-size histogram — the "how concentrated is the
+    duplication" read that decides between per-doc dedup and
+    cluster-aware strategies: per cluster size s (1 = unique), how many
+    clusters and how many DOCS sit at that size, with the doc share in
+    basis points. Sizes are bucketed exactly (not floor-log2): real
+    corpora have long tails of tiny clusters and a handful of giants,
+    and the decision thresholds live at small exact sizes.
+
+    Scale shape: one keyed content-hash count (map-side combine) — the
+    dd_exact_dup shuffle — then a tiny groupBy(size) over the cluster
+    frame; the doc total rides the same frame as one more agg."""
+    clusters = (_docs(spark, sf_dir)
+                .select(content_md5(F.coalesce(F.col("text"), F.lit("")))
+                        .alias("h"))
+                .groupBy("h").agg(F.count("*").cast("long").alias("size"))
+                .persist())
+    total = clusters.agg(F.sum("size").cast("long").alias("n_docs"))
+    return (clusters.groupBy("size")
+            .agg(F.count("*").cast("long").alias("n_clusters"))
+            .crossJoin(broadcast(total))
+            .selectExpr("size", "n_clusters",
+                        "CAST(size * n_clusters AS BIGINT) AS n_docs_at",
+                        "CAST((size * n_clusters * 10000) DIV n_docs"
+                        " AS BIGINT) AS doc_share_bp")
+            .orderBy("size"))
+
+
+DD_DUP_CLUSTER_HIST_SQL = """
+WITH clusters AS (
+  SELECT md5(regexp_replace(lower(coalesce(text, '')),
+             '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS h,
+         CAST(COUNT(*) AS BIGINT) AS size
+  FROM documents WHERE doc_id IS NOT NULL
+  GROUP BY 1
+),
+total AS (SELECT CAST(SUM(size) AS BIGINT) AS n_docs FROM clusters)
+SELECT size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(size * COUNT(*) AS BIGINT) AS n_docs_at,
+       CAST((size * COUNT(*) * 10000) // n_docs AS BIGINT) AS doc_share_bp
+FROM clusters, total
+GROUP BY size, n_docs
+ORDER BY size
+"""
+
+
 BLOOM_SWEEP_EXTRA = [0, 1, 2, 3]  # sizing margins to sweep
 
 
@@ -4693,6 +4740,7 @@ QUERIES = {
     "dd_incremental": (dd_incremental, DD_INCR_SQL),
     "dd_bloom_check": (dd_bloom_check, DD_BLOOM_SQL),
     "dd_bloom_fpr_curve": (dd_bloom_fpr_curve, DD_BLOOM_FPR_SQL),
+    "dd_dup_cluster_hist": (dd_dup_cluster_hist, DD_DUP_CLUSTER_HIST_SQL),
     "dd_incremental_neardup": (
         dd_incremental_neardup,
         _dd_incr_neardup_sql().format(

@@ -652,6 +652,82 @@ QR_COHORT_VALUE_SQL = _qr_cohort_value_sql()
 BOT_EVENTS_PER_MIN = 3  # flag users averaging more than this per active minute
 
 
+def qr_interarrival_hist(spark, sf_dir):
+    """Per-type inter-arrival burstiness profile: floor-log2 histogram
+    of microsecond gaps between consecutive same-type events within a
+    day — the read that separates organic traffic from batch-loaded or
+    bot-generated streams (organic gaps spread across buckets; machine
+    traffic spikes in one). Gap arithmetic is the w3 discipline:
+    integer-MICROSECOND timestampdiff on the NTZ column (tz-free,
+    DST-safe), bucket = length(bin(gap_us)) exact floor-log2 (+1; gap 0
+    → bucket 0), shares in integer basis points.
+
+    Scale shape: the lag window is keyed by (event_type, day) — a
+    BOUNDED partition key (one day of one type), never a global or
+    per-type-only sort; day-boundary gaps are deliberately out of
+    scope (documented day-local semantics). Total order inside the
+    window = (ts, event_id), so ties cannot flip gaps between runs or
+    engines."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull())
+    day = F.expr(f"CAST(datediff(to_date(ts), DATE '{RETENTION_EPOCH}')"
+                 f" AS BIGINT)")
+    w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    gaps = (ev.select("event_type", "ts", "event_id", day.alias("day"))
+            .withColumn("prev_ts", F.lag("ts").over(w))
+            .where(F.col("prev_ts").isNotNull())
+            .selectExpr("event_type",
+                        "CAST(timestampdiff(MICROSECOND, prev_ts, ts)"
+                        " AS BIGINT) AS gap_us")
+            .selectExpr("event_type",
+                        "CAST(CASE WHEN gap_us > 0"
+                        " THEN length(bin(gap_us)) ELSE 0 END AS INT)"
+                        " AS gap_bucket"))
+    counts = (gaps.groupBy("event_type", "gap_bucket")
+              .agg(F.count("*").cast("long").alias("n_gaps")))
+    totals = counts.groupBy("event_type").agg(
+        F.sum("n_gaps").cast("long").alias("type_total"))
+    return (counts.join(F.broadcast(totals), "event_type")
+            .selectExpr("event_type", "gap_bucket", "n_gaps",
+                        "CAST((n_gaps * 10000) DIV type_total AS BIGINT)"
+                        " AS share_bp")
+            .orderBy("event_type", "gap_bucket"))
+
+
+QR_INTERARRIVAL_SQL = f"""
+WITH ev AS (
+  SELECT event_type, event_id, ts,
+         CAST(datediff('day', DATE '{RETENTION_EPOCH}', CAST(ts AS DATE))
+              AS BIGINT) AS day
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+),
+gaps AS (
+  SELECT event_type,
+         CAST(CASE WHEN g > 0 THEN length(bin(g)) ELSE 0 END AS INTEGER)
+             AS gap_bucket
+  FROM (
+    SELECT event_type,
+           CAST(datediff('microseconds',
+                LAG(ts) OVER (PARTITION BY event_type, day
+                              ORDER BY ts, event_id), ts) AS BIGINT) AS g
+    FROM ev
+  ) WHERE g IS NOT NULL
+),
+counts AS (
+  SELECT event_type, gap_bucket, CAST(COUNT(*) AS BIGINT) AS n_gaps
+  FROM gaps GROUP BY event_type, gap_bucket
+),
+totals AS (
+  SELECT event_type, CAST(SUM(n_gaps) AS BIGINT) AS type_total
+  FROM counts GROUP BY event_type
+)
+SELECT c.event_type, c.gap_bucket, c.n_gaps,
+       CAST((c.n_gaps * 10000) // t.type_total AS BIGINT) AS share_bp
+FROM counts c JOIN totals t USING (event_type)
+ORDER BY c.event_type, c.gap_bucket
+"""
+
+
 def qr_bot_detection(spark, sf_dir):
     """Bot-traffic screen over the event stream — the crawl-hygiene read
     a training-data team runs before trusting engagement signals: a user
@@ -708,4 +784,5 @@ QUERIES = {
     "qr_event_funnel": (qr_event_funnel, QR_FUNNEL_SQL),
     "qr_bot_detection": (qr_bot_detection, QR_BOT_SQL),
     "qr_cohort_value": (qr_cohort_value, QR_COHORT_VALUE_SQL),
+    "qr_interarrival_hist": (qr_interarrival_hist, QR_INTERARRIVAL_SQL),
 }

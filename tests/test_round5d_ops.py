@@ -813,6 +813,77 @@ def test_turn_profile_shares_conserved(spark):
 
 
 # ---------------------------------------------------------------------------
+# dd_dup_cluster_hist
+# ---------------------------------------------------------------------------
+
+
+def test_dup_cluster_hist_planted_sizes(spark, tmp_path):
+    from ocr_spark.operators.corpus import dd_dup_cluster_hist
+    docs = [
+        (1, "unique one", "en", "s", 0),
+        (2, "unique two", "en", "s", 0),
+        (3, "unique three", "en", "s", 0),
+        (4, "pair text", "en", "s", 0),
+        (5, "PAIR   text", "en", "s", 0),          # normalizes equal
+        (6, "triple", "en", "s", 0),
+        (7, "triple", "en", "s", 0),
+        (8, "  triple", "en", "s", 0),             # leading ws differs!
+    ]
+    got = {r.size: (r.n_clusters, r.n_docs_at, r.doc_share_bp)
+           for r in dd_dup_cluster_hist(
+               spark, _write_docs(spark, tmp_path, docs)).collect()}
+    # "  triple" normalizes to " triple" (runs collapse, no strip) — a
+    # SEPARATE cluster from "triple"; sizes: five 1s? no: uniques 1,2,3
+    # + " triple" → four singletons, one pair, one pair-of-triple
+    assert got == {
+        1: (4, 4, 5000),
+        2: (2, 4, 5000),
+    }
+
+
+def test_dup_cluster_hist_conserves_docs(spark):
+    from ocr_spark.operators.corpus import dd_dup_cluster_hist
+    con = _duck_docs_con()
+    n = con.execute("SELECT COUNT(*) FROM documents "
+                    "WHERE doc_id IS NOT NULL").fetchone()[0]
+    rows = dd_dup_cluster_hist(spark, SF_DIR).collect()
+    assert sum(r.n_docs_at for r in rows) == n
+    assert all(r.n_docs_at == r.size * r.n_clusters for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# qr_interarrival_hist
+# ---------------------------------------------------------------------------
+
+
+def test_interarrival_day_local_and_tie_gaps(spark, tmp_path):
+    """Gaps are day-local (no cross-midnight gap), equal-timestamp
+    consecutive events produce a bucket-0 gap, and buckets are the
+    exact floor-log2 of the microsecond difference."""
+    from ocr_spark.operators.temporal import qr_interarrival_hist
+    t = datetime.datetime
+    ev = [
+        (1, t(2024, 1, 1, 9, 0, 0, 0), 1, "x", 1.0, "{}"),
+        (2, t(2024, 1, 1, 9, 0, 0, 1), 1, "x", 1.0, "{}"),   # gap 1 → b1
+        (3, t(2024, 1, 1, 9, 0, 0, 1), 1, "x", 1.0, "{}"),   # gap 0 → b0
+        (4, t(2024, 1, 1, 9, 0, 0, 9), 1, "x", 1.0, "{}"),   # gap 8 → b4
+        (5, t(2024, 1, 2, 9, 0, 0, 0), 1, "x", 1.0, "{}"),   # new day: none
+    ]
+    d = str(tmp_path / "ia")
+    spark.createDataFrame(
+        ev, "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+    ).write.parquet(os.path.join(d, "events.parquet"))
+    got = {(r.event_type, r.gap_bucket): (r.n_gaps, r.share_bp)
+           for r in qr_interarrival_hist(spark, d).collect()}
+    assert got == {
+        ("x", 0): (1, 3333),
+        ("x", 1): (1, 3333),
+        ("x", 4): (1, 3333),
+    }
+
+
+# ---------------------------------------------------------------------------
 # plan pins
 # ---------------------------------------------------------------------------
 
