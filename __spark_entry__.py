@@ -107,6 +107,7 @@ _MEASURED_COST = {
     'qr_cohort_value': 0.7, 'conv_system_templates': 1.1,
     'conv_turn_profile': 0.9, 'dd_bloom_fpr_curve': 2.7,
     'dd_dup_cluster_hist': 0.8, 'qr_interarrival_hist': 2.4,
+    'smp_eval_holdout': 0.9, 'txt_hapax_by_source': 0.7,
 }
 
 

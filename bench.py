@@ -105,6 +105,7 @@ HEADLINE = HEADLINE_R1 + [
     "conv_system_templates", "qr_cohort_value",
     "dd_bloom_fpr_curve", "conv_turn_profile",
     "dd_dup_cluster_hist", "qr_interarrival_hist",
+    "smp_eval_holdout", "txt_hapax_by_source",
 ]
 
 

@@ -3267,6 +3267,124 @@ ORDER BY source
 
 
 # ---------------------------------------------------------------------------
+# Length-matched eval holdout
+# ---------------------------------------------------------------------------
+
+EVAL_HOLDOUT_BP = 500   # target eval share per stratum (5%)
+
+
+def smp_eval_holdout(spark, sf_dir):
+    """Length-matched eval holdout: carve a deterministic eval split
+    whose LENGTH DISTRIBUTION matches train by sampling the same
+    fraction inside every floor-log2 length bucket — the split a team
+    ships so eval loss is comparable to train loss (a naive global 5%
+    skews toward whatever lengths dominate; per-stratum admission can't).
+    Admission = the md5 bridge per doc (same doc, same side, any
+    partitioning/cluster/engine): doc goes to eval iff
+    pmod(md5_long(doc_id || ':eval'), 10000) < EVAL_HOLDOUT_BP.
+    Report per bucket: totals, eval count, achieved eval share — the
+    reconciliation that shows the match held.
+
+    Scale shape: map-only bucket+hash projection, one keyed
+    (bucket) aggregation. The split itself is a WHERE clause any
+    downstream reader reapplies — no materialization needed for the
+    decision to be stable."""
+    docs = _docs(spark, sf_dir)
+    h = _md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":eval")))
+    n_tok = f"size(filter({_TOKENS}, x -> x <> ''))"
+    binned = (docs.withColumn("h", h)
+              .selectExpr(
+                  f"CAST(CASE WHEN {n_tok} > 0"
+                  f" THEN length(bin(CAST({n_tok} AS BIGINT)))"
+                  " ELSE 0 END AS INT) AS bucket",
+                  f"pmod(h, 10000) < {EVAL_HOLDOUT_BP} AS is_eval"))
+    return (binned.groupBy("bucket")
+            .agg(F.count("*").cast("long").alias("n_total"),
+                 F.sum(F.col("is_eval").cast("long")).cast("long")
+                 .alias("n_eval"))
+            .selectExpr("bucket", "n_total", "n_eval",
+                        "CAST((n_eval * 10000) DIV n_total AS BIGINT)"
+                        " AS eval_bp")
+            .orderBy("bucket"))
+
+
+SMP_EVAL_HOLDOUT_SQL = f"""
+WITH binned AS (
+  SELECT CAST(CASE WHEN len(list_filter(string_split_regex(lower(text),
+                   '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')) > 0
+              THEN length(bin(CAST(len(list_filter(string_split_regex(
+                   lower(text), '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> ''))
+                   AS BIGINT)))
+              ELSE 0 END AS INTEGER) AS bucket,
+         ((CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+              || ':eval'), 1, 16))::UBIGINT AS HUGEINT)
+              - 9223372036854775808 AS BIGINT) % 10000) + 10000) % 10000
+             < {EVAL_HOLDOUT_BP} AS is_eval
+  FROM documents WHERE doc_id IS NOT NULL
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN is_eval THEN 1 ELSE 0 END) AS BIGINT) AS n_eval,
+       CAST((CAST(SUM(CASE WHEN is_eval THEN 1 ELSE 0 END) AS BIGINT)
+            * 10000) // COUNT(*) AS BIGINT) AS eval_bp
+FROM binned
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hapax rate per source (vocabulary-health read)
+# ---------------------------------------------------------------------------
+
+
+def txt_hapax_by_source(spark, sf_dir):
+    """Hapax-legomena rate per source: the share of each source's
+    vocabulary that appears exactly once — the linguistic-health gauge
+    that separates organic text (hapax-rich, Zipf tail intact) from
+    template/machine output (tiny closed vocabulary, hapax-poor) at the
+    SOURCE grain, where the acquisition decision is made.
+
+    Scale shape: one keyed (source, token) count with map-side combine,
+    then a tiny per-source rollup. All integer."""
+    toks = _docs(spark, sf_dir).selectExpr(
+        "source",
+        f"explode(filter({_TOKENS}, x -> x <> '')) AS w")
+    vocab = (toks.groupBy("source", "w")
+             .agg(F.count("*").cast("long").alias("c")))
+    return (vocab.groupBy("source")
+            .agg(F.count("*").cast("long").alias("vocab_size"),
+                 F.sum((F.col("c") == 1).cast("long")).cast("long")
+                 .alias("n_hapax"),
+                 F.sum("c").cast("long").alias("n_tokens"))
+            .selectExpr("source", "vocab_size", "n_hapax", "n_tokens",
+                        "CAST((n_hapax * 10000) DIV vocab_size AS BIGINT)"
+                        " AS hapax_bp")
+            .orderBy("source"))
+
+
+TXT_HAPAX_SQL = """
+WITH vocab AS (
+  SELECT source, g AS w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT source,
+               unnest(list_filter(string_split_regex(lower(text),
+                      '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')) AS g
+        FROM documents WHERE doc_id IS NOT NULL)
+  GROUP BY source, g
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS vocab_size,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST((CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            * 10000) // COUNT(*) AS BIGINT) AS hapax_bp
+FROM vocab
+GROUP BY source
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # Zipf-slope corpus health check
 # ---------------------------------------------------------------------------
 
@@ -3347,6 +3465,8 @@ QUERIES = {
     "txt_zipf_slope": (txt_zipf_slope, TXT_ZIPF_SQL),
     "smp_mix_report": (smp_mix_report, SMP_MIX_REPORT_SQL),
     "dd_dup_rate_by_gate": (dd_dup_rate_by_gate, DD_DUP_BY_GATE_SQL),
+    "smp_eval_holdout": (smp_eval_holdout, SMP_EVAL_HOLDOUT_SQL),
+    "txt_hapax_by_source": (txt_hapax_by_source, TXT_HAPAX_SQL),
     "txt_drift_tvd": (txt_drift_tvd, TXT_DRIFT_SQL),
     "smp_length_buckets": (smp_length_buckets, SMP_LEN_BUCKETS_SQL),
     "txt_gate_agreement": (txt_gate_agreement,

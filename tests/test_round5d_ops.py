@@ -884,6 +884,56 @@ def test_interarrival_day_local_and_tie_gaps(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# smp_eval_holdout
+# ---------------------------------------------------------------------------
+
+
+def test_eval_holdout_python_twin(spark):
+    """Independent recompute of the md5-bridge admission and floor-log2
+    bucketing — and the bridge property itself: the eval side is a pure
+    doc_id function (any partitioning, any engine)."""
+    from ocr_spark.operators.quality import EVAL_HOLDOUT_BP, smp_eval_holdout
+    con = _duck_docs_con()
+    agg = defaultdict(lambda: [0, 0])
+    for doc_id, text in con.execute(
+            "SELECT doc_id, text FROM documents "
+            "WHERE doc_id IS NOT NULL").fetchall():
+        n = len([t for t in re.split(r"[ \t\n\x0b\f\r]+",
+                                     (text or "").lower()) if t])
+        bucket = n.bit_length() if n > 0 else 0
+        h = int(hashlib.md5(f"{doc_id}:eval".encode()).hexdigest()[:16], 16)
+        is_eval = ((h - (1 << 63)) % 10000 + 10000) % 10000 < EVAL_HOLDOUT_BP
+        agg[bucket][0] += 1
+        agg[bucket][1] += int(is_eval)
+    want = {b: (t, e, (e * 10000) // t) for b, (t, e) in agg.items()}
+    got = {r.bucket: (r.n_total, r.n_eval, r.eval_bp)
+           for r in smp_eval_holdout(spark, SF_DIR).collect()}
+    assert got == want
+    assert sum(e for _, e, _ in want.values()) > 0, "eval side non-empty"
+
+
+# ---------------------------------------------------------------------------
+# txt_hapax_by_source
+# ---------------------------------------------------------------------------
+
+
+def test_hapax_planted_rates(spark, tmp_path):
+    from ocr_spark.operators.quality import txt_hapax_by_source
+    docs = [
+        (1, "a a b", "en", "srcA", 0),          # vocab {a:2, b:1} → 1/2
+        (2, "x y z", "en", "srcB", 0),          # all hapax → 3/3
+        (3, "x y z", "en", "srcB", 0),          # repeat doc: no hapax left
+    ]
+    got = {r.source: (r.vocab_size, r.n_hapax, r.n_tokens, r.hapax_bp)
+           for r in txt_hapax_by_source(
+               spark, _write_docs(spark, tmp_path, docs)).collect()}
+    assert got == {
+        "srcA": (2, 1, 3, 5000),
+        "srcB": (3, 0, 6, 0),
+    }
+
+
+# ---------------------------------------------------------------------------
 # plan pins
 # ---------------------------------------------------------------------------
 
