@@ -902,6 +902,53 @@ def bloom_bits_build(corpus_docs: DataFrame,
     return bits, m, int(n)
 
 
+def _bloom_hashed_frames(spark, sf_dir):
+    """Shared Spark side of the in-registry Bloom family (dd_bloom_check
+    / dd_bloom_fpr_curve): the planted-crawl batch and the corpus, each
+    hashed ONCE and persisted (each feeds two branches — the repo's
+    two-branch persist convention), plus the exact hash index. Returns
+    (corpus, batch, corpus_idx); both frames carry (doc_id, text_hash)."""
+    docs = _docs(spark, sf_dir)
+    is_batch = F.col("doc_id") % 10 == INCR_BATCH_RESIDUE
+    corpus = docs.where(~is_batch).select(
+        "doc_id", content_md5(F.col("text")).alias("text_hash")).persist()
+    batch = incr_batch_frame(docs).select(
+        "doc_id", content_md5(F.col("text")).alias("text_hash")).persist()
+    corpus_idx = corpus.groupBy("text_hash").agg(
+        F.min("doc_id").alias("dup_of"))
+    return corpus, batch, corpus_idx
+
+
+# the base/batch/corpus CTE chain and the sign-safe md5 position
+# expression shared by BOTH Bloom oracle generators (the _NGRAM_PAIR_CTES
+# precedent: one string, so a preimage change cannot diverge the curve
+# from the operator it calibrates)
+_BLOOM_POS_EXPR = (
+    "((CAST(CAST(('0x' || substr(md5(text_hash || ':' ||"
+    " CAST(j AS VARCHAR)), 1, 16))::UBIGINT AS HUGEINT)"
+    " - 9223372036854775808 AS BIGINT) % m) + m) % m")
+
+
+def _bloom_base_ctes() -> str:
+    return f"""base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL
+), batch AS (
+  SELECT b.doc_id,
+         md5(regexp_replace(lower(
+             CASE WHEN b.doc_id % 20 = {INCR_BATCH_RESIDUE} THEN d.text
+                  ELSE b.text || ' batch-new-' || CAST(b.doc_id AS VARCHAR)
+             END), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS text_hash
+  FROM base b JOIN base d ON d.doc_id = b.doc_id - {INCR_BATCH_RESIDUE}
+  WHERE b.doc_id % 10 = {INCR_BATCH_RESIDUE}
+), corpus AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS text_hash
+  FROM base WHERE doc_id % 10 <> {INCR_BATCH_RESIDUE}
+), corpus_idx AS (
+  SELECT text_hash, MIN(doc_id) AS dup_of FROM corpus GROUP BY text_hash
+)"""
+
+
 def dd_bloom_check(spark, sf_dir, extra_bits: int = BLOOM_EXTRA_BITS):
     """Bloom-filter incremental dedup — the membership structure a
     100 TB pipeline actually ships between crawls: the corpus's content
@@ -928,15 +975,7 @@ def dd_bloom_check(spark, sf_dir, extra_bits: int = BLOOM_EXTRA_BITS):
     Engine-exact: positions are pmod(md5-long(hash||':'||j), m) — pure
     integer/md5 arithmetic, identical on DuckDB via the UBIGINT bridge
     and `((x % m) + m) % m`."""
-    docs = _docs(spark, sf_dir)
-    is_batch = F.col("doc_id") % 10 == INCR_BATCH_RESIDUE
-    # hash each side ONCE and persist: corpus feeds the bit insert AND
-    # the exact index; the batch (a donor join) feeds the probes AND the
-    # verdict join (the repo's two-branch persist convention)
-    corpus = docs.where(~is_batch).select(
-        "doc_id", content_md5(F.col("text")).alias("text_hash")).persist()
-    batch = incr_batch_frame(docs).select(
-        "doc_id", content_md5(F.col("text")).alias("text_hash")).persist()
+    corpus, batch, corpus_idx = _bloom_hashed_frames(spark, sf_dir)
     # m from the corpus count: one metadata-cheap agg, broadcast as a
     # 1-row sizing frame to both the insert and the probe side
     sizing = corpus.agg(F.count("*").alias("n_corpus")).selectExpr(
@@ -953,7 +992,6 @@ def dd_bloom_check(spark, sf_dir, extra_bits: int = BLOOM_EXTRA_BITS):
                   .groupBy("doc_id")
                   .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0)))
                        .cast("long").alias("n_hits")))
-    corpus_idx = corpus.groupBy("text_hash").agg(F.min("doc_id").alias("dup_of"))
     return (batch
             .join(corpus_idx, "text_hash", "left")
             .join(hit_counts, "doc_id")
@@ -966,36 +1004,19 @@ def dd_bloom_check(spark, sf_dir, extra_bits: int = BLOOM_EXTRA_BITS):
 
 
 def _dd_bloom_sql(extra_bits: int = BLOOM_EXTRA_BITS) -> str:
-    """Oracle for dd_bloom_check: the identical batch construction,
-    md5-long bit positions, sign-safe mod, and data-derived m."""
-    pos_expr = (
-        "((CAST(CAST(('0x' || substr(md5(text_hash || ':' ||"
-        " CAST(j AS VARCHAR)), 1, 16))::UBIGINT AS HUGEINT)"
-        " - 9223372036854775808 AS BIGINT) % m) + m) % m")
+    """Oracle for dd_bloom_check: the shared base/batch/corpus CTEs and
+    position expression (_bloom_base_ctes / _BLOOM_POS_EXPR) with the
+    single data-derived m."""
     js = ", ".join(str(j) for j in range(BLOOM_K))
     return f"""
-WITH base AS (
-  SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL
-), batch AS (
-  SELECT b.doc_id,
-         md5(regexp_replace(lower(
-             CASE WHEN b.doc_id % 20 = {INCR_BATCH_RESIDUE} THEN d.text
-                  ELSE b.text || ' batch-new-' || CAST(b.doc_id AS VARCHAR)
-             END), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS text_hash
-  FROM base b JOIN base d ON d.doc_id = b.doc_id - {INCR_BATCH_RESIDUE}
-  WHERE b.doc_id % 10 = {INCR_BATCH_RESIDUE}
-), corpus AS (
-  SELECT doc_id,
-         md5(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS text_hash
-  FROM base WHERE doc_id % 10 <> {INCR_BATCH_RESIDUE}
-), sizing AS (
+WITH {_bloom_base_ctes()}, sizing AS (
   SELECT CAST(1 AS BIGINT) << (length(bin(COUNT(*))) + {int(extra_bits)}) AS m
   FROM corpus
 ), bits AS (
-  SELECT DISTINCT {pos_expr} AS pos
+  SELECT DISTINCT {_BLOOM_POS_EXPR} AS pos
   FROM corpus, sizing, (SELECT UNNEST([{js}]) AS j)
 ), probes AS (
-  SELECT doc_id, {pos_expr} AS pos
+  SELECT doc_id, {_BLOOM_POS_EXPR} AS pos
   FROM batch, sizing, (SELECT UNNEST([{js}]) AS j)
 ), hit_counts AS (
   SELECT p.doc_id,
@@ -1003,8 +1024,6 @@ WITH base AS (
              AS n_hits
   FROM probes p LEFT JOIN bits b USING (pos)
   GROUP BY p.doc_id
-), corpus_idx AS (
-  SELECT text_hash, MIN(doc_id) AS dup_of FROM corpus GROUP BY text_hash
 )
 SELECT b.doc_id, h.n_hits,
        h.n_hits = {BLOOM_K} AS bloom_dup,
@@ -1081,13 +1100,10 @@ def dd_bloom_fpr_curve(spark, sf_dir):
     the 1-row sizing frame (m = 1 << (bit_length(n)+extra), the
     shiftleft-SQL column-shift pattern), so positions/bits/probes carry
     an extra_bits key and everything else is the dd_bloom_check plan
-    keyed one level deeper. All integer/md5 — exact on both engines."""
-    docs = _docs(spark, sf_dir)
-    is_batch = F.col("doc_id") % 10 == INCR_BATCH_RESIDUE
-    corpus = docs.where(~is_batch).select(
-        "doc_id", content_md5(F.col("text")).alias("text_hash")).persist()
-    batch = incr_batch_frame(docs).select(
-        "doc_id", content_md5(F.col("text")).alias("text_hash")).persist()
+    keyed one level deeper. All integer/md5 — exact on both engines.
+    Construction is the shared _bloom_hashed_frames builder, so the
+    curve can never drift from the operator it calibrates."""
+    corpus, batch, corpus_idx = _bloom_hashed_frames(spark, sf_dir)
     sizing = (corpus.agg(F.count("*").alias("n_corpus"))
               .select(F.explode(F.array(*[F.lit(e) for e in
                                           BLOOM_SWEEP_EXTRA]))
@@ -1107,8 +1123,6 @@ def dd_bloom_fpr_curve(spark, sf_dir):
                   .groupBy("doc_id", "extra_bits", "m")
                   .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0)))
                        .cast("long").alias("n_hits")))
-    corpus_idx = corpus.groupBy("text_hash").agg(
-        F.min("doc_id").alias("dup_of"))
     verdicts = (batch.join(corpus_idx, "text_hash", "left")
                 .select("doc_id",
                         F.col("dup_of").isNotNull().alias("exact_dup"))
@@ -1130,45 +1144,27 @@ def dd_bloom_fpr_curve(spark, sf_dir):
 
 
 def _dd_bloom_fpr_sql() -> str:
-    pos_expr = (
-        "((CAST(CAST(('0x' || substr(md5(text_hash || ':' ||"
-        " CAST(j AS VARCHAR)), 1, 16))::UBIGINT AS HUGEINT)"
-        " - 9223372036854775808 AS BIGINT) % m) + m) % m")
+    """Oracle for the sizing sweep: the SAME shared CTEs and position
+    expression as _dd_bloom_sql, keyed one level deeper by extra_bits."""
     js = ", ".join(str(j) for j in range(BLOOM_K))
     extras = ", ".join(str(e) for e in BLOOM_SWEEP_EXTRA)
     return f"""
-WITH base AS (
-  SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL
-), batch AS (
-  SELECT b.doc_id,
-         md5(regexp_replace(lower(
-             CASE WHEN b.doc_id % 20 = {INCR_BATCH_RESIDUE} THEN d.text
-                  ELSE b.text || ' batch-new-' || CAST(b.doc_id AS VARCHAR)
-             END), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS text_hash
-  FROM base b JOIN base d ON d.doc_id = b.doc_id - {INCR_BATCH_RESIDUE}
-  WHERE b.doc_id % 10 = {INCR_BATCH_RESIDUE}
-), corpus AS (
-  SELECT doc_id,
-         md5(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS text_hash
-  FROM base WHERE doc_id % 10 <> {INCR_BATCH_RESIDUE}
-), sizing AS (
+WITH {_bloom_base_ctes()}, sizing AS (
   SELECT e.extra_bits,
          CAST(1 AS BIGINT) << (length(bin(c.n)) + e.extra_bits) AS m
   FROM (SELECT COUNT(*) AS n FROM corpus) c,
        (SELECT UNNEST([{extras}]) AS extra_bits) e
 ), bits AS (
-  SELECT DISTINCT s.extra_bits, {pos_expr} AS pos
+  SELECT DISTINCT s.extra_bits, {_BLOOM_POS_EXPR} AS pos
   FROM corpus, sizing s, (SELECT UNNEST([{js}]) AS j)
 ), hit_counts AS (
   SELECT p.doc_id, p.extra_bits, p.m,
          CAST(SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
              AS n_hits
-  FROM (SELECT batch.doc_id, s.extra_bits, s.m, {pos_expr} AS pos
+  FROM (SELECT batch.doc_id, s.extra_bits, s.m, {_BLOOM_POS_EXPR} AS pos
         FROM batch, sizing s, (SELECT UNNEST([{js}]) AS j)) p
   LEFT JOIN bits b ON b.extra_bits = p.extra_bits AND b.pos = p.pos
   GROUP BY p.doc_id, p.extra_bits, p.m
-), corpus_idx AS (
-  SELECT text_hash, MIN(doc_id) AS dup_of FROM corpus GROUP BY text_hash
 ), verdicts AS (
   SELECT h.extra_bits, h.m, h.n_hits,
          c.dup_of IS NOT NULL AS exact_dup

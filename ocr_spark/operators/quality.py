@@ -3291,13 +3291,14 @@ def smp_eval_holdout(spark, sf_dir):
     decision to be stable."""
     docs = _docs(spark, sf_dir)
     h = _md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":eval")))
-    n_tok = f"size(filter({_TOKENS}, x -> x <> ''))"
-    binned = (docs.withColumn("h", h)
-              .selectExpr(
-                  f"CAST(CASE WHEN {n_tok} > 0"
-                  f" THEN length(bin(CAST({n_tok} AS BIGINT)))"
-                  " ELSE 0 END AS INT) AS bucket",
-                  f"pmod(h, 10000) < {EVAL_HOLDOUT_BP} AS is_eval"))
+    # strata = THE shared len_bucket definition (corpus.len_bucket) over
+    # the non-empty token count, so the holdout's length match can never
+    # drift from the drift-baseline buckets (txt_drift_tvd, corpus-stats)
+    n_tok = F.expr(f"CAST(size(filter({_TOKENS}, x -> x <> '')) AS BIGINT)")
+    binned = (docs.withColumn("__h", h)
+              .select(len_bucket(n_tok).alias("bucket"),
+                      F.expr(f"pmod(__h, 10000) < {EVAL_HOLDOUT_BP}")
+                      .alias("is_eval")))
     return (binned.groupBy("bucket")
             .agg(F.count("*").cast("long").alias("n_total"),
                  F.sum(F.col("is_eval").cast("long")).cast("long")
