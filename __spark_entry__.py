@@ -33,81 +33,80 @@ def entry(spark: SparkSession) -> DataFrame:
 # dict cheapest-first). Unlisted (future) queries default to a middling
 # cost; ties keep registry order.
 _MEASURED_COST = {
-    's1_scan_filter_sort': 0.2, 'j4_base_key_pairing': 0.3, 't21_slug': 0.3,
-    't7_parse_number': 0.3, 'txt_fingerprint': 0.3, 'txt_token_count': 0.3,
-    'u3_distinct_values': 0.3, 'a12_percentiles': 0.4,
-    'a4_validation_summary': 0.4, 'a5_confidence_mean': 0.4,
-    'a6_argmax_customer': 0.4, 'a7_topk_per_group': 0.4, 'a8_max_cols': 0.4,
-    'conv_verbosity_drift': 0.4, 'dd_exact_dup': 0.4, 'emb_norm_stats': 0.4,
-    'f4b_tolerance_predicate': 0.4, 't17_ocr_repair': 0.4,
-    't1_clean_string': 0.4, 't23_split_explode': 0.4,
-    'txt_bpe_pair_counts': 0.4, 'txt_char_class_mix': 0.4,
-    'txt_sentence_stats': 0.4, 'u4_fallback_chain': 0.4, 'w2_top_n': 0.4,
-    'w6_row_number': 0.4, 'a11_distinct_users': 0.5, 'a13_rollup': 0.5,
-    'a3_file_summary': 0.5, 'conv_assemble': 0.5, 'conv_chat_render': 0.5,
-    'conv_context_growth': 0.5, 'conv_loss_mass': 0.5, 'dd_soft_dedup': 0.5,
-    'emb_label_centroids': 0.5, 'f3_rejects_antijoin': 0.5,
-    'j1_dim_lookup_join': 0.5, 'j2_product_join': 0.5, 'mm_blob_dedup': 0.5,
-    'mm_frame_plan': 0.5, 'q1_pricing_summary': 0.5, 'qr_bot_detection': 0.5,
-    's6_json_reader': 0.5, 'smp_length_buckets': 0.5, 'smp_mix_report': 0.5,
-    'smp_quality_weighted': 0.5, 'smp_stratified': 0.5,
-    'smp_token_budget': 0.5, 't13_currency_detect': 0.5,
-    'txt_blocklist_filter': 0.5, 'txt_code_detect': 0.5, 'txt_entropy': 0.5,
-    'txt_pii_scrub': 0.5, 'txt_quality': 0.5, 'txt_ttr': 0.5,
-    'txt_url_density': 0.5, 'txt_vocab_topk': 0.5, 'txt_zipf_slope': 0.5,
-    'u2_first_wins_dedup': 0.5, 'w3_gap_sessionize': 0.5, 'a14_pivot': 0.6,
-    'a1_a2_invoice_totals': 0.6, 'conv_dialogue_balance': 0.6,
-    'conv_role_transitions': 0.6, 'conv_stats': 0.6, 'conv_turn_dedup': 0.6,
-    'dd_boilerplate_topk': 0.6, 'dd_dup_rate_by_length': 0.6,
-    'dd_effective_tokens': 0.6, 'dd_prefix_dup': 0.6, 'emb_dim_variance': 0.6,
-    'j2b_sale_cost_derivation': 0.6, 'j3_semi_join': 0.6,
-    'q3_shipping_priority': 0.6, 'qr_daily_anomaly': 0.6, 'qr_range_join': 0.6,
-    'smp_epoch_mix': 0.6, 'smp_soft_budget': 0.6, 't9_date_normalize': 0.6,
-    'txt_gopher_gate': 0.6, 'txt_langid': 0.6, 'txt_len_quantiles': 0.6,
-    'txt_quality_hist': 0.6, 'w3b_session_window': 0.6,
-    'conv_reply_latency': 0.7, 'dd_incremental': 0.7, 'f4_tolerance_gate': 0.7,
-    'mm_image_resize': 0.7, 'mm_winnow_fingerprint': 0.7,
-    'q5_local_supplier_volume': 0.7, 'qr_asof_join': 0.7,
-    'qr_conversion_cohorts': 0.7, 'qr_retry_collapse': 0.7,
-    'qr_stickiness': 0.7, 'sim_cosine_topk': 0.7, 'txt_chunk_windows': 0.7,
-    'txt_contamination': 0.7, 'txt_repetition': 0.7, 'txt_vocab_coverage': 0.7,
-    'w4_last_wins': 0.7, 'w5_first_match_cascade': 0.7,
-    'dd_chunk_dedup_strip': 0.8, 'dd_domain_stats': 0.8,
-    'dd_dup_rate_by_source': 0.8, 'smp_pack_sequences': 0.8,
-    't18_imputation': 0.8, 'tok_fertility': 0.8, 'txt_drift_tvd': 0.8,
-    'u1_union_dedup': 0.8, 'conv_degenerate_scan': 0.9,
-    'conv_tool_latency': 0.9, 'dd_chunk_dup': 0.9, 'dd_dup_rate_by_gate': 0.9,
-    'dd_syndication_matrix': 0.9, 'emb_outliers': 0.9,
-    'mm_audio_features': 0.9, 'mm_binary_features': 0.9,
-    'mm_phash_neardup': 0.9, 'qr_event_funnel': 0.9,
-    'qr_retention_matrix': 0.9, 'sim_lsh_buckets': 0.9,
-    'smp_shard_assign': 0.9, 'smp_source_mix': 0.9,
-    't26_llm_json_cascade': 0.9, 'txt_lm_unigram_score': 0.9,
-    'smp_chat_pack': 1.0, 'smp_domain_cap': 1.0, 'smp_temperature_mix': 1.0,
-    'extract_ordered_spans': 1.2, 'extract_quality_gate': 1.2,
-    'txt_cooc_pmi': 1.2, 'conv_tool_chains': 1.3, 'dd_url_dup': 1.3,
-    'smp_pack_assembly': 1.3, 'extract_html_readability': 1.5,
-    'smp_chat_pack_seqs': 1.5, 'dd_bloom_check': 1.7, 'conv_lang_mix': 1.8,
-    'extract_conversations': 1.8, 't19_code_gen': 1.8, 'dd_containment': 1.9,
-    'extract_pdf_layout': 1.9, 'dd_novelty_by_source': 2.0,
-    'extract_synthetic': 2.0, 'txt_gate_agreement': 2.0,
-    'extract_documents': 2.2, 'sim_bm25_topk': 2.2,
-    'txt_classifier_score': 2.2, 'sim_pq_topk': 2.4, 'conv_refusal_scan': 2.5,
-    'sim_lsh_topk': 2.6, 'txt_lm_bigram_score': 2.9, 'import_sales': 3.1,
-    'import_star_schema': 3.2, 'dd_embedding_neardup': 3.4,
-    'dd_minhash_est_error': 3.4, 'emb_cosine_hist': 3.5, 'dd_simhash': 4.2,
-    'sim_ivf_topk': 4.2, 'sim_hard_negatives': 4.3, 'bpe_train_merges': 4.4,
-    'dd_jaccard_threshold_sweep': 4.4, 'sim_recall_eval': 4.4,
-    'dd_semantic_dup': 4.7, 'extract_yield': 5.2, 'dd_dup_clusters': 5.6,
-    'dd_cluster_canonical': 6.3, 'dd_substring_dup': 6.5,
-    'dd_conv_neardup': 6.6, 'dd_minhash_lsh': 6.6, 'sim_hybrid_topk': 6.7,
-    'curate_funnel': 7.1, 'dd_minhash_verified': 8.6, 'dd_ngram_jaccard': 8.6,
-    'conv_curate_funnel': 9.9, 'dd_incremental_neardup': 11.1,
-    # wave 5 (measured single-query sessions at sf0.01)
-    'qr_cohort_value': 0.7, 'conv_system_templates': 1.1,
-    'conv_turn_profile': 0.9, 'dd_bloom_fpr_curve': 2.7,
-    'dd_dup_cluster_hist': 0.8, 'qr_interarrival_hist': 2.4,
-    'smp_eval_holdout': 0.9, 'txt_hapax_by_source': 0.7,
+    'j2b_sale_cost_derivation': 0.2, 't19_code_gen': 0.3,
+    't1_clean_string': 0.3, 'w2_top_n': 0.3, 'w4_last_wins': 0.3,
+    'w5_first_match_cascade': 0.3, 'a1_a2_invoice_totals': 0.4,
+    'a3_file_summary': 0.4, 'a4_validation_summary': 0.4,
+    'conv_refusal_scan': 0.4, 'conv_role_transitions': 0.4,
+    'f4b_tolerance_predicate': 0.4, 'j3_semi_join': 0.4, 'mm_blob_dedup': 0.4,
+    'smp_domain_cap': 0.4, 'smp_epoch_mix': 0.4, 'smp_eval_holdout': 0.4,
+    'smp_shard_assign': 0.4, 't17_ocr_repair': 0.4, 't23_split_explode': 0.4,
+    'tok_fertility': 0.4, 'txt_chunk_windows': 0.4, 'txt_code_detect': 0.4,
+    'txt_fingerprint': 0.4, 'txt_quality': 0.4, 'txt_quality_hist': 0.4,
+    'txt_token_count': 0.4, 'u1_union_dedup': 0.4, 'a11_distinct_users': 0.5,
+    'a13_rollup': 0.5, 'a5_confidence_mean': 0.5, 'a7_topk_per_group': 0.5,
+    'a8_max_cols': 0.5, 'conv_chat_render': 0.5, 'conv_degenerate_scan': 0.5,
+    'conv_loss_mass': 0.5, 'conv_system_templates': 0.5,
+    'conv_turn_profile': 0.5, 'conv_verbosity_drift': 0.5,
+    'dd_boilerplate_topk': 0.5, 'dd_dup_rate_by_length': 0.5,
+    'dd_effective_tokens': 0.5, 'dd_exact_dup': 0.5, 'dd_incremental': 0.5,
+    'dd_prefix_dup': 0.5, 'dd_soft_dedup': 0.5, 'emb_label_centroids': 0.5,
+    'emb_norm_stats': 0.5, 'f3_rejects_antijoin': 0.5,
+    'j1_dim_lookup_join': 0.5, 'j2_product_join': 0.5, 'qr_range_join': 0.5,
+    'smp_length_buckets': 0.5, 'smp_quality_weighted': 0.5,
+    'smp_soft_budget': 0.5, 'smp_stratified': 0.5, 't9_date_normalize': 0.5,
+    'txt_blocklist_filter': 0.5, 'txt_char_class_mix': 0.5,
+    'txt_gopher_gate': 0.5, 'txt_langid': 0.5, 'txt_len_quantiles': 0.5,
+    'txt_pii_scrub': 0.5, 'txt_ttr': 0.5, 'txt_url_density': 0.5,
+    'txt_vocab_topk': 0.5, 'txt_zipf_slope': 0.5, 'u4_fallback_chain': 0.5,
+    'w6_row_number': 0.5, 'a14_pivot': 0.6, 'conv_context_growth': 0.6,
+    'conv_dialogue_balance': 0.6, 'conv_reply_latency': 0.6, 'conv_stats': 0.6,
+    'conv_tool_latency': 0.6, 'conv_turn_dedup': 0.6,
+    'dd_dup_cluster_hist': 0.6, 'dd_syndication_matrix': 0.6,
+    'emb_dim_variance': 0.6, 'f4_tolerance_gate': 0.6,
+    'q1_pricing_summary': 0.6, 'q3_shipping_priority': 0.6,
+    'qr_asof_join': 0.6, 'qr_cohort_value': 0.6, 'qr_daily_anomaly': 0.6,
+    'qr_interarrival_hist': 0.6, 'qr_retry_collapse': 0.6,
+    'qr_stickiness': 0.6, 's1_scan_filter_sort': 0.6, 's6_json_reader': 0.6,
+    'smp_chat_pack': 0.6, 'smp_pack_sequences': 0.6, 't7_parse_number': 0.6,
+    'txt_bpe_pair_counts': 0.6, 'txt_entropy': 0.6, 'txt_hapax_by_source': 0.6,
+    'txt_lm_unigram_score': 0.6, 'txt_repetition': 0.6,
+    'txt_sentence_stats': 0.6, 'u2_first_wins_dedup': 0.6,
+    'u3_distinct_values': 0.6, 'w3_gap_sessionize': 0.6,
+    'w3b_session_window': 0.6, 'a12_percentiles': 0.7, 'conv_assemble': 0.7,
+    'dd_chunk_dedup_strip': 0.7, 'dd_chunk_dup': 0.7, 'dd_domain_stats': 0.7,
+    'dd_dup_rate_by_gate': 0.7, 'mm_binary_features': 0.7,
+    'mm_frame_plan': 0.7, 'mm_image_resize': 0.7,
+    'q5_local_supplier_volume': 0.7, 'qr_retention_matrix': 0.7,
+    'sim_cosine_topk': 0.7, 'sim_lsh_buckets': 0.7, 'smp_mix_report': 0.7,
+    'smp_pack_assembly': 0.7, 'smp_token_budget': 0.7,
+    't13_currency_detect': 0.7, 't18_imputation': 0.7,
+    't26_llm_json_cascade': 0.7, 'txt_contamination': 0.7,
+    'txt_vocab_coverage': 0.7, 'dd_url_dup': 0.8, 'emb_outliers': 0.8,
+    'mm_audio_features': 0.8, 'mm_winnow_fingerprint': 0.8,
+    'qr_bot_detection': 0.8, 'qr_conversion_cohorts': 0.8,
+    'qr_event_funnel': 0.8, 'smp_source_mix': 0.8, 'txt_drift_tvd': 0.8,
+    'conv_tool_chains': 0.9, 'dd_dup_rate_by_source': 0.9,
+    'extract_ordered_spans': 0.9, 'extract_quality_gate': 0.9,
+    'mm_phash_neardup': 0.9, 'smp_temperature_mix': 0.9, 'txt_cooc_pmi': 0.9,
+    'j4_base_key_pairing': 1.0, 'sim_ivf_topk': 1.1, 'sim_lsh_topk': 1.1,
+    'conv_lang_mix': 1.2, 'dd_bloom_check': 1.2, 'dd_bloom_fpr_curve': 1.2,
+    'dd_novelty_by_source': 1.2, 'extract_yield': 1.2,
+    'smp_chat_pack_seqs': 1.2, 'a6_argmax_customer': 1.3,
+    'extract_conversations': 1.3, 'extract_documents': 1.3,
+    'extract_html_readability': 1.3, 'extract_pdf_layout': 1.4,
+    'txt_lm_bigram_score': 1.4, 'emb_cosine_hist': 1.5,
+    'dd_embedding_neardup': 1.6, 'extract_synthetic': 1.6,
+    'import_star_schema': 1.6, 'txt_classifier_score': 1.6,
+    'import_sales': 1.7, 'sim_bm25_topk': 1.7, 'dd_simhash': 1.8,
+    't21_slug': 1.8, 'txt_gate_agreement': 1.8, 'dd_incremental_neardup': 1.9,
+    'dd_jaccard_threshold_sweep': 1.9, 'dd_minhash_lsh': 1.9,
+    'sim_recall_eval': 1.9, 'dd_substring_dup': 2.0, 'dd_containment': 2.3,
+    'dd_minhash_verified': 2.4, 'sim_hybrid_topk': 2.4, 'dd_semantic_dup': 2.5,
+    'curate_funnel': 2.7, 'dd_ngram_jaccard': 2.7, 'sim_pq_topk': 2.7,
+    'bpe_train_merges': 2.9, 'dd_conv_neardup': 2.9, 'sim_hard_negatives': 2.9,
+    'dd_minhash_est_error': 3.0, 'conv_curate_funnel': 5.4,
+    'dd_cluster_canonical': 5.4, 'dd_dup_clusters': 5.7,
 }
 
 

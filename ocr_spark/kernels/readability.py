@@ -29,7 +29,7 @@ import re
 from html.parser import HTMLParser
 
 from .php import PHP_TRIM_CHARS, collapse_ws, php_trim
-from .tables import _FAST_ATTR, _FAST_TAG, _FAST_UNSAFE
+from .tables import _FAST_TAG, _FAST_UNSAFE, _clean_attrs
 
 _POSITIVE_RE = re.compile(
     r"article|body|content|entry|main|page|post|story|text|blog", re.I)
@@ -277,21 +277,29 @@ def _fast_tree_feed(b: _TreeBuilder, html: str) -> bool:
     matches = list(_FAST_TAG.finditer(html))
     if html.count("<") != len(matches):
         return False
+    # prescan ALL attribute strings BEFORE any builder mutation: the
+    # caller falls back onto the SAME builder (unlike tables, which
+    # constructs a fresh parser), so a mid-stream bail would leave a
+    # half-fed tree. _clean_attrs returns None where html.parser's
+    # tolerant grammar could tokenize differently — that input goes to
+    # the slow path untouched.
+    parsed = []
     for m in matches:
+        closing, _name, attrs_s, selfclose = m.groups()
+        attrs = []
+        if not closing and not selfclose and attrs_s:
+            attrs = _clean_attrs(attrs_s)
+            if attrs is None:
+                return False
+        parsed.append(attrs)
+    for m, attrs in zip(matches, parsed):
         if m.start() > pos:
             b._on_data(html[pos:m.start()], pos)
         pos = m.end()
-        closing, name, attrs_s, selfclose = m.groups()
+        closing, name, _attrs_s, selfclose = m.groups()
         if closing:
             b.handle_endtag(name)
         elif not selfclose:
-            attrs = []
-            if attrs_s:
-                for am in _FAST_ATTR.finditer(attrs_s):
-                    k, v = am.group(1).lower(), am.group(2)
-                    if v and v[0] in "\"'":
-                        v = v[1:-1]
-                    attrs.append((k, v))
             b.handle_starttag(name, attrs)
     if pos < len(html):
         b._on_data(html[pos:], pos)

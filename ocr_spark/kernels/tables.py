@@ -142,9 +142,39 @@ _FAST_ATTR = re.compile(
     r"([a-zA-Z][a-zA-Z0-9_:-]*)\s*(?:=\s*(\"[^\"]*\"|'[^']*'|[^\s>]+))?")
 
 
+def _clean_attrs(attrs_s: str):
+    """Tokenize a start tag's attribute string with _FAST_ATTR, or None
+    when html.parser's tolerant grammar could read it DIFFERENTLY: any
+    unconsumed junk between matches (e.g. the ','-carrying names
+    attrfind_tolerant accepts but the narrow fast name class stops at —
+    `<plain words here, padded>` was the fuzz-found counterexample), or
+    an unquoted value opening with '=' (the parser's `=+` keeps
+    consuming where the fast regex starts a value). None → the caller
+    falls back to html.parser, so byte-parity is preserved by
+    CONSTRUCTION instead of by replicating attrfind_tolerant's
+    lookbehind grammar."""
+    attrs = []
+    pos = 0
+    for am in _FAST_ATTR.finditer(attrs_s):
+        if attrs_s[pos:am.start()].strip():
+            return None
+        k, v = am.group(1).lower(), am.group(2)
+        if v:
+            if v[0] in "\"'":
+                v = v[1:-1]
+            elif v[0] == "=":
+                return None
+        attrs.append((k, v))
+        pos = am.end()
+    if attrs_s[pos:].strip():
+        return None
+    return attrs
+
+
 def _fast_feed(p: _TableHTMLParser, html: str) -> bool:
     """Tokenize with regex and replay through p's handlers. Returns False
-    (caller falls back to html.parser) if any '<' is not a clean tag."""
+    (caller falls back to html.parser) if any '<' is not a clean tag or
+    any cell tag's attrs are not cleanly tokenizable (_clean_attrs)."""
     pos = 0
     matches = list(_FAST_TAG.finditer(html))
     # every match consumes exactly one leading '<' (interior '<' can only
@@ -164,11 +194,11 @@ def _fast_feed(p: _TableHTMLParser, html: str) -> bool:
         else:
             attrs = []
             if attrs_s and name in _CELL_TAGS:
-                for am in _FAST_ATTR.finditer(attrs_s):
-                    k, v = am.group(1).lower(), am.group(2)
-                    if v and v[0] in "\"'":
-                        v = v[1:-1]
-                    attrs.append((k, v))
+                attrs = _clean_attrs(attrs_s)
+                if attrs is None:
+                    # caller constructs a fresh parser for the fallback,
+                    # so the partial replay is discarded
+                    return False
             p.handle_starttag(name, attrs)
             if selfclose:
                 p.handle_endtag(name)

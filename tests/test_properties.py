@@ -5,7 +5,7 @@ just the golden fixtures. Pure Python, no SparkSession."""
 import math
 import re
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from ocr_spark.kernels import parsers as P
@@ -192,6 +192,14 @@ def test_readability_never_crashes_and_spans_valid(bits):
 
 @settings(max_examples=300, deadline=None)
 @given(st.lists(_html_bits, max_size=40))
+# fuzz-found counterexamples, pinned in code (not just the local DB):
+# attrfind_tolerant keeps ',' inside unquoted attr names where the fast
+# name class stops — and `=+` keeps consuming doubled equals. Both must
+# now bail to the slow path via tables._clean_attrs.
+@example(bits=["<", "plain words here, padded", ">"])
+@example(bits=["<a == 'x'>"])
+@example(bits=["<a =x>"])
+@example(bits=["<div a/ b=1>x</div>"])
 def test_fast_tree_feed_matches_htmlparser(bits):
     """The regex fast path for the readability tree builder must produce
     an IDENTICAL tree (tags, attrs, text runs with raw offsets) to a
